@@ -1,0 +1,406 @@
+"""Markush structure tokenizer: maps (CX)SMILES + substituent tables onto the
+base tokenizer's reserved `<other_N>` / `<loc_N>` id space.
+
+Behavioral equivalent of the reference's `MarkushTokenizer`
+(/root/reference/markushgrapher/core/common/markush_tokenizer.py:10-688),
+re-implemented for this framework's self-contained base tokenizer. Grammar:
+
+    <markush> <cxsmi> ATOM* | m:... , Sg:... </cxsmi>
+              <stable> LABELS : SUBSTS (<ns> LABELS : SUBSTS)* </stable> </markush>
+
+ - SMILES atoms/bonds -> `<other_N>` ids via the domain vocabulary,
+ - optional per-atom `<loc_x><loc_y><loc_x><loc_y>` grounding tokens
+   (quantized to [0,500]),
+ - optional `<i>idx</i>` atom-index tokens,
+ - `<r>LABEL</r>` R-group labels with char-encoded contents,
+ - CXSMILES `m:` / `Sg:` extension sections with whole-number index pieces,
+ - substituent tables with `<ns>` row and `<n>` item separators.
+"""
+
+from __future__ import annotations
+
+import re
+from ast import literal_eval
+from typing import Dict, List, Optional, Sequence
+
+from markushgrapher_tpu.chem.smiles_tokenize import atomwise_tokenizer
+from markushgrapher_tpu.data import domain_vocab
+from markushgrapher_tpu.data.vocab import MGTokenizer
+
+
+def _cap500(v: int) -> int:
+    return 0 if v < 0 else (500 if v > 500 else v)
+
+
+class MarkushTokenizer:
+    def __init__(
+        self,
+        tokenizer: Optional[MGTokenizer] = None,
+        vocab_tokens: Optional[Dict[str, int]] = None,
+        atom_tokens: Optional[Dict[str, int]] = None,
+        task: str = "markush",  # "markush" | "cxsmiles" | "smiles"
+        encode_position: bool = False,
+        encode_index: bool = False,
+        condense_labels: bool = True,
+        substituents_separator: str = "<n>",
+    ):
+        self.tokenizer = tokenizer or MGTokenizer()
+        self.task = task
+        self.encode_position = encode_position
+        self.encode_index = encode_index
+        self.condense_labels = condense_labels
+        self.substituents_separator = substituents_separator
+        self.rtable_item_separator = "<ns>"
+        self._vocab_tokens = vocab_tokens or domain_vocab.default_smiles_vocab()
+        self.vocabulary_atoms = list(
+            (atom_tokens or domain_vocab.default_atom_vocab()).keys()
+        )
+        self._set_vocabulary()
+
+    # -- vocabulary -------------------------------------------------------
+
+    def _set_vocabulary(self) -> None:
+        """Assign `<other_N>` ids: structural markers first, then the domain
+        inventory (ordering mirrors markush_tokenizer.py:237-285)."""
+        vocab: List[str] = []
+        if self.task == "smiles":
+            vocab.extend(["<smi>", "</smi>"])
+        elif self.task == "cxsmiles":
+            vocab.extend(["<cxsmi>", "</cxsmi>"])
+        else:
+            vocab.extend(["<cxsmi>", "</cxsmi>", "<r>", "</r>"])
+            vocab.extend([
+                "<markush>", "</markush>", "<stable>", "</stable>",
+                self.substituents_separator, self.rtable_item_separator,
+            ])
+        if self.encode_index:
+            vocab.extend(["<i>", "</i>"])
+        vocab.extend(self._vocab_tokens.keys())
+
+        from markushgrapher_tpu.data.vocab import NUM_OTHER
+
+        if len(vocab) > NUM_OTHER:
+            raise ValueError(
+                f"domain vocabulary has {len(vocab)} tokens but only "
+                f"{NUM_OTHER} <other_N> ids are reserved in the base tokenizer"
+            )
+        self.vocabulary = {tok: f"<other_{i}>" for i, tok in enumerate(vocab)}
+        self.vocabulary_inverse = {f"<other_{i}>": tok for i, tok in enumerate(vocab)}
+        self.max_vocabulary_range = len(self.vocabulary)
+
+    def _vid(self, token: str) -> int:
+        return self.tokenizer._convert_token_to_id(self.vocabulary[token])
+
+    def _chars(self, text: str) -> List[int]:
+        """Char-by-char encoding through the base tokenizer (no EOS)."""
+        out: List[int] = []
+        for c in text:
+            out.extend(self.tokenizer.encode(c)[:-1])
+        return out
+
+    # -- substituent table helpers -----------------------------------------
+
+    def compress_stable(self, stable: Dict[str, List[str]]) -> Dict[str, object]:
+        """Merge labels with identical substituent lists; compress consecutive
+        integer lists to "a-b" ranges (markush_tokenizer.py:47-84)."""
+        value_to_keys: Dict[tuple, List[str]] = {}
+        for key, value in stable.items():
+            value_to_keys.setdefault(tuple(value), []).append(key)
+        merged: Dict[str, object] = {
+            ",".join(keys): list(value) for value, keys in value_to_keys.items()
+        }
+        for label, substituents in merged.items():
+            try:
+                values = [int(s) for s in substituents]
+            except (ValueError, TypeError):
+                continue
+            if values and values == list(range(min(values), max(values) + 1)):
+                merged[label] = f"{min(values)}-{max(values)}"
+        return merged
+
+    def get_stable(self, text: str, verbose: bool = False) -> Optional[Dict[str, List[str]]]:
+        """Parse the substitution table out of a prediction string, tolerating
+        truncated generations (markush_tokenizer.py:86-156)."""
+        m = re.search(re.escape("<stable>") + r"(.*?)" + re.escape("</stable>"), text)
+        if m:
+            stable_string = m.group(1)
+        else:
+            if (
+                "</stable>" not in text
+                and "</markush>" not in text
+                and "<stable>" in text
+                and len(text.split("<stable>")) >= 2
+            ):
+                stable_string = text.split("<stable>")[1]
+            else:
+                return None
+
+        try:
+            stable: Dict[str, List[str]] = {}
+            for item in stable_string.split(self.rtable_item_separator):
+                if len(item.split(":")) <= 1:
+                    continue
+                substituents = []
+                for s in item.split(":")[1].split(self.substituents_separator):
+                    substituents.append(s.strip(" "))
+                labels = item.split(":")[0].replace(" ", "")
+                for label in labels.split(self.substituents_separator):
+                    stable[label] = substituents
+
+            # expand compressed integer ranges ("1-10" -> ["1", ..., "10"])
+            for label, substituents in stable.items():
+                to_add: List[str] = []
+                to_remove: List[str] = []
+                for substituent in substituents:
+                    if "-" not in substituent:
+                        continue
+                    limits = re.findall(r"(\d+)-(\d+)", substituent)
+                    if len(limits) != 1:
+                        continue
+                    lo, hi = int(limits[0][0]), int(limits[0][1])
+                    if substituent != f"{lo}-{hi}":
+                        continue
+                    to_remove.append(substituent)
+                    to_add.extend(str(v) for v in range(min(lo, hi), max(lo, hi) + 1))
+                for s in to_remove:
+                    stable[label].remove(s)
+                stable[label].extend(to_add)
+        except Exception as e:  # malformed prediction
+            if verbose:
+                print(f"get_stable parse error {e} for {text!r}")
+            return None
+        return stable
+
+    # -- encoders ------------------------------------------------------------
+
+    def encode_smi(self, label: str) -> List[int]:
+        """SMILES (+ optional atom boxes after "!") -> ids
+        (markush_tokenizer.py:307-348)."""
+        out = [self._vid("<smi>")]
+        label = label.replace("<smi>", "").replace("</smi>", "")
+        parts = label.split("!")
+        smiles = parts[0]
+        atom_boxes = literal_eval(parts[1]) if len(parts) > 1 else []
+
+        i = 0
+        for token in atomwise_tokenizer(smiles):
+            if token in self.vocabulary:
+                out.append(self._vid(token))
+            else:
+                out.append(self.tokenizer.unk_token_id)
+            if self.encode_position and token in self.vocabulary_atoms and i < len(atom_boxes):
+                box = atom_boxes[i]
+                for k in range(4):
+                    q = _cap500(int(box[k] * 500 / 1024))
+                    out.append(self.tokenizer.piece_to_id(f"<loc_{q}>"))
+                i += 1
+        out.append(self._vid("</smi>"))
+        return out
+
+    def encode_cxsmi(self, label: str) -> List[int]:
+        """CXSMILES-opt (+ optional atom boxes) -> ids
+        (markush_tokenizer.py:350-520)."""
+        out = [self._vid("<cxsmi>")]
+        label = label.replace("<cxsmi>", "").replace("</cxsmi>", "")
+        parts = label.split("!")
+        cxsmiles_opt = parts[0]
+
+        rtable = ""
+        if len(cxsmiles_opt.split("|")) > 1:
+            rtable = "|" + cxsmiles_opt.split("|", 1)[1]
+
+        # Locate <r>...</r> R-group labels, then swap markers for brackets so
+        # the atomwise tokenizer treats each label as one bracket token.
+        rgroup_starts: List[int] = []
+        if self.condense_labels:
+            length_adjustment = 0
+            for m in re.finditer(r"(<r>(.*?)</r>)", cxsmiles_opt):
+                rgroup_starts.append(m.start(1) - length_adjustment)
+                length_adjustment += (3 - 1) + (4 - 1)
+            cxsmiles_opt = cxsmiles_opt.replace("<r>", "[").replace("</r>", "]")
+
+        atom_index = 0
+        char_pos = 0
+        for token in atomwise_tokenizer(cxsmiles_opt.split("|")[0]):
+            is_rgroup = False
+            if self.condense_labels:
+                if char_pos in rgroup_starts:
+                    token = token.replace("[", "<r>").replace("]", "</r>")
+                    is_rgroup = True
+                char_pos += len(token) if not is_rgroup else (len(token) - 5)
+
+            if not is_rgroup and token in self.vocabulary:
+                out.append(self._vid(token))
+                if self.encode_index and token in self.vocabulary_atoms:
+                    out.append(self._vid("<i>"))
+                    out.append(self.tokenizer._convert_token_to_id(str(atom_index)))
+                    out.append(self._vid("</i>"))
+                    atom_index += 1
+            elif is_rgroup:
+                out.append(self._vid("<r>"))
+                out.extend(self._chars(token.replace("<r>", "").replace("</r>", "")))
+                out.append(self._vid("</r>"))
+                if self.encode_index:
+                    out.append(self._vid("<i>"))
+                    out.append(self.tokenizer._convert_token_to_id(str(atom_index)))
+                    out.append(self._vid("</i>"))
+                    atom_index += 1
+            else:
+                out.extend(self._chars(token))
+                if "[" in token and self.encode_index:
+                    out.append(self._vid("<i>"))
+                    out.append(self.tokenizer._convert_token_to_id(str(atom_index)))
+                    out.append(self._vid("</i>"))
+                    atom_index += 1
+
+        # extension sections after "|": m:<conn>:<ring.atoms>, Sg:n:<ids>:F:ht
+        if rtable:
+            sections = rtable[1:].split(",")
+            merged_sections: List[str] = []
+            i = 0
+            for i in range(len(sections)):
+                if not sections[i]:
+                    continue
+                if sections[i][0] == "m":
+                    merged_sections.append(sections[i])
+                if sections[i][:2] == "Sg":
+                    merged = sections[i] + ","
+                    j = i + 1
+                    while j < len(sections) and sections[j][:1] != "m" and sections[j][:2] != "Sg":
+                        merged += sections[j] + ","
+                        j += 1
+                    merged_sections.append(merged[:-1])
+
+            out.append(self.tokenizer._convert_token_to_id("|"))
+            if not self.condense_labels and "$" in cxsmiles_opt:
+                out.append(self.tokenizer._convert_token_to_id("$"))
+                for c in cxsmiles_opt.split("$")[1]:
+                    out.append(self.tokenizer._convert_token_to_id(c))
+                out.append(self.tokenizer._convert_token_to_id("$"))
+                out.append(self.tokenizer._convert_token_to_id(","))
+
+            for section in merged_sections:
+                if section[0] == "m":  # m:0:15.16.17.18
+                    fields = section.split(":")
+                    for c in f"{fields[0]}:":
+                        out.append(self.tokenizer._convert_token_to_id(c))
+                    out.append(self.tokenizer._convert_token_to_id(fields[1]))
+                    out.append(self.tokenizer._convert_token_to_id(":"))
+                    for ring_atom in fields[2].split("."):
+                        out.append(self.tokenizer._convert_token_to_id(ring_atom))
+                        out.append(self.tokenizer._convert_token_to_id("."))
+                    out = out[:-1]
+                elif section[:2] == "Sg":  # Sg:n:11,12:F:ht
+                    fields = section.split(":")
+                    for c in f"{fields[0]}:{fields[1]}:":
+                        out.append(self.tokenizer._convert_token_to_id(c))
+                    for index in fields[2].split(","):
+                        out.append(self.tokenizer._convert_token_to_id(index))
+                        out.append(self.tokenizer._convert_token_to_id(","))
+                    out = out[:-1]
+                    for c in ":" + ":".join(fields[3:]):
+                        out.append(self.tokenizer._convert_token_to_id(c))
+                out.append(self.tokenizer._convert_token_to_id(","))
+            out = out[:-1]
+
+        out.append(self._vid("</cxsmi>"))
+        return out
+
+    def encode_stable(self, label: str) -> List[int]:
+        """Substituent table -> ids (markush_tokenizer.py:522-574)."""
+        out = [self._vid("<stable>")]
+        label = label.replace("<stable>", "").replace("</stable>", "")
+
+        segments: List[str] = []
+        for token in label.split(":"):
+            segments.extend(token.split(self.rtable_item_separator))
+
+        for i in range(len(segments) // 2):
+            labels_seg, subst_seg = segments[2 * i], segments[2 * i + 1]
+            for lab in labels_seg.split(self.substituents_separator):
+                out.extend(self._chars(lab))
+                out.append(self._vid(self.substituents_separator))
+            out = out[:-1]
+            out.extend(self.tokenizer.encode(":")[:-1])
+            for substituent in subst_seg.split(self.substituents_separator):
+                out.extend(self.tokenizer.encode(substituent)[:-1])
+                if self.substituents_separator == ",":
+                    out.extend(self.tokenizer.encode(",")[:-1])
+                else:
+                    out.append(self._vid(self.substituents_separator))
+            out = out[:-1]
+            out.append(self._vid(self.rtable_item_separator))
+
+        if len(out) > 2:
+            out = out[:-1]
+        out.append(self._vid("</stable>"))
+        return out
+
+    def encode_markush(self, label: str) -> List[int]:
+        """<markush><cxsmi>..</cxsmi><stable>..</stable></markush> -> ids
+        (markush_tokenizer.py:576-613)."""
+        out = [self._vid("<markush>")]
+        cx = re.search(re.escape("<cxsmi>") + r"(.*?)" + re.escape("</cxsmi>"), label)
+        if cx:
+            out.extend(self.encode_cxsmi("<cxsmi>" + cx.group(1) + "</cxsmi>"))
+        st = re.search(re.escape("<stable>") + r"(.*?)" + re.escape("</stable>"), label)
+        if st:
+            out.extend(self.encode_stable("<stable>" + st.group(1) + "</stable>"))
+        out.append(self._vid("</markush>"))
+        return out
+
+    def encode(self, label: str) -> List[int]:
+        """Route by outermost tag (utils/common.py:45-64 of the reference)."""
+        if "<markush>" in label:
+            return self.encode_markush(label)
+        if "<cxsmi>" in label:
+            return self.encode_cxsmi(label)
+        if "<smi>" in label:
+            return self.encode_smi(label)
+        return self.tokenizer.encode(label)[:-1]
+
+    # -- decoders --------------------------------------------------------------
+
+    def clean_cxsmiles_spaces(self, s: str) -> str:
+        pattern = r"(<cxsmi>)(.*?)(</cxsmi>)"
+        return re.sub(
+            pattern,
+            lambda m: f"{m.group(1)}{m.group(2).replace('▁', '')}{m.group(3)}",
+            s,
+        )
+
+    def decode(self, token_ids: Sequence[int], verbose: bool = False) -> str:
+        """Ids -> text with domain tokens expanded and `<loc_*>` / `<i>..</i>`
+        spans dropped (markush_tokenizer.py:615-670)."""
+        pieces = self.tokenizer.convert_ids_to_tokens(token_ids)
+        out = ""
+        skip_until_close_i = False
+        for idx, piece in enumerate(pieces):
+            if skip_until_close_i:
+                if piece == self.vocabulary.get("</i>"):
+                    skip_until_close_i = False
+                continue
+            if self.encode_index and piece == self.vocabulary.get("<i>"):
+                skip_until_close_i = True
+                continue
+            if piece.startswith("<loc_") and piece.endswith(">"):
+                continue
+            if piece in ("<pad>", "</s>", "<unk>"):
+                continue
+            if piece.startswith("<other_") and piece.endswith(">"):
+                out += self.vocabulary_inverse.get(piece, piece) + " "
+                continue
+            token = piece[1:] if piece.startswith("▁") else piece
+            nxt = pieces[idx + 1] if idx + 1 < len(pieces) else ""
+            if "▁" in nxt or nxt.startswith("<other_"):
+                out += token + " "
+            else:
+                out += token
+        return out
+
+    # alias matching the reference API name
+    decode_plus_decode_other_tokens = decode
+
+    def decode_raw(self, token_ids: Sequence[int]) -> List[str]:
+        pieces = self.tokenizer.convert_ids_to_tokens(token_ids)
+        return [self.vocabulary_inverse.get(p, p) for p in pieces]
