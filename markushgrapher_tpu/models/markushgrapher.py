@@ -1,0 +1,315 @@
+"""MarkushGrapher model: two-branch encoder (OCSR Swin + VTL/UDOP) with a T5
+decoder, TPU-first.
+
+Capability parity with the reference's `MarkushgrapherForConditionalGeneration`
+(external fork; architecture documented in /root/reference/README.md:210-217
+and SURVEY.md §2.3):
+
+ - OCSR pipeline: MolScribe-style Swin-B over `ocsr_pixel_values` -> MLP
+   projector -> e1 (144 tokens at 384px),
+ - VTL pipeline: UDOP joint encoder over image patches + OCR text tokens +
+   2D layout boxes -> e2 (fixed 512 text + 1024 patch tokens at 512px),
+ - "me-lf-stack-1" late fusion: encoder_hidden_states = concat(e1, e2),
+ - T5 decoder with cross-attention over the fused states, untied lm_head.
+
+Everything is fixed-shape; the ragged UDOP patch-append is handled by
+`ops.fusion.combine_image_text_embeddings`. `architecture_variant` selects
+branches like the reference's config knob (begin.py:119-121).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from markushgrapher_tpu.config import MarkushGrapherConfig
+from markushgrapher_tpu.models.swin import SwinEncoder
+from markushgrapher_tpu.models.t5 import (
+    Attention,  # noqa: F401  (re-export for tests)
+    Decoder,
+    Encoder,
+    RMSNorm,
+    param_with_axes,
+)
+from markushgrapher_tpu.ops import relbias
+from markushgrapher_tpu.ops.fusion import combine_image_text_embeddings
+
+
+class CellEmbeddings(nn.Module):
+    """2D bbox-corner embeddings added to encoder inputs
+    (modeling_udop.py UdopCellEmbeddings:857-880)."""
+
+    table_size: int
+    d_model: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, bbox: jnp.ndarray) -> jnp.ndarray:
+        x_table = self.param(
+            "x_embed", param_with_axes(nn.initializers.normal(0.02), ("vocab", "embed")),
+            (self.table_size, self.d_model), jnp.float32)
+        y_table = self.param(
+            "y_embed", param_with_axes(nn.initializers.normal(0.02), ("vocab", "embed")),
+            (self.table_size, self.d_model), jnp.float32)
+        q = jnp.clip(bbox, 0.0, 1.0) * (self.table_size - 1)
+        q = q.astype(jnp.int32)
+        emb = (x_table[q[..., 0]] + y_table[q[..., 1]]
+               + x_table[q[..., 2]] + y_table[q[..., 3]])
+        return emb.astype(self.dtype)
+
+
+class PatchEmbed(nn.Module):
+    """Stride-P patchify expressed as reshape + one matmul (MXU-friendly,
+    equivalent to UdopPatchEmbeddings' Conv2d stride-16)."""
+
+    patch_size: int
+    d_model: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, pixel_values: jnp.ndarray) -> jnp.ndarray:
+        # pixel_values: [B, H, W, C] (NHWC, jax-native)
+        b, h, w, c = pixel_values.shape
+        p = self.patch_size
+        if h % p or w % p:
+            raise ValueError(
+                f"image size {h}x{w} not divisible by patch size {p}")
+        x = pixel_values.reshape(b, h // p, p, w // p, p, c)
+        x = x.transpose(0, 1, 3, 2, 4, 5).reshape(b, (h // p) * (w // p), p * p * c)
+        return nn.DenseGeneral(
+            features=self.d_model, use_bias=True, dtype=self.dtype,
+            param_dtype=jnp.float32,
+            kernel_init=param_with_axes(
+                nn.initializers.variance_scaling(1.0, "fan_in", "truncated_normal"),
+                ("patch", "embed")),
+            name="proj",
+        )(x.astype(self.dtype))
+
+
+class MarkushGrapherModel(nn.Module):
+    cfg: MarkushGrapherConfig
+    dtype: Any = jnp.bfloat16
+    remat: bool = False
+
+    def setup(self):
+        vtl = self.cfg.vtl
+        self.shared_embedding = self.param(
+            "shared_embedding",
+            param_with_axes(nn.initializers.normal(1.0), ("vocab", "embed")),
+            (vtl.vocab_size, vtl.d_model), jnp.float32)
+
+        if self.cfg.architecture_variant != "me-lf-stack-1-molscribe-only":
+            self.patch_embed = PatchEmbed(vtl.patch_size, vtl.d_model, self.dtype)
+            self.cell2d = CellEmbeddings(
+                vtl.cell_embeddings_size, vtl.d_model, self.dtype)
+            bias_init = param_with_axes(nn.initializers.normal(0.5), (None, "heads"))
+            self.enc_bias_1d = self.param(
+                "enc_bias_1d", bias_init,
+                (vtl.relative_attention_num_buckets, vtl.num_heads), jnp.float32)
+            self.enc_bias_h = self.param(
+                "enc_bias_h", bias_init,
+                (vtl.relative_attention_num_buckets, vtl.num_heads), jnp.float32)
+            self.enc_bias_v = self.param(
+                "enc_bias_v", bias_init,
+                (vtl.relative_attention_num_buckets, vtl.num_heads), jnp.float32)
+            self.encoder = Encoder(
+                num_layers=vtl.num_layers, d_model=vtl.d_model,
+                num_heads=vtl.num_heads, d_kv=vtl.d_kv, d_ff=vtl.d_ff,
+                ff_proj=vtl.feed_forward_proj, eps=vtl.layer_norm_epsilon,
+                dtype=self.dtype, dropout_rate=vtl.dropout_rate,
+                remat=self.remat)
+
+        if self.cfg.architecture_variant != "none":
+            self.molscribe_encoder = SwinEncoder(self.cfg.swin, dtype=self.dtype)
+            self.molscribe_projector = MLPProjector(
+                hidden=self.cfg.projector_hidden, out=vtl.d_model, dtype=self.dtype)
+
+        self.dec_bias_1d = self.param(
+            "dec_bias_1d",
+            param_with_axes(nn.initializers.normal(0.5), (None, "heads")),
+            (vtl.relative_attention_num_buckets, vtl.num_heads), jnp.float32)
+        self.decoder = Decoder(
+            num_layers=vtl.num_decoder_layers, d_model=vtl.d_model,
+            num_heads=vtl.num_heads, d_kv=vtl.d_kv, d_ff=vtl.d_ff,
+            ff_proj=vtl.feed_forward_proj, eps=vtl.layer_norm_epsilon,
+            dtype=self.dtype, dropout_rate=vtl.dropout_rate, remat=self.remat)
+        self.lm_head = nn.DenseGeneral(
+            features=vtl.vocab_size, use_bias=False, dtype=jnp.float32,
+            param_dtype=jnp.float32,
+            kernel_init=param_with_axes(
+                nn.initializers.variance_scaling(1.0, "fan_in", "normal"),
+                ("embed", "vocab")),
+            name="lm_head")
+
+    # -- encoding ----------------------------------------------------------
+
+    def embed_tokens(self, ids: jnp.ndarray) -> jnp.ndarray:
+        return self.shared_embedding[ids].astype(self.dtype)
+
+    def encode(
+        self,
+        input_ids: jnp.ndarray,        # [B, T]
+        bbox: jnp.ndarray,             # [B, T, 4] float in [0,1]
+        attention_mask: jnp.ndarray,   # [B, T]
+        pixel_values: Optional[jnp.ndarray],       # [B, 512, 512, 3] NHWC
+        ocsr_pixel_values: Optional[jnp.ndarray],  # [B, 384, 384, 3] NHWC
+        deterministic: bool = True,
+    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """Returns (encoder_hidden_states [B, L_enc, D], encoder_mask [B, L_enc])."""
+        vtl = self.cfg.vtl
+        branches = []
+        masks = []
+
+        if self.cfg.architecture_variant != "none":
+            feats = self.molscribe_encoder(ocsr_pixel_values, deterministic)
+            e1 = self.molscribe_projector(feats)
+            branches.append(e1)
+            masks.append(jnp.ones(e1.shape[:2], attention_mask.dtype))
+
+        if self.cfg.architecture_variant != "me-lf-stack-1-molscribe-only":
+            if pixel_values.shape[1:3] != (vtl.image_size, vtl.image_size):
+                raise ValueError(
+                    f"pixel_values {pixel_values.shape[1:3]} != configured "
+                    f"image_size {vtl.image_size} (static-shape contract)")
+            tok = self.embed_tokens(input_ids)
+            img = self.patch_embed(pixel_values)
+            embeds, full_bbox, full_mask = combine_image_text_embeddings(
+                img, tok, bbox.astype(jnp.float32), attention_mask,
+                vtl.num_patches_side)
+            embeds = embeds + self.cell2d(full_bbox)
+            seq_len = embeds.shape[1]
+            pos_bias = relbias.encoder_position_bias(
+                self.enc_bias_1d, self.enc_bias_h, self.enc_bias_v,
+                full_bbox, seq_len, vtl.relative_attention_num_buckets,
+                vtl.relative_attention_max_distance, vtl.rel2d_scaling_factor,
+                vtl.rel2d_max_distance)
+            pos_bias = pos_bias + relbias.mask_bias(full_mask)
+            e2 = self.encoder(embeds, pos_bias.astype(jnp.float32), deterministic)
+            branches.append(e2)
+            masks.append(full_mask)
+
+        enc = jnp.concatenate(branches, axis=1) if len(branches) > 1 else branches[0]
+        mask = jnp.concatenate(masks, axis=1) if len(masks) > 1 else masks[0]
+        return enc, mask
+
+    # -- teacher-forced decode ----------------------------------------------
+
+    def shift_right(self, labels: jnp.ndarray) -> jnp.ndarray:
+        """labels -> decoder_input_ids (UDOP _shift_right: prepend
+        decoder_start, drop last, replace -100 with pad)."""
+        vtl = self.cfg.vtl
+        shifted = jnp.roll(labels, 1, axis=-1)
+        shifted = shifted.at[:, 0].set(vtl.decoder_start_token_id)
+        return jnp.where(shifted == -100, vtl.pad_token_id, shifted)
+
+    def decode_train(
+        self,
+        decoder_input_ids: jnp.ndarray,  # [B, S]
+        enc: jnp.ndarray,
+        enc_mask: jnp.ndarray,
+        deterministic: bool = True,
+    ) -> jnp.ndarray:
+        vtl = self.cfg.vtl
+        seq_len = decoder_input_ids.shape[1]
+        x = self.embed_tokens(decoder_input_ids)
+        self_bias = relbias.decoder_position_bias(
+            self.dec_bias_1d, seq_len, vtl.relative_attention_num_buckets,
+            vtl.relative_attention_max_distance)
+        causal = jnp.tril(jnp.ones((seq_len, seq_len), bool))
+        neg = jnp.finfo(jnp.float32).min
+        self_bias = self_bias + jnp.where(causal, 0.0, neg)[None, None]
+        cross_bias = relbias.mask_bias(enc_mask)
+        x = self.decoder(x, enc, self_bias, cross_bias, deterministic)
+        return self.lm_head(x.astype(jnp.float32))
+
+    def __call__(
+        self,
+        input_ids: jnp.ndarray,
+        bbox: jnp.ndarray,
+        attention_mask: jnp.ndarray,
+        labels: jnp.ndarray,
+        pixel_values: Optional[jnp.ndarray] = None,
+        ocsr_pixel_values: Optional[jnp.ndarray] = None,
+        deterministic: bool = True,
+    ) -> Dict[str, jnp.ndarray]:
+        """Full teacher-forced forward; returns {loss, logits}."""
+        enc, enc_mask = self.encode(
+            input_ids, bbox, attention_mask, pixel_values, ocsr_pixel_values,
+            deterministic)
+        decoder_input_ids = self.shift_right(labels)
+        logits = self.decode_train(decoder_input_ids, enc, enc_mask, deterministic)
+        loss = cross_entropy_with_ignore(logits, labels, ignore_index=-100)
+        return {"loss": loss, "logits": logits}
+
+    # -- stepwise decode (generation) ----------------------------------------
+
+    def init_cache(self, enc: jnp.ndarray, max_len: int):
+        return self.decoder.init_cache(enc, max_len)
+
+    def decode_step(
+        self,
+        token_ids: jnp.ndarray,   # [B, 1]
+        caches,
+        step: jnp.ndarray,
+        dec_bias_full: jnp.ndarray,   # [1, H, S_max, S_max] precomputed causal bias
+        cross_bias: jnp.ndarray,      # [B, 1, 1, L_enc]
+    ):
+        x = self.embed_tokens(token_ids)
+        max_len = dec_bias_full.shape[-1]
+        bias_row = jax.lax.dynamic_slice_in_dim(dec_bias_full, step, 1, axis=2)
+        x, caches = self.decoder.decode_step(x, caches, step, bias_row, cross_bias)
+        logits = self.lm_head(x.astype(jnp.float32))
+        return logits, caches
+
+    def full_decoder_bias(self, max_len: int) -> jnp.ndarray:
+        vtl = self.cfg.vtl
+        bias = relbias.decoder_position_bias(
+            self.dec_bias_1d, max_len, vtl.relative_attention_num_buckets,
+            vtl.relative_attention_max_distance)
+        causal = jnp.tril(jnp.ones((max_len, max_len), bool))
+        neg = jnp.finfo(jnp.float32).min
+        return bias + jnp.where(causal, 0.0, neg)[None, None]
+
+
+class MLPProjector(nn.Module):
+    """Two-layer MLP mapping OCSR encoder features to d_model (the fork's
+    `encoder.molscribe_projector`, utils_model_loading.py:20-42)."""
+
+    hidden: int
+    out: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        x = nn.DenseGeneral(
+            self.hidden, dtype=self.dtype, param_dtype=jnp.float32,
+            kernel_init=param_with_axes(
+                nn.initializers.variance_scaling(1.0, "fan_in", "normal"),
+                ("embed", "mlp")), name="fc1")(x)
+        x = jax.nn.gelu(x)
+        return nn.DenseGeneral(
+            self.out, dtype=self.dtype, param_dtype=jnp.float32,
+            kernel_init=param_with_axes(
+                nn.initializers.variance_scaling(1.0, "fan_in", "normal"),
+                ("mlp", "embed")), name="fc2")(x)
+
+
+def cross_entropy_with_ignore(
+    logits: jnp.ndarray,   # [B, S, V] f32
+    labels: jnp.ndarray,   # [B, S] int, -100 = ignore
+    ignore_index: int = -100,
+    label_smoothing: float = 0.0,
+) -> jnp.ndarray:
+    """Mean CE over non-ignored positions (HF CE(ignore_index=-100) parity)."""
+    valid = labels != ignore_index
+    safe_labels = jnp.where(valid, labels, 0)
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    nll = -jnp.take_along_axis(logp, safe_labels[..., None], axis=-1)[..., 0]
+    if label_smoothing > 0.0:
+        smooth = -jnp.mean(logp, axis=-1)
+        nll = (1.0 - label_smoothing) * nll + label_smoothing * smooth
+    nll = jnp.where(valid, nll, 0.0)
+    return jnp.sum(nll) / jnp.maximum(jnp.sum(valid), 1)

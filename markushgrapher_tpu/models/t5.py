@@ -1,0 +1,288 @@
+"""T5-style transformer stack (the UDOP backbone) in Flax linen.
+
+Architecture parity targets the stock UDOP implementation the reference model
+extends (transformers modeling_udop.py: UdopStack/UdopBlock/UdopAttention —
+pre-RMSNorm blocks, unscaled dot-product attention with additive position
+bias, relu or gated-gelu FF, shared layer-0 relative bias). Re-designed for
+TPU: einsum attention that XLA tiles onto the MXU, bf16 compute with f32
+params, logical partitioning axes for pjit tensor sharding, optional
+rematerialization per block.
+
+KV-cache decoding is functional: `DecoderLayer.__call__` threads an explicit
+`cache` pytree in and out so the generate loop is a `lax.scan`/`while_loop`
+over fixed-shape buffers (no Python-side cache objects).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+param_with_axes = nn.with_logical_partitioning
+
+
+class RMSNorm(nn.Module):
+    """T5 layer norm: rms scaling only, no mean subtraction, f32 accumulation."""
+
+    eps: float = 1e-6
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        scale = self.param(
+            "weight",
+            param_with_axes(nn.initializers.ones, ("embed",)),
+            (x.shape[-1],),
+            jnp.float32,
+        )
+        xf = x.astype(jnp.float32)
+        var = jnp.mean(jnp.square(xf), axis=-1, keepdims=True)
+        y = xf * jax.lax.rsqrt(var + self.eps)
+        return (y * scale).astype(self.dtype)
+
+
+class Attention(nn.Module):
+    """Multi-head attention, T5 semantics (no 1/sqrt(d) scaling — it is
+    absorbed into the init, matching UdopAttention)."""
+
+    d_model: int
+    num_heads: int
+    d_kv: int
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        dense = lambda name, shape, axes: nn.DenseGeneral(  # noqa: E731
+            features=shape,
+            axis=-1,
+            use_bias=False,
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+            kernel_init=param_with_axes(
+                nn.initializers.variance_scaling(1.0, "fan_in", "normal"), axes
+            ),
+            name=name,
+        )
+        self.q = dense("q", (self.num_heads, self.d_kv), ("embed", "heads", "kv"))
+        self.k = dense("k", (self.num_heads, self.d_kv), ("embed", "heads", "kv"))
+        self.v = dense("v", (self.num_heads, self.d_kv), ("embed", "heads", "kv"))
+        self.o = nn.DenseGeneral(
+            features=self.d_model,
+            axis=(-2, -1),
+            use_bias=False,
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+            kernel_init=param_with_axes(
+                nn.initializers.variance_scaling(1.0, "fan_in", "normal"),
+                ("heads", "kv", "embed"),
+            ),
+            name="o",
+        )
+
+    def compute_kv(self, kv_input: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        return self.k(kv_input), self.v(kv_input)
+
+    def __call__(
+        self,
+        x: jnp.ndarray,                       # [B, Q, D]
+        kv: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,  # ([B,K,H,Dk], [B,K,H,Dk])
+        bias: Optional[jnp.ndarray] = None,   # [B or 1, H, Q, K] additive
+    ) -> jnp.ndarray:
+        q = self.q(x)  # [B, Q, H, Dk]
+        if kv is None:
+            kv = self.compute_kv(x)
+        k, v = kv
+        scores = jnp.einsum(
+            "bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32
+        )
+        if bias is not None:
+            scores = scores + bias.astype(jnp.float32)
+        probs = jax.nn.softmax(scores, axis=-1).astype(self.dtype)
+        out = jnp.einsum("bhqk,bkhd->bqhd", probs, v)
+        return self.o(out)
+
+
+class FeedForward(nn.Module):
+    d_model: int
+    d_ff: int
+    proj: str = "relu"  # "relu" | "gated-gelu"
+    dtype: Any = jnp.float32
+    dropout_rate: float = 0.0
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
+        dense = lambda name, feat, axes: nn.DenseGeneral(  # noqa: E731
+            features=feat,
+            use_bias=False,
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+            kernel_init=param_with_axes(
+                nn.initializers.variance_scaling(1.0, "fan_in", "normal"), axes
+            ),
+            name=name,
+        )
+        if self.proj == "gated-gelu":
+            h = jax.nn.gelu(dense("wi_0", self.d_ff, ("embed", "mlp"))(x))
+            h = h * dense("wi_1", self.d_ff, ("embed", "mlp"))(x)
+        else:
+            h = jax.nn.relu(dense("wi", self.d_ff, ("embed", "mlp"))(x))
+        h = nn.Dropout(self.dropout_rate)(h, deterministic=deterministic)
+        return dense("wo", self.d_model, ("mlp", "embed"))(h)
+
+
+class EncoderLayer(nn.Module):
+    d_model: int
+    num_heads: int
+    d_kv: int
+    d_ff: int
+    ff_proj: str = "relu"
+    eps: float = 1e-6
+    dtype: Any = jnp.float32
+    dropout_rate: float = 0.0
+
+    @nn.compact
+    def __call__(self, x, bias, deterministic: bool = True):
+        h = RMSNorm(eps=self.eps, dtype=self.dtype, name="ln_attn")(x)
+        h = Attention(self.d_model, self.num_heads, self.d_kv, self.dtype,
+                      name="attn")(h, bias=bias)
+        x = x + nn.Dropout(self.dropout_rate)(h, deterministic=deterministic)
+        h = RMSNorm(eps=self.eps, dtype=self.dtype, name="ln_ff")(x)
+        h = FeedForward(self.d_model, self.d_ff, self.ff_proj, self.dtype,
+                        self.dropout_rate, name="ff")(h, deterministic)
+        return x + nn.Dropout(self.dropout_rate)(h, deterministic=deterministic)
+
+
+class Encoder(nn.Module):
+    num_layers: int
+    d_model: int
+    num_heads: int
+    d_kv: int
+    d_ff: int
+    ff_proj: str = "relu"
+    eps: float = 1e-6
+    dtype: Any = jnp.float32
+    dropout_rate: float = 0.0
+    remat: bool = False
+
+    @nn.compact
+    def __call__(self, x, bias, deterministic: bool = True):
+        x = nn.Dropout(self.dropout_rate)(x, deterministic=deterministic)
+        layer_cls = EncoderLayer
+        if self.remat:
+            layer_cls = nn.remat(EncoderLayer, static_argnums=(3,))
+        for i in range(self.num_layers):
+            x = layer_cls(
+                self.d_model, self.num_heads, self.d_kv, self.d_ff,
+                self.ff_proj, self.eps, self.dtype, self.dropout_rate,
+                name=f"layer_{i}",
+            )(x, bias, deterministic)
+        x = RMSNorm(eps=self.eps, dtype=self.dtype, name="final_ln")(x)
+        return nn.Dropout(self.dropout_rate)(x, deterministic=deterministic)
+
+
+class DecoderLayer(nn.Module):
+    d_model: int
+    num_heads: int
+    d_kv: int
+    d_ff: int
+    ff_proj: str = "relu"
+    eps: float = 1e-6
+    dtype: Any = jnp.float32
+    dropout_rate: float = 0.0
+
+    def setup(self):
+        self.ln_self = RMSNorm(eps=self.eps, dtype=self.dtype)
+        self.self_attn = Attention(self.d_model, self.num_heads, self.d_kv, self.dtype)
+        self.ln_cross = RMSNorm(eps=self.eps, dtype=self.dtype)
+        self.cross_attn = Attention(self.d_model, self.num_heads, self.d_kv, self.dtype)
+        self.ln_ff = RMSNorm(eps=self.eps, dtype=self.dtype)
+        self.ff = FeedForward(self.d_model, self.d_ff, self.ff_proj, self.dtype,
+                              self.dropout_rate)
+        self.drop = nn.Dropout(self.dropout_rate)
+
+    def __call__(self, x, enc, self_bias, cross_bias, deterministic: bool = True):
+        """Teacher-forced full-sequence pass."""
+        h = self.ln_self(x)
+        h = self.self_attn(h, bias=self_bias)
+        x = x + self.drop(h, deterministic=deterministic)
+        h = self.ln_cross(x)
+        h = self.cross_attn(h, kv=self.cross_attn.compute_kv(enc), bias=cross_bias)
+        x = x + self.drop(h, deterministic=deterministic)
+        h = self.ln_ff(x)
+        x = x + self.drop(self.ff(h, deterministic), deterministic=deterministic)
+        return x
+
+    def init_cache(self, enc: jnp.ndarray, max_len: int) -> Dict[str, jnp.ndarray]:
+        """Precompute cross K/V once per generate; allocate self K/V ring."""
+        batch = enc.shape[0]
+        ck, cv = self.cross_attn.compute_kv(enc)
+        zeros = jnp.zeros((batch, max_len, self.num_heads, self.d_kv), self.dtype)
+        return {"cross_k": ck, "cross_v": cv, "self_k": zeros, "self_v": zeros}
+
+    def decode_step(
+        self,
+        x: jnp.ndarray,            # [B, 1, D]
+        cache: Dict[str, jnp.ndarray],
+        step: jnp.ndarray,         # scalar int
+        self_bias_row: jnp.ndarray,   # [1, H, 1, max_len]
+        cross_bias: Optional[jnp.ndarray],  # [B, 1or H, 1, K_enc] mask bias
+    ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+        h = self.ln_self(x)
+        k_new, v_new = self.self_attn.compute_kv(h)  # [B, 1, H, Dk]
+        self_k = jax.lax.dynamic_update_slice_in_dim(cache["self_k"], k_new, step, axis=1)
+        self_v = jax.lax.dynamic_update_slice_in_dim(cache["self_v"], v_new, step, axis=1)
+        # mask future positions via the precomputed causal bias row
+        h = self.self_attn(h, kv=(self_k, self_v), bias=self_bias_row)
+        x = x + h
+        h = self.ln_cross(x)
+        h = self.cross_attn(h, kv=(cache["cross_k"], cache["cross_v"]), bias=cross_bias)
+        x = x + h
+        x = x + self.ff(self.ln_ff(x), True)
+        cache = dict(cache, self_k=self_k, self_v=self_v)
+        return x, cache
+
+
+class Decoder(nn.Module):
+    num_layers: int
+    d_model: int
+    num_heads: int
+    d_kv: int
+    d_ff: int
+    ff_proj: str = "relu"
+    eps: float = 1e-6
+    dtype: Any = jnp.float32
+    dropout_rate: float = 0.0
+    remat: bool = False
+
+    def setup(self):
+        layer_cls = DecoderLayer
+        if self.remat:
+            # static_argnums index the wrapped fn's args with the module at 0
+            layer_cls = nn.remat(DecoderLayer, static_argnums=(5,))
+        self.layers = [
+            layer_cls(self.d_model, self.num_heads, self.d_kv, self.d_ff,
+                      self.ff_proj, self.eps, self.dtype, self.dropout_rate,
+                      name=f"layer_{i}")
+            for i in range(self.num_layers)
+        ]
+        self.final_ln = RMSNorm(eps=self.eps, dtype=self.dtype)
+        self.drop = nn.Dropout(self.dropout_rate)
+
+    def __call__(self, x, enc, self_bias, cross_bias, deterministic: bool = True):
+        x = self.drop(x, deterministic=deterministic)
+        for layer in self.layers:
+            x = layer(x, enc, self_bias, cross_bias, deterministic)
+        x = self.final_ln(x)
+        return self.drop(x, deterministic=deterministic)
+
+    def init_cache(self, enc: jnp.ndarray, max_len: int):
+        return [layer.init_cache(enc, max_len) for layer in self.layers]
+
+    def decode_step(self, x, caches, step, self_bias_row, cross_bias):
+        new_caches = []
+        for layer, cache in zip(self.layers, caches):
+            x, cache = layer.decode_step(x, cache, step, self_bias_row, cross_bias)
+            new_caches.append(cache)
+        return self.final_ln(x), new_caches

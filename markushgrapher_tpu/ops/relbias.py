@@ -1,0 +1,121 @@
+"""Relative attention bias: T5 bucketing + UDOP's 1D / horizontal / vertical
+layout biases.
+
+Semantics match the reference architecture (stock transformers
+modeling_udop.py: `UdopAttention._relative_position_bucket`,
+`RelativePositionBias{1D,Horizontal,Vertical}`, `RelativePositionBiasAggregated`
+:885-1068): the encoder sums three bucketed biases (sequence distance, and
+x/y bbox-center distances scaled by 100 with max_distance 100); the decoder
+uses the standard causal T5 1D bias. Implemented as pure jnp so XLA fuses the
+bucket math into the attention prologue.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def relative_position_bucket(
+    relative_position: jnp.ndarray,
+    bidirectional: bool = True,
+    num_buckets: int = 32,
+    max_distance: int = 128,
+) -> jnp.ndarray:
+    """T5 relative-position bucketing (integer positions -> bucket ids)."""
+    relative_buckets = jnp.zeros_like(relative_position)
+    n = -relative_position
+    if bidirectional:
+        num_buckets //= 2
+        relative_buckets += (n < 0).astype(n.dtype) * num_buckets
+        n = jnp.abs(n)
+    else:
+        n = jnp.maximum(n, 0)
+
+    max_exact = num_buckets // 2
+    is_small = n < max_exact
+    # log-spaced buckets for larger distances
+    n_float = jnp.maximum(n.astype(jnp.float32), 1.0)
+    val_if_large = max_exact + (
+        jnp.log(n_float / max_exact)
+        / jnp.log(max_distance / max_exact)
+        * (num_buckets - max_exact)
+    ).astype(n.dtype)
+    val_if_large = jnp.minimum(val_if_large, num_buckets - 1)
+    relative_buckets += jnp.where(is_small, n, val_if_large)
+    return relative_buckets
+
+
+def bucket_1d(seq_len: int, *, bidirectional: bool, num_buckets: int,
+              max_distance: int) -> jnp.ndarray:
+    """[L, L] bucket ids for sequence-distance bias (RelativePositionBias1D)."""
+    positions = jnp.arange(seq_len, dtype=jnp.int32)
+    rel = positions[None, :] - positions[:, None]
+    return relative_position_bucket(
+        rel, bidirectional=bidirectional, num_buckets=num_buckets,
+        max_distance=max_distance)
+
+
+def bucket_2d(coord: jnp.ndarray, *, scaling_factor: int, num_buckets: int,
+              max_distance: int) -> jnp.ndarray:
+    """[B, L, L] bucket ids for scaled coordinate-distance bias.
+
+    `coord` is [B, L] bbox-center x (horizontal) or y (vertical) in [0, 1];
+    the reference scales by 100 and truncates toward zero
+    (modeling_udop.py:954-962).
+    """
+    rel = coord[:, None, :] - coord[:, :, None]
+    rel = (rel * scaling_factor).astype(jnp.int32)
+    return relative_position_bucket(
+        rel, bidirectional=True, num_buckets=num_buckets,
+        max_distance=max_distance)
+
+
+def gather_bias(bucket_table: jnp.ndarray, buckets: jnp.ndarray) -> jnp.ndarray:
+    """Look buckets up in an embedding table [num_buckets, H] -> [..., H]
+    and move heads to a leading axis: [B, H, L, L] (or [H, L, L])."""
+    values = bucket_table[buckets]  # [..., L, L, H]
+    return jnp.moveaxis(values, -1, -3)
+
+
+def encoder_position_bias(
+    bias_1d_table: jnp.ndarray,   # [num_buckets, H]
+    bias_h_table: jnp.ndarray,    # [num_buckets, H]
+    bias_v_table: jnp.ndarray,    # [num_buckets, H]
+    bbox: jnp.ndarray,            # [B, L, 4] in [0, 1]
+    seq_len: int,
+    num_buckets: int,
+    max_distance_1d: int,
+    rel2d_scaling: int,
+    max_distance_2d: int,
+) -> jnp.ndarray:
+    """Aggregated encoder bias [B, H, L, L] = 1d + horizontal + vertical."""
+    b1 = bucket_1d(seq_len, bidirectional=True, num_buckets=num_buckets,
+                   max_distance=max_distance_1d)
+    out = gather_bias(bias_1d_table, b1)[None]  # [1, H, L, L]
+    hx = (bbox[..., 0] + bbox[..., 2]) / 2.0
+    vy = (bbox[..., 1] + bbox[..., 3]) / 2.0
+    bh = bucket_2d(hx, scaling_factor=rel2d_scaling, num_buckets=num_buckets,
+                   max_distance=max_distance_2d)
+    bv = bucket_2d(vy, scaling_factor=rel2d_scaling, num_buckets=num_buckets,
+                   max_distance=max_distance_2d)
+    out = out + gather_bias(bias_h_table, bh) + gather_bias(bias_v_table, bv)
+    return out
+
+
+def decoder_position_bias(
+    bias_table: jnp.ndarray,  # [num_buckets, H]
+    seq_len: int,
+    num_buckets: int,
+    max_distance: int,
+) -> jnp.ndarray:
+    """Causal T5 self-attention bias [1, H, L, L] (decoder layer-0 bias)."""
+    b = bucket_1d(seq_len, bidirectional=False, num_buckets=num_buckets,
+                  max_distance=max_distance)
+    return gather_bias(bias_table, b)[None]
+
+
+def mask_bias(attention_mask: jnp.ndarray, dtype=jnp.float32) -> jnp.ndarray:
+    """[B, L] {0,1} mask -> additive [B, 1, 1, L] bias with a large negative
+    value on masked keys (finfo.min like the reference, clipped for bf16)."""
+    neg = jnp.finfo(dtype).min
+    return jnp.where(attention_mask[:, None, None, :] > 0, 0.0, neg).astype(dtype)
