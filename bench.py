@@ -1,0 +1,94 @@
+"""End-to-end throughput benchmark: images/sec/chip through the flagship
+MarkushGrapher model (Swin-B OCSR + UDOP-large VTL encode, 512-step greedy
+decode with KV cache, batched).
+
+This measures the workload the reference runs as a per-image Python loop with
+HF generate (utils_evaluation.py:140-414); the baseline proxy is 1.0 image/s
+for that unbatched GPU loop (no published number exists — BASELINE.md notes
+the reference never measured its MarkushGrapher stage; ~512 sequential decode
+steps at ~2 ms/step is a generous estimate for it).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Env overrides: BENCH_BATCH (default 8), BENCH_DECODE_LEN (default 512),
+BENCH_REPEATS (default 3).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+BASELINE_IMAGES_PER_SEC = 1.0  # proxy: reference unbatched per-image GPU loop
+
+
+def main() -> None:
+    from markushgrapher_tpu.config import MarkushGrapherConfig
+    from markushgrapher_tpu.decode.generate import beam_generate, greedy_generate
+    from markushgrapher_tpu.models.markushgrapher import MarkushGrapherModel
+
+    batch_size = int(os.environ.get("BENCH_BATCH", "8"))
+    decode_len = int(os.environ.get("BENCH_DECODE_LEN", "512"))
+    repeats = int(os.environ.get("BENCH_REPEATS", "3"))
+
+    cfg = MarkushGrapherConfig()
+    model = MarkushGrapherModel(cfg, dtype=jnp.bfloat16)
+
+    rng = np.random.RandomState(0)
+    T = cfg.max_seq_length
+    batch = dict(
+        input_ids=jnp.asarray(rng.randint(3, 32000, size=(batch_size, T)), jnp.int32),
+        bbox=jnp.asarray(rng.rand(batch_size, T, 4), jnp.float32),
+        attention_mask=jnp.ones((batch_size, T), jnp.int32),
+        pixel_values=jnp.asarray(
+            rng.rand(batch_size, cfg.vtl.image_size, cfg.vtl.image_size, 3),
+            jnp.float32),
+        ocsr_pixel_values=jnp.asarray(
+            rng.rand(batch_size, cfg.swin.image_size, cfg.swin.image_size, 3),
+            jnp.float32),
+    )
+    init_batch = dict(batch, labels=jnp.zeros((batch_size, 8), jnp.int32))
+    params = model.init(jax.random.PRNGKey(0), **init_batch)
+
+    # eos_id=-1 never fires: random weights must not fake-shorten the decode.
+    # The jitted program reduces the output to ONE scalar, and timing reads it
+    # back to host: on remote/tunneled platforms block_until_ready() does not
+    # actually synchronize, so a host readback is the only honest fence.
+    @jax.jit
+    def run(params, batch):
+        enc, enc_mask = model.apply(
+            params, batch["input_ids"], batch["bbox"],
+            batch["attention_mask"], batch["pixel_values"],
+            batch["ocsr_pixel_values"], method=MarkushGrapherModel.encode)
+        out = greedy_generate(model, params, enc, enc_mask, decode_len,
+                              eos_id=-1)
+        return jnp.sum(out).astype(jnp.int32)
+
+    int(run(params, batch))  # compile + warmup, fenced by readback
+
+    times = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        int(run(params, batch))
+        times.append(time.perf_counter() - t0)
+    best = min(times)
+    images_per_sec = batch_size / best
+
+    n_chips = max(1, len(jax.devices()))
+    value = images_per_sec / n_chips
+    print(json.dumps({
+        "metric": "images_per_sec_per_chip_e2e_greedy512",
+        "value": round(value, 4),
+        "unit": f"img/s/chip (batch={batch_size}, {decode_len} decode steps, "
+                f"{jax.devices()[0].platform})",
+        "vs_baseline": round(value / BASELINE_IMAGES_PER_SEC, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

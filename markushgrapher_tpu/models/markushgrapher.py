@@ -49,10 +49,10 @@ class CellEmbeddings(nn.Module):
     @nn.compact
     def __call__(self, bbox: jnp.ndarray) -> jnp.ndarray:
         x_table = self.param(
-            "x_embed", param_with_axes(nn.initializers.normal(0.02), ("vocab", "embed")),
+            "x_embed", param_with_axes(nn.initializers.normal(0.02), ("cell", "embed")),
             (self.table_size, self.d_model), jnp.float32)
         y_table = self.param(
-            "y_embed", param_with_axes(nn.initializers.normal(0.02), ("vocab", "embed")),
+            "y_embed", param_with_axes(nn.initializers.normal(0.02), ("cell", "embed")),
             (self.table_size, self.d_model), jnp.float32)
         q = jnp.clip(bbox, 0.0, 1.0) * (self.table_size - 1)
         q = q.astype(jnp.int32)

@@ -1,0 +1,81 @@
+"""Device mesh + sharding rules.
+
+The reference's distributed story is DDP-only (HF Trainer DistributedSampler,
+SURVEY.md §2.5). Here parallelism is first-class GSPMD: one
+`jax.sharding.Mesh` with a `data` axis (batch / ZeRO-style optimizer
+sharding over ICI) and a `model` axis (tensor parallel over heads / d_ff /
+vocab). Model code annotates parameters with *logical* axis names
+(flax `nn.with_logical_partitioning`); `LOGICAL_AXIS_RULES` maps them onto
+mesh axes and XLA inserts the collectives.
+
+At the reference's 831M scale a pure-data mesh is the default; the model axis
+exists (and is dry-run tested on a virtual mesh) so the same code scales to
+larger backbones or chips with less HBM.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import jax
+import numpy as np
+from flax import linen as nn
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+# logical axis -> mesh axis
+LOGICAL_AXIS_RULES: Tuple[Tuple[str, Optional[str]], ...] = (
+    ("batch", "data"),
+    # vocab stays replicated: 33201 (UDOP vocab) has no power-of-2 divisor, so
+    # sharding it would require padding the embedding/lm_head; revisit if the
+    # model outgrows per-chip HBM.
+    ("vocab", None),
+    ("embed", None),      # d_model is replicated (activations shard on batch)
+    ("mlp", "model"),     # d_ff
+    ("heads", "model"),   # attention heads
+    ("kv", None),
+    ("patch", None),
+    ("cell", None),       # 2D cell-embedding tables (501 rows)
+)
+
+
+def create_mesh(data: int = -1, model: int = 1,
+                devices: Optional[Sequence[jax.Device]] = None) -> Mesh:
+    """Build a (data, model) mesh. data=-1 uses all remaining devices."""
+    devices = list(devices if devices is not None else jax.devices())
+    n = len(devices)
+    if data == -1:
+        if n % model:
+            raise ValueError(f"{n} devices not divisible by model={model}")
+        data = n // model
+    if data * model != n:
+        raise ValueError(f"mesh {data}x{model} != {n} devices")
+    arr = np.asarray(devices).reshape(data, model)
+    return Mesh(arr, ("data", "model"))
+
+
+def logical_to_mesh_sharding(logical_tree, mesh: Mesh):
+    """Map a pytree of flax logical-axis annotations to NamedShardings."""
+    return nn.logical_to_mesh_sharding(logical_tree, mesh,
+                                       rules=LOGICAL_AXIS_RULES)
+
+
+def params_shardings(model: nn.Module, mesh: Mesh, init_fn, *init_args):
+    """Shardings for the param pytree via shape-only evaluation."""
+    abstract = jax.eval_shape(init_fn, *init_args)
+    logical = nn.get_partition_spec(abstract)
+    return logical_to_mesh_sharding(logical, mesh)
+
+
+def unbox(tree):
+    """Strip flax `Partitioned` metadata boxes, returning raw arrays — for
+    host-side reads of a boxed param tree (checkpointing, tests, export)."""
+    return nn.meta.unbox(tree)
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Inputs shard along the leading (batch) dim over the data axis."""
+    return NamedSharding(mesh, P("data"))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())

@@ -1,0 +1,120 @@
+"""Generation tests: greedy matches a hand-rolled argmax loop, EOS early-exit,
+beam-1 == greedy, beam search returns the higher-scoring sequence."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from markushgrapher_tpu.config import MarkushGrapherConfig, SwinConfig, VTLConfig
+from markushgrapher_tpu.decode.generate import (
+    beam_generate,
+    generate,
+    greedy_generate,
+    jit_generate,
+)
+from markushgrapher_tpu.models.markushgrapher import MarkushGrapherModel
+from markushgrapher_tpu.ops.relbias import mask_bias
+
+
+def tiny_cfg():
+    return MarkushGrapherConfig(
+        vtl=VTLConfig(vocab_size=32, d_model=16, d_kv=4, d_ff=32, num_layers=1,
+                      num_decoder_layers=2, num_heads=2, image_size=32,
+                      patch_size=16, dropout_rate=0.0),
+        swin=SwinConfig(image_size=16, patch_size=2, embed_dim=8,
+                        depths=(1,), num_heads=(2,), window_size=4),
+        architecture_variant="none",
+        max_seq_length=4,
+        max_seq_length_decoder=8,
+    )
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = tiny_cfg()
+    model = MarkushGrapherModel(cfg, dtype=jnp.float32)
+    rng = np.random.RandomState(1)
+    batch = dict(
+        input_ids=jnp.asarray(rng.randint(3, 30, size=(2, 4))),
+        bbox=jnp.asarray(rng.rand(2, 4, 4).astype(np.float32)),
+        attention_mask=jnp.ones((2, 4), jnp.int32),
+        labels=jnp.asarray(rng.randint(3, 30, size=(2, 8))),
+        pixel_values=jnp.asarray(rng.rand(2, 32, 32, 3).astype(np.float32)),
+    )
+    params = model.init(jax.random.PRNGKey(0), **batch)
+    enc, enc_mask = model.apply(
+        params, batch["input_ids"], batch["bbox"], batch["attention_mask"],
+        batch["pixel_values"], None, method=MarkushGrapherModel.encode)
+    return cfg, model, params, batch, enc, enc_mask
+
+
+MAXLEN = 6
+
+
+class TestGreedy:
+    def test_matches_manual_loop(self, setup):
+        cfg, model, params, batch, enc, enc_mask = setup
+        out = greedy_generate(model, params, enc, enc_mask, MAXLEN, eos_id=1)
+
+        caches = model.apply(params, enc, MAXLEN,
+                             method=MarkushGrapherModel.init_cache)
+        bias = model.apply(params, MAXLEN,
+                           method=MarkushGrapherModel.full_decoder_bias)
+        cb = mask_bias(enc_mask)
+        tok = jnp.zeros((2, 1), jnp.int32)
+        manual = []
+        finished = np.zeros(2, bool)
+        for t in range(MAXLEN):
+            logits, caches = model.apply(
+                params, tok, caches, jnp.int32(t), bias, cb,
+                method=MarkushGrapherModel.decode_step)
+            nxt = np.asarray(jnp.argmax(logits[:, -1], -1))
+            nxt = np.where(finished, 0, nxt)
+            finished |= nxt == 1
+            manual.append(nxt)
+            tok = jnp.asarray(nxt[:, None], jnp.int32)
+        np.testing.assert_array_equal(np.asarray(out), np.stack(manual, 1))
+
+    def test_eos_early_exit_pads(self, setup):
+        """After EOS the remaining positions must be pad."""
+        cfg, model, params, batch, enc, enc_mask = setup
+        out = np.asarray(greedy_generate(model, params, enc, enc_mask, MAXLEN,
+                                         eos_id=1))
+        for row in out:
+            seen_eos = False
+            for v in row:
+                if seen_eos:
+                    assert v == 0
+                if v == 1:
+                    seen_eos = True
+
+    def test_jit_generate_runs(self, setup):
+        cfg, model, params, batch, enc, enc_mask = setup
+        fn = jit_generate(model, max_length=MAXLEN)
+        out = fn(params, batch)
+        assert out.shape == (2, MAXLEN)
+
+
+class TestBeam:
+    def test_beam1_matches_greedy(self, setup):
+        cfg, model, params, batch, enc, enc_mask = setup
+        g = greedy_generate(model, params, enc, enc_mask, MAXLEN, eos_id=1)
+        b, _ = beam_generate(model, params, enc, enc_mask, MAXLEN,
+                             num_beams=1, eos_id=1)
+        np.testing.assert_array_equal(np.asarray(g), np.asarray(b))
+
+    def test_beam_score_at_least_greedy(self, setup):
+        """Beam-5's sequence log-prob must be >= greedy's (same length norm)."""
+        cfg, model, params, batch, enc, enc_mask = setup
+        _, s1 = beam_generate(model, params, enc, enc_mask, MAXLEN,
+                              num_beams=1, eos_id=1)
+        _, s5 = beam_generate(model, params, enc, enc_mask, MAXLEN,
+                              num_beams=5, eos_id=1)
+        assert np.all(np.asarray(s5) >= np.asarray(s1) - 1e-4)
+
+    def test_generate_dispatcher(self, setup):
+        cfg, model, params, batch, enc, enc_mask = setup
+        out = generate(model, params, batch, max_length=MAXLEN, num_beams=3)
+        assert out.shape == (2, MAXLEN)
