@@ -1,0 +1,234 @@
+"""Chemistry substrate tests: SMILES parse/canonicalize, CXSMILES sections,
+opt->out conversion, abbreviation expansion, evaluation metrics."""
+
+import pytest
+
+from markushgrapher_tpu.chem.abbreviation import Abbreviation, fix_cxsmiles
+from markushgrapher_tpu.chem.cxsmiles import (
+    canonicalize_markush,
+    convert_opt_to_out,
+    count_atoms,
+    get_molecule_information,
+    is_valid_cxsmiles,
+    parse_cxsmiles,
+    parse_m_section,
+    parse_sg_section,
+)
+from markushgrapher_tpu.chem.evaluation import (
+    aggregate_scores,
+    compute_markush_prediction_quality,
+    compute_molecule_prediction_quality,
+    get_stable_score,
+    levenshtein,
+    score_sample,
+)
+from markushgrapher_tpu.chem.mol import (
+    canonical_smiles,
+    is_valid_smiles,
+    parse_smiles,
+    remove_stereo,
+    tanimoto,
+    to_smiles,
+)
+
+
+class TestMol:
+    @pytest.mark.parametrize("smiles", [
+        "CCO", "C1CCCCC1", "c1ccccc1", "CC(=O)O", "[NH4+]", "[13CH3]Cl",
+        "N#Cc1ccccc1", "C%12CCCCC%12", "CC.OC", "*c1ccccc1", "[Na+].[Cl-]",
+        "F/C=C/F", "C[C@H](N)C(=O)O", "CN1C=NC2=C1C(=O)N(C)C(=O)N2C",
+    ])
+    def test_roundtrip_idempotent(self, smiles):
+        c1 = canonical_smiles(smiles)
+        assert canonical_smiles(c1) == c1
+        assert is_valid_smiles(c1)
+
+    @pytest.mark.parametrize("a,b", [
+        ("CCO", "OCC"),
+        ("CC(=O)O", "OC(C)=O"),
+        ("CC(C)Cc1ccc(C)cc1", "Cc1ccc(CC(C)C)cc1"),
+        ("[Na+].[Cl-]", "[Cl-].[Na+]"),
+    ])
+    def test_order_invariance(self, a, b):
+        assert canonical_smiles(a) == canonical_smiles(b)
+
+    def test_distinct_molecules_differ(self):
+        assert canonical_smiles("CCO") != canonical_smiles("CCN")
+        assert canonical_smiles("C1CCCCC1") != canonical_smiles("c1ccccc1")
+
+    def test_invalid(self):
+        assert not is_valid_smiles("C1CC")       # unclosed ring
+        assert not is_valid_smiles("C(C")        # unclosed branch
+        assert not is_valid_smiles("[Qq]")       # bad bracket
+
+    def test_tanimoto(self):
+        assert tanimoto("CCO", "OCC") == 1.0
+        assert 0.0 <= tanimoto("CCO", "c1ccccc1") < 0.5
+
+    def test_remove_stereo(self):
+        assert "/" not in remove_stereo("F/C=C/F")
+        assert "@" not in remove_stereo("C[C@H](N)C(=O)O")
+
+    def test_output_order(self):
+        smi, order = to_smiles(parse_smiles("CCO"))
+        assert sorted(order) == [0, 1, 2]
+
+
+class TestCXSmiles:
+    def test_sections(self):
+        m = parse_m_section("m:0:15.16.17")
+        assert m.anchor == 0 and m.targets == [15, 16, 17]
+        sg = parse_sg_section("Sg:n:11,12:F:ht")
+        assert sg.atoms == [11, 12] and sg.label == "F"
+
+    def test_parse_render_roundtrip(self):
+        s = "CC(*)C |$;;R1;$,m:0:2.3,Sg:n:1:m:ht|"
+        cx = parse_cxsmiles(s)
+        assert cx.labels[2] == "R1"
+        assert cx.render() == s
+
+    def test_convert_opt_to_out(self):
+        out = convert_opt_to_out("CC(<r>R1</r>)O")
+        cx = parse_cxsmiles(out)
+        assert cx.smiles == "CC(*)O"
+        assert cx.labels == ["", "", "R1", ""]
+
+    def test_convert_preserves_sections(self):
+        out = convert_opt_to_out("C<r>R1</r>* |m:2:0|")
+        cx = parse_cxsmiles(out)
+        assert cx.m_sections[0].anchor == 2
+        assert cx.labels[1] == "R1"
+
+    def test_canonicalize_remaps_indices(self):
+        a = canonicalize_markush("CC(*)O |$;;R1;$,m:2:0.1|")
+        assert a is not None and is_valid_cxsmiles(a)
+        # canonical form stable under re-canonicalization
+        assert canonicalize_markush(a) == a
+
+    def test_validity_guards(self):
+        assert not is_valid_cxsmiles("CC |m:0:9|")    # index out of range
+        assert not is_valid_cxsmiles("C1C |$R$|")     # bad smiles
+        assert is_valid_cxsmiles("CC* |$;;R1$,m:2:0|")
+
+    def test_molecule_information(self):
+        info = get_molecule_information("CC* |$;;R1$,m:2:0,Sg:n:1:m:ht|")
+        assert info == {"r": True, "m": True, "sg": True}
+        assert get_molecule_information("CCO") == {
+            "r": False, "m": False, "sg": False}
+
+    def test_count_atoms(self):
+        assert count_atoms("CC(*)c1ccccc1[NH2+]") == 10
+
+
+class TestAbbreviation:
+    def test_expand_simple(self):
+        ab = Abbreviation()
+        out = ab.expand_cxsmiles("C* |$;OMe$|")
+        cx = parse_cxsmiles(out)
+        assert canonical_smiles(cx.smiles) == canonical_smiles("COC")
+        assert not any(cx.labels)
+
+    def test_unknown_labels_kept(self):
+        ab = Abbreviation()
+        out = ab.expand_cxsmiles("C* |$;R1$|")
+        cx = parse_cxsmiles(out)
+        assert "R1" in cx.labels and "*" in cx.smiles
+
+    def test_mixed(self):
+        ab = Abbreviation()
+        out = ab.expand_cxsmiles("*C* |$CF3;;R9$|")
+        cx = parse_cxsmiles(out)
+        assert "R9" in cx.labels
+        assert canonical_smiles(cx.smiles.replace("*", "I")) == \
+            canonical_smiles("IC C(F)(F)F".replace(" ", ""))
+
+    def test_fix_cxsmiles_eom(self):
+        assert "_AP" in fix_cxsmiles("C* |$;<eom>$|")
+
+
+class TestStableScore:
+    def test_exact_match(self):
+        s = get_stable_score({"R1": ["F", "Cl"]}, {"R1": ["Cl", "F"]})
+        assert s["stable_equality"] and s["stable_recall"] == 1.0
+
+    def test_filler_word_normalization(self):
+        s = get_stable_score({"R1": ["an aryl group"]}, {"R1": ["aryl"]})
+        # "a aryl" != "an aryl": only "a " prefixes normalize; use "a " case
+        s2 = get_stable_score({"R1": ["a nitrogen"]}, {"R1": ["nitrogen"]})
+        assert s2["stable_equality"]
+
+    def test_partial(self):
+        s = get_stable_score({"R1": ["F", "Cl"], "R2": ["H"]}, {"R1": ["F"]})
+        assert not s["stable_equality"]
+        assert s["stable_recall"] == pytest.approx(0.25)
+        assert s["stable_precision"] == 1.0
+
+    def test_none_and_empty(self):
+        assert get_stable_score({"R1": ["F"]}, None)["stable_recall"] == 0.0
+        assert get_stable_score({}, {})["stable_equality"] is True
+        assert get_stable_score({}, {"R1": ["F"]})["stable_equality"] is False
+
+
+class TestMoleculeQuality:
+    def test_exact(self):
+        s = compute_molecule_prediction_quality("CCO", "CCO",
+                                                compute_nlp_metrics=True)
+        assert s["valid"] and s["string_equality"] and s["inchi_equality"]
+        assert s["tanimoto1"] and s["levenshtein"] == 0
+
+    def test_equivalent_not_string_equal(self):
+        s = compute_molecule_prediction_quality("OCC", "CCO")
+        assert not s["string_equality"]
+        assert s["inchi_equality"] and s["tanimoto1"]
+
+    def test_invalid_prediction(self):
+        s = compute_molecule_prediction_quality("C1CC", "CCO")
+        assert not s["valid"] and not s["inchi_equality"]
+
+    def test_levenshtein(self):
+        assert levenshtein("kitten", "sitting") == 3
+        assert levenshtein("", "ab") == 2
+
+
+class TestMarkushQuality:
+    GT = "CC(*)c1ccc(*)cc1 |$;;R1;;;;;R2;;$,m:3:5.6|"
+
+    def test_perfect(self):
+        s = compute_markush_prediction_quality(self.GT, self.GT)
+        assert s["cxsmi_equality"] and s["r"] and s["m"] and s["sg"]
+
+    def test_wrong_label(self):
+        pred = self.GT.replace("R2", "R3")
+        s = compute_markush_prediction_quality(pred, self.GT)
+        assert s["backbone_equality"] and not s["r"]
+        assert not s["cxsmi_equality"]
+
+    def test_wrong_backbone(self):
+        pred = "CC(*)c1ccc(*)cc1C |$;;R1;;;;;R2;;;$,m:3:5.6|"
+        s = compute_markush_prediction_quality(pred, self.GT)
+        assert not s["backbone_equality"] and not s["cxsmi_equality"]
+
+    def test_invalid(self):
+        s = compute_markush_prediction_quality("garbage(((", self.GT)
+        assert not s["valid_cxsmiles"]
+
+
+class TestScoreSample:
+    def test_end_to_end(self):
+        from markushgrapher_tpu.data.markush_tokenizer import MarkushTokenizer
+
+        mt = MarkushTokenizer()
+        pred_text = ("<markush> <cxsmi> CC(<r>R1</r>)O </cxsmi> "
+                     "<stable> R1 : F <n> Cl </stable> </markush>")
+        s = score_sample(pred_text, "CC(<r>R1</r>)O",
+                         {"R1": ["F", "Cl"]}, mt)
+        assert s["cxsmi_equality"] and s["stable_equality"]
+        assert s["markush_equality"]
+
+    def test_aggregate(self):
+        agg = aggregate_scores(
+            [{"valid": True, "tanimoto": 0.5}, {"valid": False, "tanimoto": 1.0}],
+            prefix="b_")
+        assert agg["b_valid"] == 0.5
+        assert agg["b_tanimoto"] == 0.75
+        assert agg["b_n_samples"] == 2.0
