@@ -26,6 +26,14 @@ from markushgrapher_tpu.chem.abbreviation import Abbreviation, fix_cxsmiles
 
 
 def levenshtein(a: str, b: str) -> int:
+    try:
+        from markushgrapher_tpu.utils import native
+
+        d = native.levenshtein(a, b)
+        if d is not None:
+            return d
+    except Exception:
+        pass
     if a == b:
         return 0
     if not a:

@@ -25,13 +25,35 @@ _SMILES_TOKEN_RE = re.compile(
 )
 
 
+_native_tokenize = None
+
+
+def _get_native():
+    global _native_tokenize
+    if _native_tokenize is None:
+        try:
+            from markushgrapher_tpu.utils import native
+
+            _native_tokenize = native.atomwise_tokenize if native.available() \
+                else False
+        except Exception:
+            _native_tokenize = False
+    return _native_tokenize
+
+
 def atomwise_tokenizer(smiles: str) -> List[str]:
     """Split a SMILES string into atom/bond/ring/branch tokens.
 
     Characters that do not match the SMILES grammar are passed through as
     single-character tokens (the reference feeds arbitrary text fragments —
-    e.g. condensed R-labels — through the same splitter).
+    e.g. condensed R-labels — through the same splitter). Routed through the
+    C++ extension when available (csrc/markush_native.cpp).
     """
+    fast = _get_native()
+    if fast:
+        out = fast(smiles)
+        if out is not None:
+            return out
     tokens: List[str] = []
     pos = 0
     n = len(smiles)

@@ -47,6 +47,8 @@ def resize_image(image, size: int) -> np.ndarray:
     """LANCZOS resize to size x size, HWC uint8 (mdu_dataset.py:118)."""
     from PIL import Image
 
+    if isinstance(image, list):  # hf-datasets stores plain arrays as lists
+        image = np.asarray(image)
     if isinstance(image, np.ndarray):
         image = Image.fromarray(image.astype(np.uint8))
     image = image.convert("RGB").resize((size, size), Image.LANCZOS)
@@ -145,9 +147,10 @@ class DatasetRegistry:
             return cls(yaml.safe_load(f))
 
     def build(self, name: str, split: str = "train", train: bool = False,
-              **overrides) -> MDUDataset:
+              **dataset_kwargs) -> MDUDataset:
+        """Extra kwargs (image_size, max_seq_length, ...) pass through to
+        MDUDataset."""
         cfg = dict(self.configs[name])
-        cfg.update(overrides)
         mt = MarkushTokenizer(
             encode_position=cfg.get("encode_position", False),
             encode_index=cfg.get("encode_index", False),
@@ -156,7 +159,8 @@ class DatasetRegistry:
         return MDUDataset.from_disk(
             cfg["dataset_path"], split=split, markush_tokenizer=mt,
             train=train,
-            udop_tokenizer_only=cfg.get("udop_tokenizer_only", False))
+            udop_tokenizer_only=cfg.get("udop_tokenizer_only", False),
+            **dataset_kwargs)
 
 
 class BatchIterator:

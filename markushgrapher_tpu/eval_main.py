@@ -1,0 +1,92 @@
+"""Prediction/evaluation entrypoint:
+`python -m markushgrapher_tpu.eval_main <config.yaml>`.
+
+Capability parity with /root/reference/markushgrapher/eval.py:15-158: load
+model + dataset from the YAML config, run batched autoregressive generation
+(beam 5 when `beam_search: true`, config/predict.yaml:8), score with the
+chemistry metric suite, write predictions_<N>.jsonl / scores_<N>.json.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import sys
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+from markushgrapher_tpu.arguments import build_model_config, parse_yaml_config
+from markushgrapher_tpu.data.collator import DataCollator
+from markushgrapher_tpu.data.dataset import DatasetRegistry
+from markushgrapher_tpu.eval_pipeline import EvalConfig, Evaluator
+from markushgrapher_tpu.models.markushgrapher import MarkushGrapherModel
+from markushgrapher_tpu.train.checkpoint import last_checkpoint
+from markushgrapher_tpu.train_main import setup_logging
+
+logger = logging.getLogger(__name__)
+
+# hardcoded eval flags, matching eval.py:22-23 of the reference
+REMOVE_STEREO = True
+FIX_CXSMILES = True
+
+
+def main(config_path: Optional[str] = None,
+         params=None) -> Dict[str, float]:
+    setup_logging()
+    config_path = config_path or sys.argv[1]
+    margs, dargs, targs = parse_yaml_config(config_path)
+
+    cfg = build_model_config(margs, dargs)
+    model = MarkushGrapherModel(cfg, dtype=jnp.bfloat16)
+
+    test_ds = DatasetRegistry.from_yaml(dargs.datasets_config).build(
+        dargs.dataset_name, split="test", train=False,
+        image_size=dargs.image_size,
+        max_seq_length=dargs.max_seq_length,
+        max_seq_length_decoder=dargs.max_seq_length_decoder)
+
+    if params is None:
+        from markushgrapher_tpu.parallel import mesh as mesh_lib
+        from markushgrapher_tpu.train.checkpoint import Checkpointer
+
+        ckpt = margs.model_name_or_path or last_checkpoint(targs.output_dir)
+        mesh = mesh_lib.create_mesh()
+        sample = test_ds[0]
+        sample.pop("id", None)
+        batch = DataCollator(
+            max_length=dargs.max_seq_length,
+            max_length_decoder=dargs.max_seq_length_decoder)([sample])
+        batch = {k: jnp.asarray(v) for k, v in batch.items()}
+        params = mesh_lib.init_sharded_params(
+            model, jax.random.PRNGKey(0), batch, mesh)
+        if ckpt and os.path.isdir(ckpt):
+            logger.info("loading checkpoint %s", ckpt)
+            ckptr = Checkpointer(os.path.dirname(ckpt) or ".")
+            abstract = jax.tree.map(
+                lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype,
+                                               sharding=x.sharding), params)
+            params = ckptr.restore_params(ckpt, abstract)
+        else:
+            logger.warning("no checkpoint found; evaluating random init")
+
+    eval_cfg = EvalConfig(
+        max_length=dargs.max_seq_length_decoder,
+        num_beams=5 if margs.beam_search else 1,
+        batch_size=targs.per_device_eval_batch_size,
+        max_eval_samples=dargs.max_eval_samples,
+        remove_stereo=REMOVE_STEREO,
+        fix_cxsmiles=FIX_CXSMILES,
+        output_dir=os.path.join(targs.output_dir, "predictions"))
+    evaluator = Evaluator(model, params, test_ds.markush_tokenizer, eval_cfg)
+    collator = DataCollator(max_length=dargs.max_seq_length,
+                            max_length_decoder=dargs.max_seq_length_decoder)
+    result = evaluator.run(test_ds, collator,
+                           benchmark_name=dargs.dataset_name or "eval")
+    logger.info("scores: %s", result.scores)
+    return result.scores
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,204 @@
+"""Batched evaluation pipeline: dataset -> batched TPU generation -> decode ->
+chemistry scoring -> artifacts.
+
+Replaces the reference's per-sample `get_smiles_metrics` loop
+(/root/reference/markushgrapher/utils/ocsr/utils_evaluation.py:55-590) with a
+batched flow: the encoder+decoder run as ONE jitted program per batch (the
+reference re-encodes and generates image-by-image), scoring happens on the
+host. Artifact formats match the reference so downstream tooling ports:
+`predictions_<N>.jsonl` with {id, cxsmiles, cxsmiles_opt, gt_cxsmiles,
+gt_cxsmiles_opt} rows (utils_evaluation.py:560-582) and `scores_<N>.json`
+(:584-590); prediction pkl caching for resumable evaluation (:98-125).
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import os
+import pickle
+import re
+import time
+from dataclasses import dataclass, field
+from typing import Any, Dict, Iterator, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from markushgrapher_tpu.chem import cxsmiles as cx_lib
+from markushgrapher_tpu.chem.abbreviation import Abbreviation, fix_cxsmiles
+from markushgrapher_tpu.chem.evaluation import aggregate_scores, score_sample
+from markushgrapher_tpu.data.collator import DataCollator
+from markushgrapher_tpu.data.markush_tokenizer import MarkushTokenizer
+from markushgrapher_tpu.decode.generate import generate
+
+logger = logging.getLogger(__name__)
+
+
+@dataclass
+class EvalConfig:
+    max_length: int = 512
+    num_beams: int = 1           # reference predict: 5 (beam_search flag)
+    batch_size: int = 8
+    max_eval_samples: Optional[int] = None
+    remove_stereo: bool = False
+    fix_cxsmiles: bool = True
+    output_dir: str = "eval_out"
+    cache_predictions: bool = True
+
+
+@dataclass
+class EvalResult:
+    scores: Dict[str, float]
+    predictions: List[Dict[str, Any]]
+    per_sample: List[Dict[str, Any]]
+
+
+class Evaluator:
+    def __init__(self, model, params, markush_tokenizer: MarkushTokenizer,
+                 cfg: EvalConfig, abbreviation: Optional[Abbreviation] = None):
+        self.model = model
+        self.params = params
+        self.mt = markush_tokenizer
+        self.cfg = cfg
+        self.abbreviation = abbreviation or Abbreviation()
+        self._generate = None
+
+    def _build_generate(self):
+        model, cfg = self.model, self.cfg
+
+        @jax.jit
+        def fn(params, batch):
+            return generate(model, params, batch, max_length=cfg.max_length,
+                            num_beams=cfg.num_beams)
+        self._generate = fn
+
+    # -- generation -------------------------------------------------------
+
+    def generate_batch(self, batch: Dict[str, np.ndarray]) -> np.ndarray:
+        if self._generate is None:
+            self._build_generate()
+        model_batch = {k: jnp.asarray(v) for k, v in batch.items()
+                       if k in ("input_ids", "bbox", "attention_mask",
+                                "pixel_values", "ocsr_pixel_values")}
+        out = self._generate(self.params, model_batch)
+        return np.asarray(jax.device_get(out))
+
+    # -- the loop -----------------------------------------------------------
+
+    def run(self, dataset, collator: Optional[DataCollator] = None,
+            benchmark_name: str = "eval") -> EvalResult:
+        cfg = self.cfg
+        os.makedirs(cfg.output_dir, exist_ok=True)
+        cache_path = os.path.join(
+            cfg.output_dir, f"predictions_cache_{benchmark_name}.pkl")
+
+        n = len(dataset)
+        if cfg.max_eval_samples:
+            n = min(n, cfg.max_eval_samples)
+
+        cached: Dict[Any, str] = {}
+        if cfg.cache_predictions and os.path.exists(cache_path):
+            with open(cache_path, "rb") as f:
+                cached = pickle.load(f)
+            logger.info("loaded %d cached predictions", len(cached))
+
+        collator = collator or DataCollator()
+        predictions: List[Dict[str, Any]] = []
+        per_sample: List[Dict[str, Any]] = []
+        t0 = time.time()
+
+        batch_samples: List[Dict] = []
+        batch_meta: List[Dict] = []
+
+        def flush():
+            nonlocal batch_samples, batch_meta
+            if not batch_samples:
+                return
+            todo = [i for i, m in enumerate(batch_meta)
+                    if m["id"] not in cached]
+            if todo:
+                # pad the last partial batch to a fixed shape
+                samples = [batch_samples[i] for i in todo]
+                while len(samples) < cfg.batch_size:
+                    samples.append(samples[-1])
+                batch = collator.__call__(samples)
+                ids_out = self.generate_batch(batch)
+                for k, i in enumerate(todo):
+                    text = self.mt.decode(ids_out[k])
+                    cached[batch_meta[i]["id"]] = text
+            for m in batch_meta:
+                self._score_one(m, cached[m["id"]], predictions, per_sample)
+            batch_samples, batch_meta = [], []
+
+        for idx in range(n):
+            item = dataset[idx]
+            meta = {
+                "id": item.pop("id", idx),
+                "gt_cxsmiles_opt": dataset.source[idx].get("cxsmiles_opt", ""),
+                "gt_annotation": dataset.source[idx].get("annotation", ""),
+            }
+            item.pop("labels", None)
+            batch_samples.append(item)
+            batch_meta.append(meta)
+            if len(batch_samples) == cfg.batch_size:
+                flush()
+                if cfg.cache_predictions:
+                    with open(cache_path, "wb") as f:
+                        pickle.dump(cached, f)
+        flush()
+        if cfg.cache_predictions:
+            with open(cache_path, "wb") as f:
+                pickle.dump(cached, f)
+
+        elapsed = time.time() - t0
+        scores = aggregate_scores(per_sample, prefix=f"{benchmark_name}_ar_")
+        scores[f"{benchmark_name}_images_per_sec"] = (
+            round(n / elapsed, 4) if elapsed > 0 else 0.0)
+
+        self._write_artifacts(benchmark_name, predictions, scores, n)
+        return EvalResult(scores=scores, predictions=predictions,
+                          per_sample=per_sample)
+
+    # -- scoring -------------------------------------------------------------
+
+    def _score_one(self, meta: Dict, text: str,
+                   predictions: List, per_sample: List) -> None:
+        gt_opt = meta["gt_cxsmiles_opt"]
+        gt_stable = self.mt.get_stable(meta["gt_annotation"]) or {}
+        s = score_sample(
+            text, gt_opt, gt_stable, self.mt,
+            abbreviation=self.abbreviation,
+            remove_stereo=self.cfg.remove_stereo,
+            fix=self.cfg.fix_cxsmiles)
+        per_sample.append(s)
+
+        m = re.search(r"<cxsmi>(.*?)(</cxsmi>|$)", text)
+        pred_opt = m.group(1).replace(" ", "").split("!")[0] if m else None
+        pred_out = None
+        if pred_opt:
+            pred_out = cx_lib.convert_opt_to_out(pred_opt)
+            if self.cfg.fix_cxsmiles:
+                pred_out = fix_cxsmiles(pred_out, self.abbreviation)
+        predictions.append({
+            "id": meta["id"],
+            "cxsmiles": pred_out,
+            "cxsmiles_opt": pred_opt,
+            "gt_cxsmiles": fix_cxsmiles(cx_lib.convert_opt_to_out(gt_opt),
+                                        self.abbreviation)
+            if self.cfg.fix_cxsmiles else cx_lib.convert_opt_to_out(gt_opt),
+            "gt_cxsmiles_opt": gt_opt,
+            "prediction_text": text,
+        })
+
+    def _write_artifacts(self, name: str, predictions, scores, n: int) -> None:
+        pred_path = os.path.join(self.cfg.output_dir,
+                                 f"predictions_{n}.jsonl")
+        with open(pred_path, "w") as f:
+            for row in predictions:
+                f.write(json.dumps(row) + "\n")
+        scores_path = os.path.join(self.cfg.output_dir, f"scores_{n}.json")
+        with open(scores_path, "w") as f:
+            json.dump(scores, f, indent=2)
+        logger.info("wrote %s and %s", pred_path, scores_path)

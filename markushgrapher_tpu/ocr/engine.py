@@ -1,0 +1,150 @@
+"""ChemicalOCR engine: batched TPU OCR over an HF dataset.
+
+Replaces the reference's three-backend `Chemical_OCR` class
+(/root/reference/markushgrapher/ocr/chemical_ocr.py:226-478 — vllm/CUDA,
+mlx/Apple, transformers/CPU) with one in-process TPU path: batched prefill +
+KV-cache greedy decode (`lax.while_loop`), then loc-grammar parsing into the
+`cells` column and DatasetDict save — the same on-disk contract
+(chemical_ocr.py:396-478) so stage 2 consumes it unchanged. This collapses
+the reference's two-venv pipeline (setup-cuda.sh:13-18) into one process.
+"""
+
+from __future__ import annotations
+
+import logging
+import time
+from dataclasses import dataclass
+from typing import Any, Dict, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from markushgrapher_tpu.ocr.grammar import cells_from_prediction
+from markushgrapher_tpu.ocr.vlm import ChemicalOCRModel, OCRConfig
+
+logger = logging.getLogger(__name__)
+
+DEFAULT_PROMPT = "Perform OCR on this chemical structure image."
+
+
+@dataclass
+class OCREngineConfig:
+    max_new_tokens: int = 4096      # chemical_ocr.py:334
+    batch_size: int = 8
+    eos_id: int = 2
+    pad_id: int = 0
+
+
+class ChemicalOCR:
+    """Batched OCR inference engine."""
+
+    def __init__(self, model: ChemicalOCRModel, params: Any,
+                 tokenizer: Any, cfg: Optional[OCREngineConfig] = None,
+                 prompt: str = DEFAULT_PROMPT):
+        self.model = model
+        self.params = params
+        self.tokenizer = tokenizer   # MGTokenizer-compatible
+        self.cfg = cfg or OCREngineConfig()
+        self.prompt_ids = np.asarray(
+            tokenizer.encode(prompt, add_eos=False), np.int32)
+        self._generate = None
+
+    def _build(self):
+        model, cfg = self.model, self.cfg
+
+        def gen(params, pixel_values, prompt_ids):
+            logits, caches, prefix_len = model.apply(
+                params, pixel_values, prompt_ids,
+                method=ChemicalOCRModel.prefill,
+                max_len=cfg.max_new_tokens)
+            batch = pixel_values.shape[0]
+            first = jnp.argmax(logits[:, -1], -1).astype(jnp.int32)
+
+            def cond(state):
+                step, _, _, finished, _ = state
+                return (step < cfg.max_new_tokens) & ~jnp.all(finished)
+
+            def body(state):
+                step, tok, caches, finished, out = state
+                logits, caches = model.apply(
+                    params, tok, caches, step, prefix_len,
+                    method=ChemicalOCRModel.decode_step)
+                nxt = jnp.argmax(logits[:, -1], -1).astype(jnp.int32)
+                nxt = jnp.where(finished, cfg.pad_id, nxt)
+                finished = finished | (nxt == cfg.eos_id)
+                out = out.at[:, step].set(nxt)
+                return step + 1, nxt[:, None], caches, finished, out
+
+            out0 = jnp.full((batch, cfg.max_new_tokens), cfg.pad_id, jnp.int32)
+            out0 = out0.at[:, 0].set(first)
+            finished0 = first == cfg.eos_id
+            state = (jnp.int32(1), first[:, None], caches, finished0, out0)
+            _, _, _, _, out = jax.lax.while_loop(cond, body, state)
+            return out
+
+        self._generate = jax.jit(gen)
+
+    def generate_batch(self, images: np.ndarray) -> List[str]:
+        """images: [B, H, W, 3] float in [0,1] -> decoded strings."""
+        if self._generate is None:
+            self._build()
+        b = images.shape[0]
+        prompt = jnp.tile(jnp.asarray(self.prompt_ids)[None], (b, 1))
+        ids = np.asarray(jax.device_get(
+            self._generate(self.params, jnp.asarray(images), prompt)))
+        return [self.tokenizer.decode(row) for row in ids]
+
+    # -- dataset-level API (chemical_ocr.py predict:396-478) -------------------
+
+    def predict(self, dataset, image_key: str = "page_image",
+                image_size: Optional[int] = None) -> List[List[Dict]]:
+        """Run OCR over every sample; returns the new `cells` column."""
+        from markushgrapher_tpu.data.dataset import resize_image
+
+        size = image_size or self.model.cfg.vision.image_size
+        cells_out: List[List[Dict]] = []
+        batch_imgs: List[np.ndarray] = []
+        t0 = time.time()
+
+        def flush():
+            nonlocal batch_imgs
+            if not batch_imgs:
+                return
+            real = len(batch_imgs)
+            while len(batch_imgs) < self.cfg.batch_size:
+                batch_imgs.append(batch_imgs[-1])
+            texts = self.generate_batch(
+                np.stack(batch_imgs).astype(np.float32) / 255.0)
+            for text in texts[:real]:
+                cells_out.append(cells_from_prediction(text))
+            batch_imgs = []
+
+        n = len(dataset)
+        for i in range(n):
+            sample = dataset[i]
+            batch_imgs.append(resize_image(sample[image_key], size))
+            if len(batch_imgs) == self.cfg.batch_size:
+                flush()
+        flush()
+        logger.info("OCR: %d images in %.1fs", n, time.time() - t0)
+        return cells_out
+
+    def predict_to_disk(self, dataset_dir: str, output_dir: str,
+                        splits: Optional[Sequence[str]] = None) -> None:
+        """load_from_disk -> predict -> replace `cells` -> save_to_disk
+        (the stage-1/stage-2 on-disk contract)."""
+        import datasets as hfds
+
+        ds = hfds.load_from_disk(dataset_dir)
+        if not hasattr(ds, "keys"):
+            ds = hfds.DatasetDict(test=ds)
+        out = {}
+        for split in (splits or list(ds.keys())):
+            split_ds = ds[split]
+            cells = self.predict(split_ds)
+            split_ds = split_ds.map(
+                lambda sample, i: {"cells": cells[i]}, with_indices=True)
+            out[split] = split_ds
+        hfds.DatasetDict(out).save_to_disk(output_dir)
+        logger.info("wrote OCR dataset to %s", output_dir)

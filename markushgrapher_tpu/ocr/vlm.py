@@ -1,0 +1,336 @@
+"""ChemicalOCR vision-language model: SigLIP-style vision tower +
+pixel-shuffle connector + decoder-only LM, in JAX.
+
+The reference serves an Idefics3-family VLM (SmolDocling-based: SigLIP vision
+tower, pixel-shuffle connector, SmolLM2-style decoder; README.md:298,
+idefics3 patching at markushgrapher/ocr/chemical_ocr.py:40-48) through vllm /
+mlx-vlm / transformers backends. This is the single-backend TPU replacement:
+one XLA program for prefill (image + prompt) and a `lax.while_loop` KV-cache
+greedy decode emitting the `<ocr>` loc-grammar (max 4096 new tokens,
+chemical_ocr.py:334).
+
+Decoder-only LM: RMSNorm, rotary position embeddings, grouped-query
+attention, SiLU-gated MLP — llama/SmolLM2 family semantics.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, Dict, List, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from markushgrapher_tpu.models.t5 import RMSNorm, param_with_axes
+
+
+@dataclass(frozen=True)
+class OCRVisionConfig:
+    image_size: int = 512
+    patch_size: int = 16
+    d_model: int = 768
+    num_layers: int = 12
+    num_heads: int = 12
+    d_ff: int = 3072
+    layer_norm_eps: float = 1e-6
+
+    @property
+    def num_patches_side(self) -> int:
+        return self.image_size // self.patch_size
+
+
+@dataclass(frozen=True)
+class OCRTextConfig:
+    vocab_size: int = 49280          # SmolLM2-style vocab + loc extensions
+    d_model: int = 960
+    num_layers: int = 32
+    num_heads: int = 15
+    num_kv_heads: int = 5
+    d_ff: int = 2560
+    rope_theta: float = 100000.0
+    rms_eps: float = 1e-5
+    max_position: int = 8192
+
+
+@dataclass(frozen=True)
+class OCRConfig:
+    vision: OCRVisionConfig = field(default_factory=OCRVisionConfig)
+    text: OCRTextConfig = field(default_factory=OCRTextConfig)
+    pixel_shuffle_factor: int = 4    # 32x32 patches -> 8x8 = 64 image tokens
+    max_new_tokens: int = 4096
+
+    @property
+    def num_image_tokens(self) -> int:
+        side = self.vision.num_patches_side // self.pixel_shuffle_factor
+        return side * side
+
+
+def rope_frequencies(dim: int, max_pos: int, theta: float) -> jnp.ndarray:
+    inv = 1.0 / (theta ** (jnp.arange(0, dim, 2, dtype=jnp.float32) / dim))
+    t = jnp.arange(max_pos, dtype=jnp.float32)
+    freqs = jnp.outer(t, inv)          # [P, dim/2]
+    return jnp.stack([jnp.cos(freqs), jnp.sin(freqs)], axis=-1)  # [P, d/2, 2]
+
+
+def apply_rope(x: jnp.ndarray, rope: jnp.ndarray,
+               positions: jnp.ndarray) -> jnp.ndarray:
+    """x: [B, L, H, D]; rope: [P, D/2, 2]; positions: [B, L] int."""
+    r = rope[positions]                      # [B, L, D/2, 2]
+    cos, sin = r[..., 0][:, :, None], r[..., 1][:, :, None]  # [B, L, 1, D/2]
+    x1, x2 = x[..., 0::2], x[..., 1::2]
+    out1 = x1 * cos - x2 * sin
+    out2 = x2 * cos + x1 * sin
+    return jnp.stack([out1, out2], axis=-1).reshape(x.shape)
+
+
+class VisionBlock(nn.Module):
+    cfg: OCRVisionConfig
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        cfg = self.cfg
+        h = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=self.dtype,
+                         name="ln1")(x)
+        head_dim = cfg.d_model // cfg.num_heads
+        qkv = nn.DenseGeneral((3, cfg.num_heads, head_dim), dtype=self.dtype,
+                              param_dtype=jnp.float32,
+                              kernel_init=param_with_axes(
+                                  nn.initializers.variance_scaling(
+                                      1.0, "fan_in", "normal"),
+                                  ("embed", None, "heads", "kv")),
+                              name="qkv")(h)
+        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+        scores = jnp.einsum("bqhd,bkhd->bhqk", q * (head_dim ** -0.5), k,
+                            preferred_element_type=jnp.float32)
+        probs = jax.nn.softmax(scores, -1).astype(self.dtype)
+        attn = jnp.einsum("bhqk,bkhd->bqhd", probs, v)
+        h = nn.DenseGeneral(cfg.d_model, axis=(-2, -1), dtype=self.dtype,
+                            param_dtype=jnp.float32,
+                            kernel_init=param_with_axes(
+                                nn.initializers.variance_scaling(
+                                    1.0, "fan_in", "normal"),
+                                ("heads", "kv", "embed")),
+                            name="proj")(attn)
+        x = x + h
+        h = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=self.dtype,
+                         name="ln2")(x)
+        h = nn.Dense(cfg.d_ff, dtype=self.dtype, param_dtype=jnp.float32,
+                     kernel_init=param_with_axes(
+                         nn.initializers.variance_scaling(1.0, "fan_in", "normal"),
+                         ("embed", "mlp")), name="fc1")(h)
+        h = jax.nn.gelu(h)
+        h = nn.Dense(cfg.d_model, dtype=self.dtype, param_dtype=jnp.float32,
+                     kernel_init=param_with_axes(
+                         nn.initializers.variance_scaling(1.0, "fan_in", "normal"),
+                         ("mlp", "embed")), name="fc2")(h)
+        return x + h
+
+
+class VisionTower(nn.Module):
+    cfg: OCRVisionConfig
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, pixel_values: jnp.ndarray) -> jnp.ndarray:
+        cfg = self.cfg
+        b, hh, ww, c = pixel_values.shape
+        p = cfg.patch_size
+        x = pixel_values.reshape(b, hh // p, p, ww // p, p, c)
+        x = x.transpose(0, 1, 3, 2, 4, 5).reshape(
+            b, (hh // p) * (ww // p), p * p * c)
+        x = nn.Dense(cfg.d_model, dtype=self.dtype, param_dtype=jnp.float32,
+                     kernel_init=param_with_axes(
+                         nn.initializers.variance_scaling(
+                             1.0, "fan_in", "truncated_normal"),
+                         ("patch", "embed")),
+                     name="patch_embed")(x.astype(self.dtype))
+        pos = self.param("pos_embed",
+                         param_with_axes(nn.initializers.normal(0.02),
+                                         (None, "embed")),
+                         (cfg.num_patches_side ** 2, cfg.d_model), jnp.float32)
+        x = x + pos[None].astype(self.dtype)
+        for i in range(cfg.num_layers):
+            x = VisionBlock(cfg, self.dtype, name=f"block_{i}")(x)
+        return nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=self.dtype,
+                            name="post_ln")(x)
+
+
+class Connector(nn.Module):
+    """Pixel-shuffle (space-to-depth) + projection (Idefics3 connector)."""
+
+    cfg: OCRConfig
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        n = self.cfg.vision.num_patches_side
+        f = self.cfg.pixel_shuffle_factor
+        b, p, d = x.shape
+        x = x.reshape(b, n, n, d)
+        x = x.reshape(b, n // f, f, n // f, f, d)
+        x = x.transpose(0, 1, 3, 2, 4, 5).reshape(
+            b, (n // f) ** 2, f * f * d)
+        return nn.Dense(self.cfg.text.d_model, dtype=self.dtype,
+                        param_dtype=jnp.float32,
+                        kernel_init=param_with_axes(
+                            nn.initializers.variance_scaling(
+                                1.0, "fan_in", "normal"),
+                            ("mlp", "embed")),
+                        name="proj")(x)
+
+
+class LMLayer(nn.Module):
+    cfg: OCRTextConfig
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        cfg = self.cfg
+        head_dim = cfg.d_model // cfg.num_heads
+        dense = lambda name, feat, axes: nn.DenseGeneral(  # noqa: E731
+            feat, use_bias=False, dtype=self.dtype, param_dtype=jnp.float32,
+            kernel_init=param_with_axes(
+                nn.initializers.variance_scaling(1.0, "fan_in", "normal"),
+                axes), name=name)
+        self.ln_attn = RMSNorm(eps=cfg.rms_eps, dtype=self.dtype)
+        self.q = dense("q", (cfg.num_heads, head_dim), ("embed", "heads", "kv"))
+        self.k = dense("k", (cfg.num_kv_heads, head_dim), ("embed", "heads", "kv"))
+        self.v = dense("v", (cfg.num_kv_heads, head_dim), ("embed", "heads", "kv"))
+        self.o = nn.DenseGeneral(
+            cfg.d_model, axis=(-2, -1), use_bias=False, dtype=self.dtype,
+            param_dtype=jnp.float32,
+            kernel_init=param_with_axes(
+                nn.initializers.variance_scaling(1.0, "fan_in", "normal"),
+                ("heads", "kv", "embed")), name="o")
+        self.ln_mlp = RMSNorm(eps=cfg.rms_eps, dtype=self.dtype)
+        self.gate = dense("gate", cfg.d_ff, ("embed", "mlp"))
+        self.up = dense("up", cfg.d_ff, ("embed", "mlp"))
+        self.down = dense("down", cfg.d_model, ("mlp", "embed"))
+
+    def _attend(self, q, k, v, bias):
+        cfg = self.cfg
+        rep = cfg.num_heads // cfg.num_kv_heads
+        k = jnp.repeat(k, rep, axis=2)
+        v = jnp.repeat(v, rep, axis=2)
+        head_dim = q.shape[-1]
+        scores = jnp.einsum("bqhd,bkhd->bhqk", q * (head_dim ** -0.5), k,
+                            preferred_element_type=jnp.float32)
+        if bias is not None:
+            scores = scores + bias
+        probs = jax.nn.softmax(scores, -1).astype(self.dtype)
+        out = jnp.einsum("bhqk,bkhd->bqhd", probs, v)
+        return self.o(out)
+
+    def __call__(self, x, rope, positions, causal_bias):
+        h = self.ln_attn(x)
+        q = apply_rope(self.q(h), rope, positions)
+        k = apply_rope(self.k(h), rope, positions)
+        v = self.v(h)
+        x = x + self._attend(q, k, v, causal_bias)
+        h = self.ln_mlp(x)
+        x = x + self.down(jax.nn.silu(self.gate(h)) * self.up(h))
+        return x
+
+    def prefill(self, x, rope, positions, causal_bias, max_len: int):
+        """Like __call__ but also returns a KV cache padded to max_len."""
+        h = self.ln_attn(x)
+        q = apply_rope(self.q(h), rope, positions)
+        k = apply_rope(self.k(h), rope, positions)
+        v = self.v(h)
+        x = x + self._attend(q, k, v, causal_bias)
+        h = self.ln_mlp(x)
+        x = x + self.down(jax.nn.silu(self.gate(h)) * self.up(h))
+        b, L, hkv, d = k.shape
+        pad = [(0, 0), (0, max_len - L), (0, 0), (0, 0)]
+        cache = {"k": jnp.pad(k, pad), "v": jnp.pad(v, pad)}
+        return x, cache
+
+    def decode_step(self, x, cache, rope, position, step, kv_mask):
+        h = self.ln_attn(x)
+        q = apply_rope(self.q(h), rope, position)
+        k_new = apply_rope(self.k(h), rope, position)
+        v_new = self.v(h)
+        k = jax.lax.dynamic_update_slice_in_dim(cache["k"], k_new, step, axis=1)
+        v = jax.lax.dynamic_update_slice_in_dim(cache["v"], v_new, step, axis=1)
+        x = x + self._attend(q, k, v, kv_mask)
+        h = self.ln_mlp(x)
+        x = x + self.down(jax.nn.silu(self.gate(h)) * self.up(h))
+        return x, {"k": k, "v": v}
+
+
+class ChemicalOCRModel(nn.Module):
+    cfg: OCRConfig
+    dtype: Any = jnp.bfloat16
+
+    def setup(self):
+        t = self.cfg.text
+        self.vision = VisionTower(self.cfg.vision, self.dtype)
+        self.connector = Connector(self.cfg, self.dtype)
+        self.embed = self.param(
+            "embed", param_with_axes(nn.initializers.normal(0.02),
+                                     ("vocab", "embed")),
+            (t.vocab_size, t.d_model), jnp.float32)
+        self.layers = [LMLayer(t, self.dtype, name=f"layer_{i}")
+                       for i in range(t.num_layers)]
+        self.final_ln = RMSNorm(eps=t.rms_eps, dtype=self.dtype)
+        self._rope = rope_frequencies(
+            t.d_model // t.num_heads, t.max_position, t.rope_theta)
+
+    def input_embeddings(self, pixel_values, prompt_ids):
+        """[image tokens] + [prompt tokens] -> [B, L0, D]."""
+        img = self.connector(self.vision(pixel_values))
+        txt = self.embed[prompt_ids].astype(self.dtype)
+        return jnp.concatenate([img, txt], axis=1)
+
+    def __call__(self, pixel_values, prompt_ids, target_ids=None):
+        """Teacher-forced forward for OCR finetuning; returns logits over
+        [prompt+target] region."""
+        x = self.input_embeddings(pixel_values, prompt_ids)
+        if target_ids is not None:
+            x = jnp.concatenate(
+                [x, self.embed[target_ids].astype(self.dtype)], axis=1)
+        b, L, _ = x.shape
+        positions = jnp.tile(jnp.arange(L)[None], (b, 1))
+        neg = jnp.finfo(jnp.float32).min
+        causal = jnp.where(jnp.tril(jnp.ones((L, L), bool)), 0.0, neg)
+        for layer in self.layers:
+            x = layer(x, self._rope, positions, causal[None, None])
+        x = self.final_ln(x)
+        return x @ self.embed.T.astype(jnp.float32)
+
+    def prefill(self, pixel_values, prompt_ids, max_len: int):
+        """Run the image+prompt prefix once; returns (next-token logits,
+        caches, prefix_len)."""
+        x = self.input_embeddings(pixel_values, prompt_ids)
+        b, L0, _ = x.shape
+        positions = jnp.tile(jnp.arange(L0)[None], (b, 1))
+        neg = jnp.finfo(jnp.float32).min
+        causal = jnp.where(jnp.tril(jnp.ones((L0, L0), bool)), 0.0, neg)
+        caches = []
+        total = L0 + max_len
+        for layer in self.layers:
+            x, cache = layer.prefill(x, self._rope, positions,
+                                     causal[None, None], total)
+            caches.append(cache)
+        x = self.final_ln(x)
+        logits = x[:, -1:] @ self.embed.T.astype(jnp.float32)
+        return logits, caches, L0
+
+    def decode_step(self, token_ids, caches, step, prefix_len):
+        """One token for all sequences; step counts from 0 after prefill."""
+        b = token_ids.shape[0]
+        pos = jnp.full((b, 1), prefix_len + step, jnp.int32)
+        x = self.embed[token_ids].astype(self.dtype)
+        total = caches[0]["k"].shape[1]
+        neg = jnp.finfo(jnp.float32).min
+        idx = jnp.arange(total)
+        kv_mask = jnp.where(idx[None, None, None, :] <= prefix_len + step,
+                            0.0, neg)
+        new_caches = []
+        for layer, cache in zip(self.layers, caches):
+            x, cache = layer.decode_step(x, cache, self._rope, pos,
+                                         prefix_len + step, kv_mask)
+            new_caches.append(cache)
+        x = self.final_ln(x)
+        return x @ self.embed.T.astype(jnp.float32), new_caches

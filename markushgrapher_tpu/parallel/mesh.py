@@ -66,6 +66,17 @@ def params_shardings(model: nn.Module, mesh: Mesh, init_fn, *init_args):
     return logical_to_mesh_sharding(logical, mesh)
 
 
+def init_sharded_params(model, rng, sample_batch, mesh: Mesh):
+    """Initialize model params directly into their mesh shardings."""
+    def init(r):
+        return model.init(r, **sample_batch)
+
+    abstract = jax.eval_shape(init, rng)
+    logical = nn.get_partition_spec(abstract)
+    shardings = logical_to_mesh_sharding(logical, mesh)
+    return jax.jit(init, out_shardings=shardings)(rng)
+
+
 def unbox(tree):
     """Strip flax `Partitioned` metadata boxes, returning raw arrays — for
     host-side reads of a boxed param tree (checkpointing, tests, export)."""
