@@ -39,8 +39,10 @@ class VTLConfig:
     dropout_rate: float = 0.1
     layer_norm_epsilon: float = 1e-6
     feed_forward_proj: str = "relu"  # "relu" | "gated-gelu"
-    max_2d_position_embeddings: int = 1024  # rel-bias table bound (unused directly)
-    cell_embeddings_size: int = 501  # UdopCellEmbeddings table size
+    max_2d_position_embeddings: int = 1024
+    # UdopCellEmbeddings table size = max_2d_position_embeddings
+    # (modeling_udop.py UdopStack: UdopCellEmbeddings(config.max_2d_position_embeddings, ...))
+    cell_embeddings_size: int = 1024
     image_size: int = 512
     patch_size: int = 16
     num_channels: int = 3

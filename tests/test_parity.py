@@ -1,0 +1,134 @@
+"""Activation parity vs the stock torch UDOP implementation: convert a
+randomly-initialized UdopForConditionalGeneration's weights into this
+framework's VTL model and require matching encoder states and logits.
+
+This is THE checkpoint-compatibility test (SURVEY.md §7 step 3: "per-layer
+activation parity tests")."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+torch = pytest.importorskip("torch")
+transformers = pytest.importorskip("transformers")
+
+from markushgrapher_tpu.config import MarkushGrapherConfig, SwinConfig, VTLConfig
+from markushgrapher_tpu.convert.from_torch import convert_udop_state_dict, graft_into
+from markushgrapher_tpu.models.markushgrapher import MarkushGrapherModel
+
+B, T, S = 2, 6, 5
+D, LAYERS, HEADS, DKV, DFF, VOCAB = 32, 2, 4, 8, 64, 128
+IMG, PATCH = 64, 16
+
+
+@pytest.fixture(scope="module")
+def setup():
+    from transformers.models.udop import UdopConfig, UdopForConditionalGeneration
+
+    torch.manual_seed(0)
+    hf_cfg = UdopConfig(
+        vocab_size=VOCAB, d_model=D, d_kv=DKV, d_ff=DFF, num_layers=LAYERS,
+        num_decoder_layers=LAYERS, num_heads=HEADS, image_size=IMG,
+        patch_size=PATCH, dropout_rate=0.0, feed_forward_proj="relu",
+        tie_word_embeddings=False, decoder_start_token_id=0)
+    hf = UdopForConditionalGeneration(hf_cfg).eval()
+
+    cfg = MarkushGrapherConfig(
+        vtl=VTLConfig(vocab_size=VOCAB, d_model=D, d_kv=DKV, d_ff=DFF,
+                      num_layers=LAYERS, num_decoder_layers=LAYERS,
+                      num_heads=HEADS, image_size=IMG, patch_size=PATCH,
+                      dropout_rate=0.0),
+        swin=SwinConfig(image_size=16, patch_size=2, embed_dim=8,
+                        depths=(1,), num_heads=(2,), window_size=4),
+        architecture_variant="none", max_seq_length=T,
+        max_seq_length_decoder=S)
+    model = MarkushGrapherModel(cfg, dtype=jnp.float32)
+
+    rng = np.random.RandomState(0)
+    input_ids = rng.randint(3, VOCAB, size=(B, T))
+    bbox = rng.rand(B, T, 4).astype(np.float32)
+    bbox[:, -1] = 0.0  # a pad-style box
+    mask = np.ones((B, T), np.int64)
+    pixels = rng.rand(B, IMG, IMG, 3).astype(np.float32)
+    labels = rng.randint(3, VOCAB, size=(B, S))
+
+    batch = dict(
+        input_ids=jnp.asarray(input_ids, jnp.int32),
+        bbox=jnp.asarray(bbox),
+        attention_mask=jnp.asarray(mask, jnp.int32),
+        labels=jnp.asarray(labels, jnp.int32),
+        pixel_values=jnp.asarray(pixels),
+    )
+    params = model.init(jax.random.PRNGKey(0), **batch)
+    converted = convert_udop_state_dict(
+        hf.state_dict(), num_layers=LAYERS, num_decoder_layers=LAYERS,
+        num_heads=HEADS, d_kv=DKV, d_model=D, patch_size=PATCH)
+    params = graft_into(params, converted)
+
+    torch_inputs = dict(
+        input_ids=torch.tensor(input_ids),
+        bbox=torch.tensor(bbox, dtype=torch.float64),
+        attention_mask=torch.tensor(mask),
+        pixel_values=torch.tensor(pixels).permute(0, 3, 1, 2),
+        labels=torch.tensor(labels),
+    )
+    return model, params, batch, hf, torch_inputs
+
+
+class TestUdopParity:
+    def test_encoder_parity(self, setup):
+        model, params, batch, hf, ti = setup
+        with torch.no_grad():
+            t_enc = hf.encoder(
+                input_ids=ti["input_ids"], bbox=ti["bbox"],
+                attention_mask=ti["attention_mask"],
+                pixel_values=ti["pixel_values"]).last_hidden_state.numpy()
+        j_enc, j_mask = model.apply(
+            params, batch["input_ids"], batch["bbox"],
+            batch["attention_mask"], batch["pixel_values"], None,
+            method=MarkushGrapherModel.encode)
+        j_enc = np.asarray(j_enc)
+        assert j_enc.shape == t_enc.shape
+        np.testing.assert_allclose(j_enc, t_enc, atol=2e-4, rtol=1e-3)
+
+    def test_logits_and_loss_parity(self, setup):
+        model, params, batch, hf, ti = setup
+        with torch.no_grad():
+            t_out = hf(**ti)
+        j_out = model.apply(params, **batch)
+        np.testing.assert_allclose(
+            np.asarray(j_out["logits"]), t_out.logits.numpy(),
+            atol=5e-4, rtol=1e-3)
+        np.testing.assert_allclose(
+            float(j_out["loss"]), float(t_out.loss), atol=1e-4, rtol=1e-4)
+
+    def test_greedy_generate_parity(self, setup):
+        """Greedy decode must produce the same token ids as HF generate."""
+        from markushgrapher_tpu.decode.generate import greedy_generate
+
+        model, params, batch, hf, ti = setup
+        max_len = 8
+        with torch.no_grad():
+            t_ids = hf.generate(
+                input_ids=ti["input_ids"], bbox=ti["bbox"],
+                attention_mask=ti["attention_mask"],
+                pixel_values=ti["pixel_values"],
+                max_new_tokens=max_len, num_beams=1, do_sample=False,
+            ).numpy()
+        enc, enc_mask = model.apply(
+            params, batch["input_ids"], batch["bbox"],
+            batch["attention_mask"], batch["pixel_values"], None,
+            method=MarkushGrapherModel.encode)
+        j_ids = np.asarray(greedy_generate(
+            model, params, enc, enc_mask, max_len, eos_id=1, pad_id=0))
+        # HF prepends decoder_start (pad=0); compare the generated region,
+        # treating everything after EOS as padding on both sides
+        t_gen = t_ids[:, 1:1 + max_len]
+        for b in range(t_gen.shape[0]):
+            t_row, j_row = list(t_gen[b]), list(j_ids[b])
+            t_trim = t_row[:t_row.index(1) + 1] if 1 in t_row else t_row
+            j_trim = j_row[:j_row.index(1) + 1] if 1 in j_row else j_row
+            assert t_trim == j_trim[:len(t_trim)] or j_trim == t_trim[:len(j_trim)], (
+                t_row, j_row)
