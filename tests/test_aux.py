@@ -1,0 +1,91 @@
+"""Auxiliary subsystems: definition groups, training-SMILES cache,
+postprocessor, profiling utilities."""
+
+import numpy as np
+import pytest
+
+from markushgrapher_tpu.chem.postprocess import (
+    MoleculePostprocessor,
+    repair_unbalanced_parens,
+    repair_unclosed_rings,
+)
+from markushgrapher_tpu.chem.training_smiles import get_training_smiles, is_in_training
+from markushgrapher_tpu.data.definition_groups import DefinitionGroupSelector
+from markushgrapher_tpu.utils.profiling import MetricsLogger, StepTimer, device_memory_stats
+
+
+class TestDefinitionGroups:
+    def test_select_pairs_image_and_text(self):
+        # dense cluster of structure tokens around (0.4, 0.3) + definition rows
+        words = ["C", "N", "R1", "O", "C", "R1", "=", "halogen",
+                 "R2", "=", "alkyl"]
+        boxes = [
+            [0.38, 0.28, 0.40, 0.30], [0.40, 0.28, 0.42, 0.30],
+            [0.42, 0.30, 0.44, 0.32], [0.38, 0.32, 0.40, 0.34],
+            [0.40, 0.32, 0.42, 0.34],
+            [0.10, 0.80, 0.14, 0.83], [0.15, 0.80, 0.17, 0.83],
+            [0.18, 0.80, 0.28, 0.83],
+            [0.10, 0.86, 0.14, 0.89], [0.15, 0.86, 0.17, 0.89],
+            [0.18, 0.86, 0.26, 0.89],
+        ]
+        sel = DefinitionGroupSelector()
+        groups = sel.select(words, boxes)
+        assert groups.shape == (16, 4)
+        # R1 appears in the image cluster (idx 2) and in text (idx 5)
+        assert groups[0].tolist() == [2, 3, 5, 8]
+
+    def test_no_groups(self):
+        sel = DefinitionGroupSelector()
+        out = sel.select(["plain", "text"], [[0, 0, 0.1, 0.1],
+                                             [0.9, 0.9, 1, 1]])
+        assert (out == 0).all()
+
+
+class TestTrainingSmiles:
+    def test_cache_and_membership(self, tmp_path):
+        cache = tmp_path / "train.pkl"
+        smiles = ["CCO", "OCC", "c1ccccc1 |m:0:1.2|", "invalid((("]
+        s = get_training_smiles(smiles, str(cache))
+        assert len(s) == 2  # CCO==OCC canonical; benzene; invalid dropped
+        assert is_in_training("OCC", s)
+        assert not is_in_training("CCN", s)
+        # cache round-trip
+        s2 = get_training_smiles([], str(cache))
+        assert s2 == s
+
+
+class TestPostprocess:
+    def test_identity_default(self):
+        pp = MoleculePostprocessor()
+        assert pp.postprocess("C1CC") == "C1CC"  # reference identity behavior
+
+    def test_repair_mode(self):
+        pp = MoleculePostprocessor(repair=True)
+        assert pp.postprocess("C1CC") == "CCC"        # unclosed ring dropped
+        assert pp.postprocess("CC(C") == "CC(C)"      # paren balanced
+        assert pp.postprocess("CCO") == "CCO"         # valid untouched
+
+    def test_repair_helpers(self):
+        assert repair_unclosed_rings("C1CCCCC1C2CC") == "C1CCCCC1CCC"
+        assert repair_unbalanced_parens(")CC(") == "CC()"
+
+
+class TestProfiling:
+    def test_step_timer(self):
+        t = StepTimer(warmup=1)
+        for _ in range(3):
+            with t:
+                pass
+        assert t.count == 3 and t.steps_per_sec > 0
+
+    def test_metrics_logger(self, tmp_path):
+        path = tmp_path / "m.jsonl"
+        ml = MetricsLogger(str(path))
+        ml.log({"loss": 1.0}, step=1)
+        ml.log({"loss": 0.5}, step=2)
+        assert len(ml.history) == 2
+        assert len(path.read_text().splitlines()) == 2
+
+    def test_device_memory_stats(self):
+        stats = device_memory_stats()
+        assert len(stats) >= 1
