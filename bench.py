@@ -54,6 +54,12 @@ def main() -> None:
     )
     init_batch = dict(batch, labels=jnp.zeros((batch_size, 8), jnp.int32))
     params = model.init(jax.random.PRNGKey(0), **init_batch)
+    if os.environ.get("BENCH_BF16_PARAMS", "1") == "1":
+        # inference is HBM-bandwidth-bound: serving casts params to bf16
+        # (training keeps f32 masters)
+        params = jax.tree.map(
+            lambda x: x.astype(jnp.bfloat16)
+            if hasattr(x, "dtype") and x.dtype == jnp.float32 else x, params)
 
     # eos_id=-1 never fires: random weights must not fake-shorten the decode.
     # The jitted program reduces the output to ONE scalar, and timing reads it

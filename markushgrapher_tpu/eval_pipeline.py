@@ -46,6 +46,7 @@ class EvalConfig:
     fix_cxsmiles: bool = True
     output_dir: str = "eval_out"
     cache_predictions: bool = True
+    bf16_params: bool = True  # cast weights for bandwidth-bound decode
 
 
 @dataclass
@@ -59,6 +60,10 @@ class Evaluator:
     def __init__(self, model, params, markush_tokenizer: MarkushTokenizer,
                  cfg: EvalConfig, abbreviation: Optional[Abbreviation] = None):
         self.model = model
+        if cfg.bf16_params:
+            from markushgrapher_tpu.parallel.mesh import cast_params
+
+            params = cast_params(params, jnp.bfloat16)
         self.params = params
         self.mt = markush_tokenizer
         self.cfg = cfg

@@ -83,6 +83,20 @@ def unbox(tree):
     return nn.meta.unbox(tree)
 
 
+def cast_params(tree, dtype):
+    """Cast float params for serving (inference is HBM-bandwidth-bound; bf16
+    halves weight traffic). Training keeps f32 masters."""
+    import jax
+    import jax.numpy as jnp
+
+    def cast(x):
+        if hasattr(x, "dtype") and x.dtype in (jnp.float32, jnp.float64):
+            return x.astype(dtype)
+        return x
+
+    return jax.tree.map(cast, tree)
+
+
 def batch_sharding(mesh: Mesh) -> NamedSharding:
     """Inputs shard along the leading (batch) dim over the data axis."""
     return NamedSharding(mesh, P("data"))

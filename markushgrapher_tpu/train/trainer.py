@@ -59,6 +59,11 @@ class Trainer:
     mesh: Optional[Mesh] = None
     frozen_prefixes: tuple = ()
     eval_fn: Optional[Callable[[Any, int], Dict[str, float]]] = None
+    # best-checkpoint selection (reference: metric_for_best_model =
+    # mdu_ip5_m_ar_cxsmi_equality with load_best_model_at_end,
+    # config/train.yaml:52-56)
+    metric_for_best_model: Optional[str] = None
+    greater_is_better: bool = True
 
     def __post_init__(self):
         if self.mesh is None:
@@ -66,6 +71,8 @@ class Trainer:
         self.tx = None
         self._step_fn = None
         self.log_history = []
+        self.best_metric: Optional[float] = None
+        self.best_step: Optional[int] = None
 
     # -- initialization -----------------------------------------------------
 
@@ -165,9 +172,35 @@ class Trainer:
                         dict(eval_metrics, step=step + 1))
                     if curriculum:
                         curriculum.update(eval_metrics.get("eval_loss"))
+                    self._track_best(eval_metrics, step + 1, state,
+                                     checkpointer)
                 if checkpointer and (step + 1) % self.cfg.save_steps == 0:
                     checkpointer.save(step + 1, state)
         return state
+
+    def _track_best(self, metrics: Dict[str, float], step: int, state,
+                    checkpointer) -> None:
+        if not self.metric_for_best_model:
+            return
+        value = metrics.get(self.metric_for_best_model)
+        if value is None:
+            return
+        better = (self.best_metric is None
+                  or (value > self.best_metric) == self.greater_is_better
+                  and value != self.best_metric)
+        if better:
+            self.best_metric, self.best_step = float(value), step
+            logger.info("new best %s=%.4f at step %d",
+                        self.metric_for_best_model, value, step)
+            if checkpointer:
+                import os
+
+                path = checkpointer.save(step, state)
+                marker = os.path.join(checkpointer.output_dir,
+                                      "best_checkpoint.txt")
+                with open(marker, "w") as f:
+                    f.write(f"{path}\n{self.metric_for_best_model}="
+                            f"{self.best_metric}\n")
 
 
 class CurriculumCallback:

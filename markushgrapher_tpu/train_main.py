@@ -65,12 +65,18 @@ def main(config_path: Optional[str] = None) -> Dict[str, float]:
     ds_kwargs = dict(image_size=dargs.image_size,
                      max_seq_length=dargs.max_seq_length,
                      max_seq_length_decoder=dargs.max_seq_length_decoder)
-    train_ds = registry.build(
-        dargs.dataset_name, split="train", train=True, **ds_kwargs)
-    if dargs.augment_train:
-        train_ds.augmenter = Augmenter(seed=targs.seed)
-        train_ds.ocr_augmenter = OCRAugmenter(seed=targs.seed)
-    val_ds = registry.build(dargs.dataset_name, split="val", train=False,
+    # comma-separated names -> multitask uniform sampling
+    # (reference MultitaskDataloader, curriculumTrainer.py:81-133)
+    train_names = [n.strip() for n in dargs.dataset_name.split(",") if n.strip()]
+    train_sets = {}
+    for name in train_names:
+        ds = registry.build(name, split="train", train=True, **ds_kwargs)
+        if dargs.augment_train:
+            ds.augmenter = Augmenter(seed=targs.seed)
+            ds.ocr_augmenter = OCRAugmenter(seed=targs.seed)
+        train_sets[name] = ds
+    train_ds = train_sets[train_names[0]]
+    val_ds = registry.build(train_names[0], split="val", train=False,
                             **ds_kwargs)
 
     benchmarks = {}
@@ -85,15 +91,23 @@ def main(config_path: Optional[str] = None) -> Dict[str, float]:
                             max_length_decoder=dargs.max_seq_length_decoder)
     mesh = mesh_lib.create_mesh()
     global_batch = tcfg.per_device_batch_size * mesh.devices.shape[0]
-    train_iter = iter(BatchIterator(train_ds, collator, global_batch,
-                                    shuffle=True, seed=targs.seed, loop=True))
+    if len(train_sets) > 1:
+        train_iter = iter(MultitaskIterator({
+            name: BatchIterator(ds, collator, global_batch, shuffle=True,
+                                seed=targs.seed, loop=True)
+            for name, ds in train_sets.items()}, seed=targs.seed))
+    else:
+        train_iter = iter(BatchIterator(train_ds, collator, global_batch,
+                                        shuffle=True, seed=targs.seed,
+                                        loop=True))
 
     def strip_meta(batch):
         return {k: v for k, v in batch.items()
                 if k not in ("id", "task_name")}
 
     trainer = Trainer(model=model, cfg=tcfg, mesh=mesh,
-                      frozen_prefixes=frozen_prefixes(margs))
+                      frozen_prefixes=frozen_prefixes(margs),
+                      metric_for_best_model=targs.metric_for_best_model or None)
 
     rng = jax.random.PRNGKey(targs.seed)
     sample_batch = strip_meta(next(train_iter))
