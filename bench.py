@@ -24,6 +24,13 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+try:  # persistent compile cache makes repeated driver runs cheap
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ.get("JAX_CACHE_DIR", "/tmp/jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+except Exception:
+    pass
+
 BASELINE_IMAGES_PER_SEC = 1.0  # proxy: reference unbatched per-image GPU loop
 
 
@@ -37,7 +44,9 @@ def main() -> None:
     repeats = int(os.environ.get("BENCH_REPEATS", "3"))
 
     cfg = MarkushGrapherConfig()
-    model = MarkushGrapherModel(cfg, dtype=jnp.bfloat16)
+    model = MarkushGrapherModel(
+        cfg, dtype=jnp.bfloat16,
+        flash_attention=os.environ.get("BENCH_FLASH", "1") == "1")
 
     rng = np.random.RandomState(0)
     T = cfg.max_seq_length

@@ -39,7 +39,8 @@ def main(config_path: Optional[str] = None,
     margs, dargs, targs = parse_yaml_config(config_path)
 
     cfg = build_model_config(margs, dargs)
-    model = MarkushGrapherModel(cfg, dtype=jnp.bfloat16)
+    model = MarkushGrapherModel(cfg, dtype=jnp.bfloat16,
+                                flash_attention=True)
 
     test_ds = DatasetRegistry.from_yaml(dargs.datasets_config).build(
         dargs.dataset_name, split="test", train=False,

@@ -93,6 +93,9 @@ class MarkushGrapherModel(nn.Module):
     cfg: MarkushGrapherConfig
     dtype: Any = jnp.bfloat16
     remat: bool = False
+    # fused flash attention for the encoder's 1536-token self-attention
+    # (inference only; avoids materializing [B,H,L,L] scores in HBM)
+    flash_attention: bool = False
 
     def setup(self):
         vtl = self.cfg.vtl
@@ -120,7 +123,7 @@ class MarkushGrapherModel(nn.Module):
                 num_heads=vtl.num_heads, d_kv=vtl.d_kv, d_ff=vtl.d_ff,
                 ff_proj=vtl.feed_forward_proj, eps=vtl.layer_norm_epsilon,
                 dtype=self.dtype, dropout_rate=vtl.dropout_rate,
-                remat=self.remat)
+                remat=self.remat, flash=self.flash_attention)
 
         if self.cfg.architecture_variant != "none":
             self.molscribe_encoder = SwinEncoder(self.cfg.swin, dtype=self.dtype)
@@ -181,13 +184,28 @@ class MarkushGrapherModel(nn.Module):
                 vtl.num_patches_side)
             embeds = embeds + self.cell2d(full_bbox)
             seq_len = embeds.shape[1]
-            pos_bias = relbias.encoder_position_bias(
-                self.enc_bias_1d, self.enc_bias_h, self.enc_bias_v,
-                full_bbox, seq_len, vtl.relative_attention_num_buckets,
-                vtl.relative_attention_max_distance, vtl.rel2d_scaling_factor,
-                vtl.rel2d_max_distance)
-            pos_bias = pos_bias + relbias.mask_bias(full_mask)
-            e2 = self.encoder(embeds, pos_bias.astype(jnp.float32), deterministic)
+            use_inkernel_bias = (
+                self.flash_attention and deterministic
+                and seq_len % 256 == 0 and seq_len % 512 == 0)
+            if use_inkernel_bias:
+                # bias computed inside the flash kernel: nothing [B,H,L,L]
+                # ever materializes (ops/flash_relbias.py)
+                rb = dict(
+                    hx=(full_bbox[..., 0] + full_bbox[..., 2]) / 2.0,
+                    vy=(full_bbox[..., 1] + full_bbox[..., 3]) / 2.0,
+                    mask=full_mask,
+                    bias_1d=self.enc_bias_1d, bias_h=self.enc_bias_h,
+                    bias_v=self.enc_bias_v)
+                e2 = self.encoder(embeds, None, rb, deterministic)
+            else:
+                pos_bias = relbias.encoder_position_bias(
+                    self.enc_bias_1d, self.enc_bias_h, self.enc_bias_v,
+                    full_bbox, seq_len, vtl.relative_attention_num_buckets,
+                    vtl.relative_attention_max_distance,
+                    vtl.rel2d_scaling_factor, vtl.rel2d_max_distance)
+                pos_bias = pos_bias + relbias.mask_bias(full_mask)
+                e2 = self.encoder(embeds, pos_bias.astype(jnp.float32),
+                                  None, deterministic)
             branches.append(e2)
             masks.append(full_mask)
 

@@ -23,6 +23,15 @@ import jax.numpy as jnp
 
 param_with_axes = nn.with_logical_partitioning
 
+FLASH_BLOCK_Q, FLASH_BLOCK_K = 256, 512
+
+
+def _flash_ok(q: jnp.ndarray, k: jnp.ndarray) -> bool:
+    """Flash path requires block-divisible static lengths (encoder 512+1024
+    fits; tiny test configs fall back to the XLA attention)."""
+    return (q.shape[1] % FLASH_BLOCK_Q == 0
+            and k.shape[1] % FLASH_BLOCK_K == 0)
+
 
 class RMSNorm(nn.Module):
     """T5 layer norm: rms scaling only, no mean subtraction, f32 accumulation."""
@@ -89,18 +98,31 @@ class Attention(nn.Module):
         x: jnp.ndarray,                       # [B, Q, D]
         kv: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,  # ([B,K,H,Dk], [B,K,H,Dk])
         bias: Optional[jnp.ndarray] = None,   # [B or 1, H, Q, K] additive
+        use_flash: bool = False,
+        relbias: Optional[dict] = None,  # in-kernel bias inputs (flash only)
     ) -> jnp.ndarray:
         q = self.q(x)  # [B, Q, H, Dk]
         if kv is None:
             kv = self.compute_kv(x)
         k, v = kv
-        scores = jnp.einsum(
-            "bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32
-        )
-        if bias is not None:
-            scores = scores + bias.astype(jnp.float32)
-        probs = jax.nn.softmax(scores, axis=-1).astype(self.dtype)
-        out = jnp.einsum("bhqk,bkhd->bqhd", probs, v)
+        if use_flash and relbias is not None:
+            from markushgrapher_tpu.ops.flash_relbias import (
+                flash_attention_relbias)
+
+            out = flash_attention_relbias(q, k, v, **relbias)
+        elif use_flash and bias is not None and _flash_ok(q, k):
+            from markushgrapher_tpu.ops.flash_attention import (
+                flash_attention_bias)
+
+            out = flash_attention_bias(q, k, v, bias)
+        else:
+            scores = jnp.einsum(
+                "bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32
+            )
+            if bias is not None:
+                scores = scores + bias.astype(jnp.float32)
+            probs = jax.nn.softmax(scores, axis=-1).astype(self.dtype)
+            out = jnp.einsum("bhqk,bkhd->bqhd", probs, v)
         return self.o(out)
 
 
@@ -141,12 +163,16 @@ class EncoderLayer(nn.Module):
     eps: float = 1e-6
     dtype: Any = jnp.float32
     dropout_rate: float = 0.0
+    flash: bool = False
 
     @nn.compact
-    def __call__(self, x, bias, deterministic: bool = True):
+    def __call__(self, x, bias, relbias=None, deterministic: bool = True):
         h = RMSNorm(eps=self.eps, dtype=self.dtype, name="ln_attn")(x)
+        # flash kernel is forward-only: inference path only
         h = Attention(self.d_model, self.num_heads, self.d_kv, self.dtype,
-                      name="attn")(h, bias=bias)
+                      name="attn")(h, bias=bias,
+                                   use_flash=self.flash and deterministic,
+                                   relbias=relbias if deterministic else None)
         x = x + nn.Dropout(self.dropout_rate)(h, deterministic=deterministic)
         h = RMSNorm(eps=self.eps, dtype=self.dtype, name="ln_ff")(x)
         h = FeedForward(self.d_model, self.d_ff, self.ff_proj, self.dtype,
@@ -165,19 +191,20 @@ class Encoder(nn.Module):
     dtype: Any = jnp.float32
     dropout_rate: float = 0.0
     remat: bool = False
+    flash: bool = False
 
     @nn.compact
-    def __call__(self, x, bias, deterministic: bool = True):
+    def __call__(self, x, bias, relbias=None, deterministic: bool = True):
         x = nn.Dropout(self.dropout_rate)(x, deterministic=deterministic)
         layer_cls = EncoderLayer
         if self.remat:
-            layer_cls = nn.remat(EncoderLayer, static_argnums=(3,))
+            layer_cls = nn.remat(EncoderLayer, static_argnums=(4,))
         for i in range(self.num_layers):
             x = layer_cls(
                 self.d_model, self.num_heads, self.d_kv, self.d_ff,
                 self.ff_proj, self.eps, self.dtype, self.dropout_rate,
-                name=f"layer_{i}",
-            )(x, bias, deterministic)
+                self.flash, name=f"layer_{i}",
+            )(x, bias, relbias, deterministic)
         x = RMSNorm(eps=self.eps, dtype=self.dtype, name="final_ln")(x)
         return nn.Dropout(self.dropout_rate)(x, deterministic=deterministic)
 
