@@ -127,6 +127,66 @@ def _mean(xs: Sequence[float]) -> float:
     return sum(xs) / len(xs) if xs else float("nan")
 
 
+def _ngrams(seq: Sequence[str], n: int):
+    return [tuple(seq[i:i + n]) for i in range(len(seq) - n + 1)]
+
+
+def rouge_n(pred: str, gt: str, n: int) -> float:
+    """Char-level ROUGE-N f-measure (reference uses rouge_scorer over
+    space-joined chars, utils_evaluation.py:1264-1276)."""
+    p, g = list(pred), list(gt)
+    pn, gn = _ngrams(p, n), _ngrams(g, n)
+    if not pn or not gn:
+        return 0.0
+    from collections import Counter
+
+    overlap = sum((Counter(pn) & Counter(gn)).values())
+    prec = overlap / len(pn)
+    rec = overlap / len(gn)
+    return 2 * prec * rec / (prec + rec) if prec + rec else 0.0
+
+
+def rouge_l(pred: str, gt: str) -> float:
+    """Char-level ROUGE-L f-measure via LCS."""
+    a, b = pred, gt
+    if not a or not b:
+        return 0.0
+    prev = [0] * (len(b) + 1)
+    for ca in a:
+        cur = [0]
+        for j, cb in enumerate(b, 1):
+            cur.append(prev[j - 1] + 1 if ca == cb else max(prev[j], cur[-1]))
+        prev = cur
+    lcs = prev[-1]
+    prec, rec = lcs / len(a), lcs / len(b)
+    return 2 * prec * rec / (prec + rec) if prec + rec else 0.0
+
+
+def nlp_metrics(pred: str, gt: str) -> Dict[str, float]:
+    """Char-level BLEU (nltk when available) + ROUGE-1/2/3/4/L
+    (compute_nlp_metrics block, utils_evaluation.py:1238-1278)."""
+    out: Dict[str, float] = {}
+    try:
+        from nltk.translate.bleu_score import (SmoothingFunction,
+                                               sentence_bleu)
+
+        ref, hyp = [list(gt)], list(pred)
+        sm = SmoothingFunction().method1
+        out["bleu_average"] = sentence_bleu(
+            ref, hyp, weights=[0.25] * 4, smoothing_function=sm)
+        for i in range(4):
+            w = [0.0] * 4
+            w[i] = 1.0
+            out[f"bleu{i + 1}"] = sentence_bleu(
+                ref, hyp, weights=w, smoothing_function=sm)
+    except Exception:
+        pass
+    for n in range(1, 5):
+        out[f"rouge{n}"] = rouge_n(pred, gt, n)
+    out["rougeL"] = rouge_l(pred, gt)
+    return out
+
+
 def compute_molecule_prediction_quality(
     predicted_smiles: Optional[str],
     gt_smiles: str,
@@ -152,6 +212,7 @@ def compute_molecule_prediction_quality(
         d = levenshtein(predicted_smiles, gt_smiles)
         scores["levenshtein"] = d
         scores["levenshtein0"] = d == 0
+        scores.update(nlp_metrics(predicted_smiles, gt_smiles))
 
     pred, gt = predicted_smiles, gt_smiles
     if remove_stereo:

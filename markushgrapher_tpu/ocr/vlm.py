@@ -75,13 +75,15 @@ def rope_frequencies(dim: int, max_pos: int, theta: float) -> jnp.ndarray:
 
 def apply_rope(x: jnp.ndarray, rope: jnp.ndarray,
                positions: jnp.ndarray) -> jnp.ndarray:
-    """x: [B, L, H, D]; rope: [P, D/2, 2]; positions: [B, L] int."""
+    """Llama rotate-half convention (HF-checkpoint compatible):
+    out = x*cos + rotate_half(x)*sin with per-half frequencies.
+    x: [B, L, H, D]; rope: [P, D/2, 2]; positions: [B, L] int."""
     r = rope[positions]                      # [B, L, D/2, 2]
-    cos, sin = r[..., 0][:, :, None], r[..., 1][:, :, None]  # [B, L, 1, D/2]
-    x1, x2 = x[..., 0::2], x[..., 1::2]
-    out1 = x1 * cos - x2 * sin
-    out2 = x2 * cos + x1 * sin
-    return jnp.stack([out1, out2], axis=-1).reshape(x.shape)
+    cos = jnp.concatenate([r[..., 0], r[..., 0]], -1)[:, :, None]  # [B,L,1,D]
+    sin = jnp.concatenate([r[..., 1], r[..., 1]], -1)[:, :, None]
+    half = x.shape[-1] // 2
+    rotated = jnp.concatenate([-x[..., half:], x[..., :half]], -1)
+    return x * cos + rotated * sin
 
 
 class VisionBlock(nn.Module):
@@ -150,7 +152,18 @@ class VisionTower(nn.Module):
                          param_with_axes(nn.initializers.normal(0.02),
                                          (None, "embed")),
                          (cfg.num_patches_side ** 2, cfg.d_model), jnp.float32)
-        x = x + pos[None].astype(self.dtype)
+        # Idefics3 bucketized position ids: fractional coords scaled by
+        # (1 - 1e-6) then bucketized against 1/nps boundaries — for full
+        # square images this yields max(i-1, 0) per axis, NOT arange
+        # (Idefics3VisionEmbeddings.forward); checkpoints depend on it.
+        import numpy as np
+
+        n = cfg.num_patches_side
+        frac = np.arange(n) / n * (1 - 1e-6)
+        boundaries = np.arange(1, n) / n
+        bucket = np.searchsorted(boundaries, frac, side="right")
+        pos_ids = (bucket[:, None] * n + bucket[None, :]).reshape(-1)
+        x = x + pos[jnp.asarray(pos_ids)][None].astype(self.dtype)
         for i in range(cfg.num_layers):
             x = VisionBlock(cfg, self.dtype, name=f"block_{i}")(x)
         return nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=self.dtype,
@@ -172,7 +185,8 @@ class Connector(nn.Module):
         x = x.reshape(b, n // f, f, n // f, f, d)
         x = x.transpose(0, 1, 3, 2, 4, 5).reshape(
             b, (n // f) ** 2, f * f * d)
-        return nn.Dense(self.cfg.text.d_model, dtype=self.dtype,
+        return nn.Dense(self.cfg.text.d_model, use_bias=False,
+                        dtype=self.dtype,
                         param_dtype=jnp.float32,
                         kernel_init=param_with_axes(
                             nn.initializers.variance_scaling(
