@@ -39,7 +39,7 @@ def main() -> None:
     from markushgrapher_tpu.decode.generate import beam_generate, greedy_generate
     from markushgrapher_tpu.models.markushgrapher import MarkushGrapherModel
 
-    batch_size = int(os.environ.get("BENCH_BATCH", "8"))
+    batch_size = int(os.environ.get("BENCH_BATCH", "16"))
     decode_len = int(os.environ.get("BENCH_DECODE_LEN", "512"))
     repeats = int(os.environ.get("BENCH_REPEATS", "3"))
 

@@ -184,19 +184,20 @@ class MarkushGrapherModel(nn.Module):
                 vtl.num_patches_side)
             embeds = embeds + self.cell2d(full_bbox)
             seq_len = embeds.shape[1]
-            use_inkernel_bias = (
+            use_flash = (
                 self.flash_attention and deterministic
                 and seq_len % 256 == 0 and seq_len % 512 == 0)
-            if use_inkernel_bias:
-                # bias computed inside the flash kernel: nothing [B,H,L,L]
-                # ever materializes (ops/flash_relbias.py)
-                rb = dict(
-                    hx=(full_bbox[..., 0] + full_bbox[..., 2]) / 2.0,
-                    vy=(full_bbox[..., 1] + full_bbox[..., 3]) / 2.0,
-                    mask=full_mask,
-                    bias_1d=self.enc_bias_1d, bias_h=self.enc_bias_h,
-                    bias_v=self.enc_bias_v)
-                e2 = self.encoder(embeds, None, rb, deterministic)
+            if use_flash:
+                # build the (masked) bias ONCE in bf16 via the chunked
+                # builder, then every layer's flash kernel streams its tiles
+                # (in-kernel bias recompute x24 layers measured slower)
+                pos_bias = relbias.encoder_position_bias_chunked(
+                    self.enc_bias_1d, self.enc_bias_h, self.enc_bias_v,
+                    full_bbox.astype(jnp.float32), full_mask, seq_len,
+                    vtl.relative_attention_num_buckets,
+                    vtl.relative_attention_max_distance,
+                    vtl.rel2d_scaling_factor, vtl.rel2d_max_distance)
+                e2 = self.encoder(embeds, pos_bias, None, deterministic)
             else:
                 pos_bias = relbias.encoder_position_bias(
                     self.enc_bias_1d, self.enc_bias_h, self.enc_bias_v,

@@ -12,6 +12,7 @@ bucket math into the attention prologue.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 
@@ -100,6 +101,64 @@ def encoder_position_bias(
                    max_distance=max_distance_2d)
     out = out + gather_bias(bias_h_table, bh) + gather_bias(bias_v_table, bv)
     return out
+
+
+def encoder_position_bias_chunked(
+    bias_1d_table: jnp.ndarray,
+    bias_h_table: jnp.ndarray,
+    bias_v_table: jnp.ndarray,
+    bbox: jnp.ndarray,            # [B, L, 4]
+    attention_mask: jnp.ndarray,  # [B, L]
+    seq_len: int,
+    num_buckets: int,
+    max_distance_1d: int,
+    rel2d_scaling: int,
+    max_distance_2d: int,
+    chunk: int = 256,
+    out_dtype=jnp.bfloat16,
+    mask_value: float = -1e9,
+) -> jnp.ndarray:
+    """Memory-lean bias construction: computes [B, H, L, L] in query-chunks
+    via lax.scan so peak transients stay ~L*chunk instead of L*L per gather.
+    Output includes the padding mask, clamped to a bf16-safe value (consumed
+    by ops.flash_attention.flash_attention_bias, which streams tiles).
+
+    The one-shot builder (encoder_position_bias) allocates several f32
+    [B,H,L,L] intermediates — >10 GB at batch 16 on the 831M model."""
+    if seq_len % chunk:
+        chunk = seq_len  # degenerate fallback
+    n_chunks = seq_len // chunk
+    positions = jnp.arange(seq_len, dtype=jnp.int32)
+    hx = (bbox[..., 0] + bbox[..., 2]) / 2.0   # [B, L]
+    vy = (bbox[..., 1] + bbox[..., 3]) / 2.0
+    key_mask = attention_mask > 0              # [B, L]
+
+    pos_chunks = positions.reshape(n_chunks, chunk)
+    hx_chunks = jnp.moveaxis(hx.reshape(-1, n_chunks, chunk), 1, 0)
+    vy_chunks = jnp.moveaxis(vy.reshape(-1, n_chunks, chunk), 1, 0)
+
+    def one_chunk(_, xs):
+        pos_q, hx_q, vy_q = xs   # [chunk], [B, chunk], [B, chunk]
+        rel = positions[None, :] - pos_q[:, None]
+        b1 = relative_position_bucket(rel, True, num_buckets, max_distance_1d)
+        bias = bias_1d_table[b1]                       # [chunk, L, H]
+        relh = ((hx[:, None, :] - hx_q[:, :, None]) * rel2d_scaling
+                ).astype(jnp.int32)
+        bh = relative_position_bucket(relh, True, num_buckets, max_distance_2d)
+        relv = ((vy[:, None, :] - vy_q[:, :, None]) * rel2d_scaling
+                ).astype(jnp.int32)
+        bv = relative_position_bucket(relv, True, num_buckets, max_distance_2d)
+        full = bias[None] + bias_h_table[bh] + bias_v_table[bv]  # [B,chunk,L,H]
+        full = jnp.where(key_mask[:, None, :, None], full, mask_value)
+        # -> [B, H, chunk, L]
+        return None, jnp.moveaxis(full, -1, 1).astype(out_dtype)
+
+    _, chunks = jax.lax.scan(one_chunk, None,
+                             (pos_chunks, hx_chunks, vy_chunks))
+    # chunks: [n_chunks, B, H, chunk, L] -> [B, H, L, L]
+    out = jnp.moveaxis(chunks, 0, 2)
+    b, h = out.shape[0], out.shape[1]
+    return out.reshape(b, h, seq_len, seq_len)
 
 
 def decoder_position_bias(

@@ -173,3 +173,20 @@ class TestAugment:
             assert all(0 <= v <= 1 for v in c["bbox"])
         # original untouched
         assert CELLS[0]["text"] == "R1"
+
+
+class TestTokenRegistry:
+    def test_roundtrip(self):
+        from markushgrapher_tpu.data.token_registry import (
+            decode_table_tokens, encode_table_tokens)
+
+        tok = MGTokenizer()
+        text = '<tr><td colspan="2">fcel</td></tr>'
+        ids = encode_table_tokens(text, tok)
+        assert decode_table_tokens(ids, tok) == text
+
+    def test_registry_size(self):
+        from markushgrapher_tpu.data.token_registry import TOKEN_REGISTRY
+
+        assert len(TOKEN_REGISTRY) > 50
+        assert TOKEN_REGISTRY["ecel"] == "<other_0>"

@@ -86,5 +86,7 @@ class TestModelInKernelRelBias:
                                method=MarkushGrapherModel.encode)
         enc_f, _ = flash.apply(params, *args,
                                method=MarkushGrapherModel.encode)
+        # flash path quantizes the bias to bf16 (production choice): allow
+        # bf16-level divergence
         np.testing.assert_allclose(np.asarray(enc_f), np.asarray(enc_n),
-                                   atol=5e-5, rtol=1e-4)
+                                   atol=2e-2, rtol=2e-2)

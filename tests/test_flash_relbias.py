@@ -43,3 +43,30 @@ class TestFlashRelBias:
         ref = reference(q, k, v, bbox, mask, t1, th, tv)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                    atol=3e-5, rtol=1e-4)
+
+
+class TestChunkedBias:
+    def test_chunked_matches_oneshot(self):
+        from markushgrapher_tpu.ops.relbias import (
+            encoder_position_bias, encoder_position_bias_chunked, mask_bias)
+
+        rng = np.random.RandomState(0)
+        B, L, H = 2, 256, 4
+        bbox = jnp.asarray(rng.rand(B, L, 4).astype(np.float32))
+        mask = np.ones((B, L), np.int32)
+        mask[:, -10:] = 0
+        mask = jnp.asarray(mask)
+        t1 = jnp.asarray(rng.randn(32, H).astype(np.float32))
+        th = jnp.asarray(rng.randn(32, H).astype(np.float32))
+        tv = jnp.asarray(rng.randn(32, H).astype(np.float32))
+        one = encoder_position_bias(t1, th, tv, bbox, L, 32, 128, 100, 100)
+        one = one + mask_bias(mask)
+        chunked = encoder_position_bias_chunked(
+            t1, th, tv, bbox, mask, L, 32, 128, 100, 100,
+            chunk=64, out_dtype=jnp.float32)
+        # unmasked entries must match exactly; masked entries both very negative
+        m = np.asarray(mask)[:, None, None, :].astype(bool)
+        m = np.broadcast_to(m, one.shape)
+        np.testing.assert_allclose(np.asarray(chunked)[m], np.asarray(one)[m],
+                                   atol=1e-5)
+        assert (np.asarray(chunked)[~m] <= -1e8).all()
