@@ -74,6 +74,8 @@ def main() -> None:
     # The jitted program reduces the output to ONE scalar, and timing reads it
     # back to host: on remote/tunneled platforms block_until_ready() does not
     # actually synchronize, so a host readback is the only honest fence.
+    quant_kv = os.environ.get("BENCH_QUANT_KV", "1") == "1"
+
     @jax.jit
     def run(params, batch):
         enc, enc_mask = model.apply(
@@ -81,7 +83,7 @@ def main() -> None:
             batch["attention_mask"], batch["pixel_values"],
             batch["ocsr_pixel_values"], method=MarkushGrapherModel.encode)
         out = greedy_generate(model, params, enc, enc_mask, decode_len,
-                              eos_id=-1)
+                              eos_id=-1, quant_cross_kv=quant_kv)
         return jnp.sum(out).astype(jnp.int32)
 
     int(run(params, batch))  # compile + warmup, fenced by readback

@@ -51,10 +51,15 @@ def greedy_generate(
     eos_id: int = 1,
     pad_id: int = 0,
     start_id: int = 0,
+    quant_cross_kv: bool = False,
 ) -> jnp.ndarray:
-    """Returns generated ids [B, max_length] (EOS-padded)."""
+    """Returns generated ids [B, max_length] (EOS-padded).
+
+    quant_cross_kv stores the cross-attention cache int8 (the dominant
+    decode HBM traffic); greedy outputs may differ on near-ties."""
     batch = enc.shape[0]
-    caches = model.apply(params, enc, max_length, method=type(model).init_cache)
+    caches = model.apply(params, enc, max_length, quant_cross_kv,
+                         method=type(model).init_cache)
     bias_full = model.apply(params, max_length,
                             method=type(model).full_decoder_bias)
     cross_bias = mask_bias(enc_mask)
@@ -96,6 +101,7 @@ def beam_generate(
     pad_id: int = 0,
     start_id: int = 0,
     length_penalty: float = 1.0,
+    quant_cross_kv: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Fixed-shape beam search. Returns (ids [B, max_length], scores [B])
     for the best finished beam per sample (HF num_beams semantics)."""
@@ -105,7 +111,8 @@ def beam_generate(
 
     enc_k = _tile_beams(enc, k)
     mask_k = _tile_beams(enc_mask, k)
-    caches = model.apply(params, enc_k, max_length, method=type(model).init_cache)
+    caches = model.apply(params, enc_k, max_length, quant_cross_kv,
+                         method=type(model).init_cache)
     bias_full = model.apply(params, max_length,
                             method=type(model).full_decoder_bias)
     cross_bias = mask_bias(mask_k)
@@ -178,6 +185,7 @@ def generate(
     eos_id: int = 1,
     pad_id: int = 0,
     start_id: int = 0,
+    quant_cross_kv: bool = False,
 ) -> jnp.ndarray:
     """Encode + decode in one call (jit-friendly; model/static args frozen via
     closure). `batch` needs input_ids/bbox/attention_mask and the pixel
@@ -188,9 +196,11 @@ def generate(
         method=type(model).encode)
     if num_beams <= 1:
         return greedy_generate(model, params, enc, enc_mask, max_length,
-                               eos_id, pad_id, start_id)
+                               eos_id, pad_id, start_id,
+                               quant_cross_kv=quant_cross_kv)
     ids, _ = beam_generate(model, params, enc, enc_mask, max_length,
-                           num_beams, eos_id, pad_id, start_id)
+                           num_beams, eos_id, pad_id, start_id,
+                           quant_cross_kv=quant_cross_kv)
     return ids
 
 

@@ -47,6 +47,7 @@ class EvalConfig:
     output_dir: str = "eval_out"
     cache_predictions: bool = True
     bf16_params: bool = True  # cast weights for bandwidth-bound decode
+    quant_kv: bool = False    # int8 KV caches (fastest; near-tie flips possible)
 
 
 @dataclass
@@ -76,7 +77,8 @@ class Evaluator:
         @jax.jit
         def fn(params, batch):
             return generate(model, params, batch, max_length=cfg.max_length,
-                            num_beams=cfg.num_beams)
+                            num_beams=cfg.num_beams,
+                            quant_cross_kv=cfg.quant_kv)
         self._generate = fn
 
     # -- generation -------------------------------------------------------

@@ -265,8 +265,9 @@ class MarkushGrapherModel(nn.Module):
 
     # -- stepwise decode (generation) ----------------------------------------
 
-    def init_cache(self, enc: jnp.ndarray, max_len: int):
-        return self.decoder.init_cache(enc, max_len)
+    def init_cache(self, enc: jnp.ndarray, max_len: int,
+                   quant_cross: bool = False):
+        return self.decoder.init_cache(enc, max_len, quant_cross)
 
     def decode_step(
         self,

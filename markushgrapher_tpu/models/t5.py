@@ -23,6 +23,16 @@ import jax.numpy as jnp
 
 param_with_axes = nn.with_logical_partitioning
 
+
+def _quantize_kv(t: jnp.ndarray):
+    """Per-(token, head) symmetric int8 quantization of a [B, K, H, D] cache
+    tensor -> (int8 values, f32 scales [B, K, H])."""
+    scale = jnp.max(jnp.abs(t.astype(jnp.float32)), axis=-1,
+                    keepdims=True) / 127.0 + 1e-8
+    q = jnp.round(t.astype(jnp.float32) / scale).astype(jnp.int8)
+    return q, scale.astype(jnp.float32)[..., 0]
+
+
 FLASH_BLOCK_Q, FLASH_BLOCK_K = 256, 512
 
 
@@ -241,12 +251,85 @@ class DecoderLayer(nn.Module):
         x = x + self.drop(self.ff(h, deterministic), deterministic=deterministic)
         return x
 
-    def init_cache(self, enc: jnp.ndarray, max_len: int) -> Dict[str, jnp.ndarray]:
-        """Precompute cross K/V once per generate; allocate self K/V ring."""
+    def init_cache(self, enc: jnp.ndarray, max_len: int,
+                   quant_cross: bool = False) -> Dict[str, jnp.ndarray]:
+        """Precompute cross K/V once per generate; allocate self K/V ring.
+
+        quant_cross stores the cross K/V int8 with per-(token, head) scales:
+        cross-attention reads ALL encoder keys EVERY step, so its cache is
+        the dominant decode HBM traffic (~2.9 GB/step at batch 16 on the
+        831M model); int8 halves it."""
         batch = enc.shape[0]
         ck, cv = self.cross_attn.compute_kv(enc)
+        if quant_cross:
+            cache = {
+                "self_k_q": jnp.zeros(
+                    (batch, max_len, self.num_heads, self.d_kv), jnp.int8),
+                "self_v_q": jnp.zeros(
+                    (batch, max_len, self.num_heads, self.d_kv), jnp.int8),
+                "self_k_s": jnp.zeros((batch, max_len, self.num_heads),
+                                      jnp.float32),
+                "self_v_s": jnp.zeros((batch, max_len, self.num_heads),
+                                      jnp.float32),
+            }
+            for name, t in (("cross_k", ck), ("cross_v", cv)):
+                q, s = _quantize_kv(t)
+                cache[name + "_q"] = q
+                cache[name + "_s"] = s
+            return cache
         zeros = jnp.zeros((batch, max_len, self.num_heads, self.d_kv), self.dtype)
         return {"cross_k": ck, "cross_v": cv, "self_k": zeros, "self_v": zeros}
+
+    def _self_attend_quant(self, h, cache, step, self_bias_row):
+        """Self-attention over the int8 ring cache; the new row is quantized
+        on insertion."""
+        attn = self.self_attn
+        q = attn.q(h)
+        k_new, v_new = attn.compute_kv(h)   # [B, 1, H, Dk]
+        kq_new, ks_new = _quantize_kv(k_new)
+        vq_new, vs_new = _quantize_kv(v_new)
+        k_q = jax.lax.dynamic_update_slice_in_dim(cache["self_k_q"], kq_new,
+                                                  step, axis=1)
+        v_q = jax.lax.dynamic_update_slice_in_dim(cache["self_v_q"], vq_new,
+                                                  step, axis=1)
+        k_s = jax.lax.dynamic_update_slice_in_dim(cache["self_k_s"], ks_new,
+                                                  step, axis=1)
+        v_s = jax.lax.dynamic_update_slice_in_dim(cache["self_v_s"], vs_new,
+                                                  step, axis=1)
+        scores = jnp.einsum("bqhd,bkhd->bhqk", q.astype(jnp.float32),
+                            k_q.astype(jnp.float32),
+                            preferred_element_type=jnp.float32)
+        scores = scores * jnp.transpose(k_s, (0, 2, 1))[:, :, None, :]
+        scores = scores + self_bias_row.astype(jnp.float32)
+        probs = jax.nn.softmax(scores, axis=-1)
+        probs = probs * jnp.transpose(v_s, (0, 2, 1))[:, :, None, :]
+        out = jnp.einsum("bhqk,bkhd->bqhd", probs.astype(self.dtype),
+                         v_q.astype(self.dtype))
+        new = dict(cache, self_k_q=k_q, self_v_q=v_q, self_k_s=k_s,
+                   self_v_s=v_s)
+        return attn.o(out), new
+
+    def _cross_attend(self, h, cache, cross_bias):
+        """Cross-attention against (possibly int8) cached K/V."""
+        if "cross_k" in cache:
+            return self.cross_attn(
+                h, kv=(cache["cross_k"], cache["cross_v"]), bias=cross_bias)
+        attn = self.cross_attn
+        q = attn.q(h)                                   # [B, 1, H, Dk]
+        k_q, k_s = cache["cross_k_q"], cache["cross_k_s"]   # [B,K,H,Dk] i8, [B,K,H]
+        v_q, v_s = cache["cross_v_q"], cache["cross_v_s"]
+        scores = jnp.einsum("bqhd,bkhd->bhqk", q.astype(jnp.float32),
+                            k_q.astype(jnp.float32),
+                            preferred_element_type=jnp.float32)
+        scores = scores * jnp.transpose(k_s, (0, 2, 1))[:, :, None, :]
+        if cross_bias is not None:
+            scores = scores + cross_bias.astype(jnp.float32)
+        probs = jax.nn.softmax(scores, axis=-1)
+        # fold the v scale into the probabilities (applies before the k-sum)
+        probs = probs * jnp.transpose(v_s, (0, 2, 1))[:, :, None, :]
+        out = jnp.einsum("bhqk,bkhd->bqhd", probs.astype(self.dtype),
+                         v_q.astype(self.dtype))
+        return attn.o(out)
 
     def decode_step(
         self,
@@ -257,17 +340,22 @@ class DecoderLayer(nn.Module):
         cross_bias: Optional[jnp.ndarray],  # [B, 1or H, 1, K_enc] mask bias
     ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
         h = self.ln_self(x)
-        k_new, v_new = self.self_attn.compute_kv(h)  # [B, 1, H, Dk]
-        self_k = jax.lax.dynamic_update_slice_in_dim(cache["self_k"], k_new, step, axis=1)
-        self_v = jax.lax.dynamic_update_slice_in_dim(cache["self_v"], v_new, step, axis=1)
-        # mask future positions via the precomputed causal bias row
-        h = self.self_attn(h, kv=(self_k, self_v), bias=self_bias_row)
+        if "self_k_q" in cache:
+            h, cache = self._self_attend_quant(h, cache, step, self_bias_row)
+        else:
+            k_new, v_new = self.self_attn.compute_kv(h)  # [B, 1, H, Dk]
+            self_k = jax.lax.dynamic_update_slice_in_dim(
+                cache["self_k"], k_new, step, axis=1)
+            self_v = jax.lax.dynamic_update_slice_in_dim(
+                cache["self_v"], v_new, step, axis=1)
+            # mask future positions via the precomputed causal bias row
+            h = self.self_attn(h, kv=(self_k, self_v), bias=self_bias_row)
+            cache = dict(cache, self_k=self_k, self_v=self_v)
         x = x + h
         h = self.ln_cross(x)
-        h = self.cross_attn(h, kv=(cache["cross_k"], cache["cross_v"]), bias=cross_bias)
+        h = self._cross_attend(h, cache, cross_bias)
         x = x + h
         x = x + self.ff(self.ln_ff(x), True)
-        cache = dict(cache, self_k=self_k, self_v=self_v)
         return x, cache
 
 
@@ -304,8 +392,10 @@ class Decoder(nn.Module):
         x = self.final_ln(x)
         return self.drop(x, deterministic=deterministic)
 
-    def init_cache(self, enc: jnp.ndarray, max_len: int):
-        return [layer.init_cache(enc, max_len) for layer in self.layers]
+    def init_cache(self, enc: jnp.ndarray, max_len: int,
+                   quant_cross: bool = False):
+        return [layer.init_cache(enc, max_len, quant_cross)
+                for layer in self.layers]
 
     def decode_step(self, x, caches, step, self_bias_row, cross_bias):
         new_caches = []

@@ -118,3 +118,17 @@ class TestBeam:
         cfg, model, params, batch, enc, enc_mask = setup
         out = generate(model, params, batch, max_length=MAXLEN, num_beams=3)
         assert out.shape == (2, MAXLEN)
+
+
+class TestQuantizedCrossKV:
+    def test_int8_cross_kv_close_to_full(self, setup):
+        """int8 cross-KV decode must track the full-precision logits; greedy
+        outputs should agree on a tiny model with clear margins."""
+        cfg, model, params, batch, enc, enc_mask = setup
+        full = np.asarray(greedy_generate(model, params, enc, enc_mask,
+                                          MAXLEN, eos_id=1))
+        quant = np.asarray(greedy_generate(model, params, enc, enc_mask,
+                                           MAXLEN, eos_id=1,
+                                           quant_cross_kv=True))
+        # random init has sharp argmax margins; sequences should match
+        assert (full == quant).mean() > 0.8, (full, quant)

@@ -138,3 +138,34 @@ class TestOCRDataset:
         assert item["pixel_values"].shape == (32, 32, 3)
         decoded = ds.tokenizer.decode(item["target_ids"])
         assert "<ocr>" in decoded.replace(" ", "")
+
+
+class TestOCRTrainer:
+    def test_finetune_reduces_loss(self):
+        from markushgrapher_tpu.config import TrainConfig
+        from markushgrapher_tpu.ocr.ocr_dataset import OCRDataset
+        from markushgrapher_tpu.ocr.train_ocr import OCRCollator, OCRTrainer
+        from markushgrapher_tpu.parallel import mesh as mesh_lib
+
+        cfg = tiny_ocr_cfg()
+        model = ChemicalOCRModel(cfg, dtype=jnp.float32)
+        ds = OCRDataset(
+            source=[{"page_image": np.full((32, 32, 3), 255, np.uint8),
+                     "cells": [{"bbox": [0.1, 0.1, 0.3, 0.2], "text": "R1"}]}
+                    for _ in range(4)],
+            tokenizer=MGTokenizer(), image_size=32, max_target_len=48)
+        col = OCRCollator(max_prompt=12, max_target=48)
+        batch = col([ds[i] for i in range(4)])
+
+        trainer = OCRTrainer(model, TrainConfig(
+            learning_rate=1e-3, warmup_steps=1,
+            gradient_accumulation_steps=1),
+            mesh=mesh_lib.create_mesh(data=4, model=2))
+        state = trainer.init_state(jax.random.PRNGKey(0), batch)
+        losses = []
+        with trainer.mesh:
+            for _ in range(4):
+                state, m = trainer.train_step(state, batch)
+                losses.append(float(m["loss"]))
+        assert all(np.isfinite(losses))
+        assert losses[-1] < losses[0]
