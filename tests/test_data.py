@@ -190,3 +190,29 @@ class TestTokenRegistry:
 
         assert len(TOKEN_REGISTRY) > 50
         assert TOKEN_REGISTRY["ecel"] == "<other_0>"
+
+
+class TestSynthetic:
+    def test_generator_schema_and_validity(self):
+        from markushgrapher_tpu.chem.cxsmiles import (
+            convert_opt_to_out, is_valid_cxsmiles)
+        from markushgrapher_tpu.data.synthetic import SyntheticMarkushGenerator
+
+        gen = SyntheticMarkushGenerator(seed=0, image_size=128)
+        for i in range(10):
+            s = gen.sample(i)
+            assert set(s) >= {"id", "page_image", "cells", "annotation",
+                              "cxsmiles_opt"}
+            assert s["page_image"].shape == (128, 128, 3)
+            assert "<markush>" in s["annotation"]
+            assert is_valid_cxsmiles(convert_opt_to_out(s["cxsmiles_opt"])), \
+                s["cxsmiles_opt"]
+            assert s["cells"], "every sample must have OCR cells"
+
+    def test_deterministic(self):
+        from markushgrapher_tpu.data.synthetic import SyntheticMarkushGenerator
+
+        a = SyntheticMarkushGenerator(seed=7).sample(0)
+        b = SyntheticMarkushGenerator(seed=7).sample(0)
+        assert a["cxsmiles_opt"] == b["cxsmiles_opt"]
+        assert a["annotation"] == b["annotation"]
