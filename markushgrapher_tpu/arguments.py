@@ -37,6 +37,8 @@ class DataArguments:
     curriculum: bool = False
     curriculum_patience: int = 3
     augment_train: bool = True
+    # debug figures per eval run (reference writes <=100 PNGs)
+    save_visualizations: int = 0
 
 
 @dataclass

@@ -79,6 +79,7 @@ def main(config_path: Optional[str] = None,
         max_eval_samples=dargs.max_eval_samples,
         remove_stereo=REMOVE_STEREO,
         fix_cxsmiles=FIX_CXSMILES,
+        save_visualizations=dargs.save_visualizations,
         output_dir=os.path.join(targs.output_dir, "predictions"))
     evaluator = Evaluator(model, params, test_ds.markush_tokenizer, eval_cfg)
     collator = DataCollator(max_length=dargs.max_seq_length,

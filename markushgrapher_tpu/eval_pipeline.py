@@ -48,6 +48,9 @@ class EvalConfig:
     cache_predictions: bool = True
     bf16_params: bool = True  # cast weights for bandwidth-bound decode
     quant_kv: bool = False    # int8 KV caches (fastest; near-tie flips possible)
+    # write N debug figures per run (reference writes <=100 eval PNGs,
+    # curriculumTrainer.py:199-204, utils_display.py)
+    save_visualizations: int = 0
 
 
 @dataclass
@@ -146,6 +149,13 @@ class Evaluator:
                 "gt_cxsmiles_opt": dataset.source[idx].get("cxsmiles_opt", ""),
                 "gt_annotation": dataset.source[idx].get("annotation", ""),
             }
+            if idx < cfg.save_visualizations:
+                from markushgrapher_tpu.data.dataset import resize_image
+
+                meta["cells"] = list(dataset.source[idx].get("cells") or [])
+                img = dataset.source[idx].get("page_image")
+                meta["image"] = (resize_image(img, 512)
+                                 if img is not None else None)
             item.pop("labels", None)
             batch_samples.append(item)
             batch_meta.append(meta)
@@ -198,6 +208,29 @@ class Evaluator:
             "gt_cxsmiles_opt": gt_opt,
             "prediction_text": text,
         })
+
+        if len(predictions) <= self.cfg.save_visualizations:
+            try:
+                from markushgrapher_tpu.utils.viz import display_eval_sample
+
+                viz_dir = os.path.join(self.cfg.output_dir, "visualization")
+                os.makedirs(viz_dir, exist_ok=True)
+                display_eval_sample(
+                    image=meta.get("image"),
+                    cells=meta.get("cells", []),
+                    gt_text=meta["gt_annotation"],
+                    pred_text=text,
+                    gt_stable=gt_stable,
+                    pred_stable=self.mt.get_stable(text),
+                    pred_cxsmiles=pred_out,
+                    scores={k: s[k] for k in
+                            ("cxsmi_equality", "stable_equality",
+                             "markush_equality") if k in s},
+                    output_path=os.path.join(
+                        viz_dir, f"sample_{meta['id']}.png"))
+            except Exception as e:  # viz must never fail an eval
+                logger.warning("visualization failed for %s: %s",
+                               meta["id"], e)
 
     def _write_artifacts(self, name: str, predictions, scores, n: int) -> None:
         pred_path = os.path.join(self.cfg.output_dir,

@@ -128,6 +128,7 @@ def main(config_path: Optional[str] = None) -> Dict[str, float]:
             num_beams=1,  # greedy for on-fly eval (utils_evaluation.py:279)
             batch_size=targs.per_device_eval_batch_size,
             max_eval_samples=dargs.max_eval_samples or 25,
+            save_visualizations=dargs.save_visualizations,
             output_dir=os.path.join(targs.output_dir, f"eval_{step}"))
         evaluator = Evaluator(model, state.params, train_ds.markush_tokenizer,
                               eval_cfg)
@@ -150,6 +151,11 @@ def main(config_path: Optional[str] = None) -> Dict[str, float]:
     metrics_path = os.path.join(targs.output_dir, "train_results.json")
     with open(metrics_path, "w") as f:
         json.dump(trainer.log_history, f, indent=2, default=float)
+    from markushgrapher_tpu.utils.profiling import MetricsLogger
+
+    jsonl = MetricsLogger(os.path.join(targs.output_dir, "metrics.jsonl"))
+    for event in trainer.log_history:
+        jsonl.log(event)
     logger.info("training done; history at %s", metrics_path)
     return trainer.log_history[-1] if trainer.log_history else {}
 
