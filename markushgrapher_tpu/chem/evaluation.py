@@ -266,6 +266,11 @@ def compute_markush_prediction_quality(
     pred_frags = sorted(pred_cx.smiles.split("."))
     scores["fragment_count_equality"] = len(gt_frags) == len(pred_frags)
     scores["backbone_equality"] = gt_frags == pred_frags
+    # partial credit: greedy best-match fragment similarity (the reference
+    # uses rdFMCS per fragment pair for its core/side backbone scores,
+    # utils_evaluation.py:1535-1696; here Morgan-environment overlap gives a
+    # monotone substitute, exact 1.0 iff fragments match)
+    scores["fragment_similarity"] = _fragment_similarity(gt_frags, pred_frags)
 
     # after canonicalization the atom order is canonical on both sides, so
     # label/section equality is index-exact when the backbones match
@@ -279,6 +284,29 @@ def compute_markush_prediction_quality(
         scores["r"] and scores["m"] and scores["sg"]
         and scores["backbone_equality"] and scores["fragment_count_equality"])
     return scores
+
+
+def _fragment_similarity(gt_frags: Sequence[str],
+                         pred_frags: Sequence[str]) -> float:
+    """Mean over GT fragments of the best Tanimoto match among predicted
+    fragments (greedy one-to-one assignment, larger fragments first)."""
+    if not gt_frags:
+        return 1.0 if not pred_frags else 0.0
+    pairs = []
+    for gi, g in enumerate(gt_frags):
+        for pi, p in enumerate(pred_frags):
+            s = 1.0 if p == g else mol_lib.tanimoto(g, p)
+            pairs.append((s, gi, pi))
+    pairs.sort(reverse=True)
+    used_g, used_p = set(), set()
+    total = 0.0
+    for s, gi, pi in pairs:
+        if gi in used_g or pi in used_p:
+            continue
+        used_g.add(gi)
+        used_p.add(pi)
+        total += max(s, 0.0)
+    return float(total / len(gt_frags))
 
 
 def score_sample(

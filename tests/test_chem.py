@@ -232,3 +232,22 @@ class TestScoreSample:
         assert agg["b_valid"] == 0.5
         assert agg["b_tanimoto"] == 0.75
         assert agg["b_n_samples"] == 2.0
+
+
+class TestFragmentSimilarity:
+    def test_exact_and_partial(self):
+        from markushgrapher_tpu.chem.evaluation import _fragment_similarity
+
+        assert _fragment_similarity(["CCO"], ["CCO"]) == 1.0
+        assert _fragment_similarity([], []) == 1.0
+        assert _fragment_similarity(["CCO"], []) == 0.0
+        partial = _fragment_similarity(["CCO", "c1ccccc1"], ["CCO"])
+        assert 0.0 < partial < 1.0
+
+    def test_in_markush_quality(self):
+        gt = "CC(*)c1ccc(*)cc1 |$;;R1;;;;;R2;;$|"
+        pred = "CC(*)c1ccc(*)cc1C |$;;R1;;;;;R2;;;$|"  # extra methyl
+        s = compute_markush_prediction_quality(pred, gt)
+        assert 0.0 < s["fragment_similarity"] < 1.0
+        perfect = compute_markush_prediction_quality(gt, gt)
+        assert perfect["fragment_similarity"] == 1.0
