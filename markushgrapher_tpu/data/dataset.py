@@ -201,18 +201,35 @@ class BatchIterator:
 
 class MultitaskIterator:
     """Uniform task sampling across multiple batch iterators
-    (curriculumTrainer.py MultitaskDataloader:81-133)."""
+    (curriculumTrainer.py MultitaskDataloader:81-133), with optional
+    curriculum gating: tasks declare a difficulty level and only become
+    sampleable once the current level reaches it (the reference's
+    elevateMRCallback raises difficulty on eval-loss plateaus,
+    curriculumTrainer.py:784-833)."""
 
-    def __init__(self, iterators: Dict[str, Any], seed: int = 0):
+    def __init__(self, iterators: Dict[str, Any], seed: int = 0,
+                 levels: Optional[Dict[str, int]] = None):
         self.names = list(iterators.keys())
         self.iters = {k: iter(v) for k, v in iterators.items()}
         self.rng = np.random.RandomState(seed)
+        self.levels = levels or {}
+        self.level = max(self.levels.values(), default=0) \
+            if not self.levels else 0
+
+    def set_level(self, level: int) -> None:
+        self.level = level
+
+    def _active(self) -> List[str]:
+        active = [n for n in self.names
+                  if self.levels.get(n, 0) <= self.level]
+        return active or self.names
 
     def __iter__(self):
         return self
 
     def __next__(self) -> Dict[str, np.ndarray]:
-        name = self.names[self.rng.randint(len(self.names))]
+        active = self._active()
+        name = active[self.rng.randint(len(active))]
         batch = next(self.iters[name])
         batch["task_name"] = name
         return batch

@@ -64,6 +64,9 @@ class Trainer:
     # config/train.yaml:52-56)
     metric_for_best_model: Optional[str] = None
     greater_is_better: bool = True
+    # called with the new level when the curriculum callback escalates
+    # (wire to MultitaskIterator.set_level)
+    on_curriculum_level: Optional[Callable[[int], None]] = None
 
     def __post_init__(self):
         if self.mesh is None:
@@ -171,7 +174,11 @@ class Trainer:
                     self.log_history.append(
                         dict(eval_metrics, step=step + 1))
                     if curriculum:
-                        curriculum.update(eval_metrics.get("eval_loss"))
+                        prev = curriculum.level
+                        level = curriculum.update(
+                            eval_metrics.get("eval_loss"))
+                        if level != prev and self.on_curriculum_level:
+                            self.on_curriculum_level(level)
                     self._track_best(eval_metrics, step + 1, state,
                                      checkpointer)
                 if checkpointer and (step + 1) % self.cfg.save_steps == 0:

@@ -91,11 +91,16 @@ def main(config_path: Optional[str] = None) -> Dict[str, float]:
                             max_length_decoder=dargs.max_seq_length_decoder)
     mesh = mesh_lib.create_mesh()
     global_batch = tcfg.per_device_batch_size * mesh.devices.shape[0]
+    multitask = None
     if len(train_sets) > 1:
-        train_iter = iter(MultitaskIterator({
+        levels = {name: int(registry.configs[name].get("curriculum_level", 0))
+                  for name in train_sets}
+        multitask = MultitaskIterator({
             name: BatchIterator(ds, collator, global_batch, shuffle=True,
                                 seed=targs.seed, loop=True)
-            for name, ds in train_sets.items()}, seed=targs.seed))
+            for name, ds in train_sets.items()}, seed=targs.seed,
+            levels=levels)
+        train_iter = iter(multitask)
     else:
         train_iter = iter(BatchIterator(train_ds, collator, global_batch,
                                         shuffle=True, seed=targs.seed,
@@ -107,7 +112,9 @@ def main(config_path: Optional[str] = None) -> Dict[str, float]:
 
     trainer = Trainer(model=model, cfg=tcfg, mesh=mesh,
                       frozen_prefixes=frozen_prefixes(margs),
-                      metric_for_best_model=targs.metric_for_best_model or None)
+                      metric_for_best_model=targs.metric_for_best_model or None,
+                      on_curriculum_level=(multitask.set_level
+                                           if multitask else None))
 
     rng = jax.random.PRNGKey(targs.seed)
     sample_batch = strip_meta(next(train_iter))

@@ -216,3 +216,19 @@ class TestSynthetic:
         b = SyntheticMarkushGenerator(seed=7).sample(0)
         assert a["cxsmiles_opt"] == b["cxsmiles_opt"]
         assert a["annotation"] == b["annotation"]
+
+
+class TestCurriculumSampling:
+    def test_levels_gate_tasks(self):
+        ds = MDUDataset(source=make_samples(16), markush_tokenizer=MarkushTokenizer(),
+                        image_size=64, ocsr_image_size=32)
+        col = DataCollator(max_length=64, max_length_decoder=32)
+        it = MultitaskIterator(
+            {"easy": BatchIterator(ds, col, 2, loop=True),
+             "hard": BatchIterator(ds, col, 2, loop=True)},
+            seed=0, levels={"easy": 0, "hard": 1})
+        names0 = {next(it)["task_name"] for _ in range(10)}
+        assert names0 == {"easy"}
+        it.set_level(1)
+        names1 = {next(it)["task_name"] for _ in range(20)}
+        assert names1 == {"easy", "hard"}

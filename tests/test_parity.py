@@ -132,3 +132,36 @@ class TestUdopParity:
             j_trim = j_row[:j_row.index(1) + 1] if 1 in j_row else j_row
             assert t_trim == j_trim[:len(t_trim)] or j_trim == t_trim[:len(j_trim)], (
                 t_row, j_row)
+
+
+class TestBeamParity:
+    def test_beam5_matches_hf_generate(self, setup):
+        """Fixed-shape beam-5 must produce the same sequences as HF beam
+        search on the converted model (the reference's predict mode,
+        utils_evaluation.py:279-286)."""
+        from markushgrapher_tpu.decode.generate import beam_generate
+
+        model, params, batch, hf, ti = setup
+        max_len = 10
+        with torch.no_grad():
+            t_ids = hf.generate(
+                input_ids=ti["input_ids"], bbox=ti["bbox"],
+                attention_mask=ti["attention_mask"],
+                pixel_values=ti["pixel_values"],
+                max_new_tokens=max_len, num_beams=5, do_sample=False,
+                early_stopping=True, length_penalty=1.0,
+            ).numpy()
+        enc, enc_mask = model.apply(
+            params, batch["input_ids"], batch["bbox"],
+            batch["attention_mask"], batch["pixel_values"], None,
+            method=MarkushGrapherModel.encode)
+        j_ids, _ = beam_generate(model, params, enc, enc_mask, max_len,
+                                 num_beams=5, eos_id=1, pad_id=0)
+        j_ids = np.asarray(j_ids)
+        t_gen = t_ids[:, 1:1 + max_len]
+        for b in range(t_gen.shape[0]):
+            t_row, j_row = list(t_gen[b]), list(j_ids[b])
+            t_trim = t_row[:t_row.index(1) + 1] if 1 in t_row else t_row
+            j_trim = j_row[:j_row.index(1) + 1] if 1 in j_row else j_row
+            assert t_trim == j_trim[:len(t_trim)] or \
+                j_trim == t_trim[:len(j_trim)], (t_row, j_row)
