@@ -11,8 +11,8 @@ keys are reported, not silently dropped.
 from __future__ import annotations
 
 import dataclasses
-from dataclasses import dataclass, field
-from typing import Any, Dict, List, Optional, Tuple
+from dataclasses import dataclass
+from typing import Any, Dict, Optional, Tuple
 
 from markushgrapher_tpu.config import (
     MarkushGrapherConfig,

@@ -19,12 +19,11 @@ from __future__ import annotations
 
 import re
 from dataclasses import dataclass, field
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Dict, List, Optional, Tuple
 
 from markushgrapher_tpu.chem.mol import (
     canonical_smiles_with_order,
     is_valid_smiles,
-    parse_smiles,
 )
 from markushgrapher_tpu.chem.smiles_tokenize import atomwise_tokenizer, is_atom_token
 

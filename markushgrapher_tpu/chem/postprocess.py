@@ -9,7 +9,6 @@ digits / brackets)."""
 
 from __future__ import annotations
 
-import re
 from typing import Callable, List, Optional
 
 from markushgrapher_tpu.chem.mol import is_valid_smiles

@@ -24,7 +24,7 @@ Name map (torch -> ours):
 from __future__ import annotations
 
 import logging
-from typing import Dict, Tuple
+from typing import Dict
 
 import numpy as np
 

@@ -8,7 +8,7 @@ scripts/image_dir_to_hf_dataset.py), `load_page_image` (:124)."""
 from __future__ import annotations
 
 import os
-from typing import Dict, Optional, Sequence
+from typing import Dict
 
 import numpy as np
 

@@ -10,7 +10,7 @@ box; labels route through the Markush tokenizer by tag.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Dict, List, Optional, Sequence
 
 import numpy as np

@@ -17,7 +17,7 @@ finished beams frozen and padded with EOS.
 from __future__ import annotations
 
 import functools
-from typing import Any, Optional, Tuple
+from typing import Any, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -27,13 +27,7 @@ import jax.numpy as jnp
 
 from markushgrapher_tpu.config import MarkushGrapherConfig
 from markushgrapher_tpu.models.swin import SwinEncoder
-from markushgrapher_tpu.models.t5 import (
-    Attention,  # noqa: F401  (re-export for tests)
-    Decoder,
-    Encoder,
-    RMSNorm,
-    param_with_axes,
-)
+from markushgrapher_tpu.models.t5 import Decoder, Encoder, param_with_axes
 from markushgrapher_tpu.ops import relbias
 from markushgrapher_tpu.ops.fusion import combine_image_text_embeddings
 

@@ -280,12 +280,26 @@ class DecoderLayer(nn.Module):
         zeros = jnp.zeros((batch, max_len, self.num_heads, self.d_kv), self.dtype)
         return {"cross_k": ck, "cross_v": cv, "self_k": zeros, "self_v": zeros}
 
+    def _fused_self_qkv(self, h):
+        """One matmul for q,k,v in the decode step: the kernel concat is
+        loop-invariant so XLA hoists it out of the while_loop, and the loop
+        body runs 1 projection instead of 3 (decode is small-op bound)."""
+        attn = self.self_attn
+
+        def kernel_of(mod):
+            k = mod.variables["params"]["kernel"]
+            return k.value if hasattr(k, "value") else k
+
+        w = jnp.stack([kernel_of(attn.q), kernel_of(attn.k),
+                       kernel_of(attn.v)], axis=1)  # [D, 3, H, Dk]
+        qkv = jnp.einsum("bqd,dthk->bqthk", h, w.astype(self.dtype))
+        return qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+
     def _self_attend_quant(self, h, cache, step, self_bias_row):
         """Self-attention over the int8 ring cache; the new row is quantized
         on insertion."""
         attn = self.self_attn
-        q = attn.q(h)
-        k_new, v_new = attn.compute_kv(h)   # [B, 1, H, Dk]
+        q, k_new, v_new = self._fused_self_qkv(h)   # [B, 1, H, Dk] each
         kq_new, ks_new = _quantize_kv(k_new)
         vq_new, vs_new = _quantize_kv(v_new)
         k_q = jax.lax.dynamic_update_slice_in_dim(cache["self_k_q"], kq_new,
@@ -343,13 +357,20 @@ class DecoderLayer(nn.Module):
         if "self_k_q" in cache:
             h, cache = self._self_attend_quant(h, cache, step, self_bias_row)
         else:
-            k_new, v_new = self.self_attn.compute_kv(h)  # [B, 1, H, Dk]
+            attn = self.self_attn
+            q, k_new, v_new = self._fused_self_qkv(h)
             self_k = jax.lax.dynamic_update_slice_in_dim(
-                cache["self_k"], k_new, step, axis=1)
+                cache["self_k"], k_new.astype(cache["self_k"].dtype),
+                step, axis=1)
             self_v = jax.lax.dynamic_update_slice_in_dim(
-                cache["self_v"], v_new, step, axis=1)
+                cache["self_v"], v_new.astype(cache["self_v"].dtype),
+                step, axis=1)
             # mask future positions via the precomputed causal bias row
-            h = self.self_attn(h, kv=(self_k, self_v), bias=self_bias_row)
+            scores = jnp.einsum("bqhd,bkhd->bhqk", q, self_k,
+                                preferred_element_type=jnp.float32)
+            scores = scores + self_bias_row.astype(jnp.float32)
+            probs = jax.nn.softmax(scores, axis=-1).astype(self.dtype)
+            h = attn.o(jnp.einsum("bhqk,bkhd->bqhd", probs, self_v))
             cache = dict(cache, self_k=self_k, self_v=self_v)
         x = x + h
         h = self.ln_cross(x)

@@ -21,7 +21,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from markushgrapher_tpu.ocr.grammar import cells_from_prediction
-from markushgrapher_tpu.ocr.vlm import ChemicalOCRModel, OCRConfig
+from markushgrapher_tpu.ocr.vlm import ChemicalOCRModel
 
 logger = logging.getLogger(__name__)
 

@@ -16,7 +16,7 @@ attention, SiLU-gated MLP — llama/SmolLM2 family semantics.
 from __future__ import annotations
 
 from dataclasses import dataclass, field
-from typing import Any, Dict, List, Optional, Tuple
+from typing import Any
 
 import flax.linen as nn
 import jax

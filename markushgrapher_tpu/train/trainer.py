@@ -13,7 +13,6 @@ from __future__ import annotations
 import dataclasses
 import logging
 import time
-from functools import partial
 from typing import Any, Callable, Dict, Iterator, Optional
 
 import jax
@@ -21,9 +20,9 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 from flax import struct
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh
 
-from markushgrapher_tpu.config import MarkushGrapherConfig, TrainConfig
+from markushgrapher_tpu.config import TrainConfig
 from markushgrapher_tpu.models.markushgrapher import MarkushGrapherModel
 from markushgrapher_tpu.parallel import mesh as mesh_lib
 from markushgrapher_tpu.train.optim import freeze_mask, make_optimizer

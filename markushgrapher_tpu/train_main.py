@@ -16,7 +16,6 @@ from typing import Dict, Optional
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from markushgrapher_tpu.arguments import (
     build_model_config,
@@ -29,10 +28,8 @@ from markushgrapher_tpu.data.collator import DataCollator
 from markushgrapher_tpu.data.dataset import (
     BatchIterator,
     DatasetRegistry,
-    MDUDataset,
     MultitaskIterator,
 )
-from markushgrapher_tpu.data.markush_tokenizer import MarkushTokenizer
 from markushgrapher_tpu.eval_pipeline import EvalConfig, Evaluator
 from markushgrapher_tpu.models.markushgrapher import MarkushGrapherModel
 from markushgrapher_tpu.parallel import mesh as mesh_lib

@@ -17,7 +17,7 @@ same way, utils_markush.py:141-176).
 from __future__ import annotations
 
 import logging
-from typing import Dict, List, Optional, Sequence
+from typing import Dict, Optional, Sequence
 
 import numpy as np
 
