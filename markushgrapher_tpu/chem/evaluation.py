@@ -286,12 +286,63 @@ def compute_markush_prediction_quality(
     return scores
 
 
+def replace_wildcards(smiles: str, remove_stereo: bool = False) -> str:
+    """Substitute wildcard atoms (`*`) with carbon and re-canonicalize
+    (utils_evaluation.py replace_wildcards:1339-1363 — applied to fragment
+    SMILES before backbone comparison so attachment points don't block
+    matching). Falls back to the input on parse failure, like the reference's
+    permissive-parse retries."""
+    try:
+        mol = mol_lib.parse_smiles(smiles)
+    except Exception:
+        return smiles
+    for atom in mol.atoms:
+        if atom.symbol == "*":
+            atom.symbol = "C"
+            atom.isotope = 0
+            atom.bracket = False
+            atom.explicit_h = None
+    try:
+        out = mol_lib.to_smiles(mol)[0]
+    except Exception:
+        return smiles
+    if remove_stereo:
+        out = mol_lib.remove_stereo(out)
+    return out
+
+
+def get_smiles_star_raw(
+    smiles: str,
+    keypoints: Sequence[Sequence[float]] = (),
+    atom_symbols: Sequence[str] = (),
+    encode_position: bool = False,
+    ocr_box_size: int = 80,
+) -> str:
+    """Build the `smiles!<atom boxes>` target string
+    (utils_evaluation.py get_smiles_star_raw:1285-1336). Without
+    encode_position this is the `smiles + "![[0,0]]"` form every shipped
+    dataset uses; with it, per-atom OCR boxes of side `ocr_box_size` are
+    centered on the keypoints (the reference reads symbols from a molblock;
+    here they come from `atom_symbols`, same order as `keypoints`)."""
+    if not encode_position:
+        return smiles + "![[0,0]]"
+    boxes = []
+    for sym, kp in zip(atom_symbols, keypoints):
+        boxes.append(str([kp[0] - ocr_box_size / 2, kp[1] - ocr_box_size / 2,
+                          kp[0] + ocr_box_size / 2, kp[1] + ocr_box_size / 2]))
+    return smiles + "!" + ",".join(boxes)
+
+
 def _fragment_similarity(gt_frags: Sequence[str],
                          pred_frags: Sequence[str]) -> float:
     """Mean over GT fragments of the best Tanimoto match among predicted
-    fragments (greedy one-to-one assignment, larger fragments first)."""
+    fragments (greedy one-to-one assignment, larger fragments first).
+    Wildcards are carbon-substituted first (reference compares fragment
+    backbones after replace_wildcards, utils_evaluation.py:1605-1608)."""
     if not gt_frags:
         return 1.0 if not pred_frags else 0.0
+    gt_frags = [replace_wildcards(g) for g in gt_frags]
+    pred_frags = [replace_wildcards(p) for p in pred_frags]
     pairs = []
     for gi, g in enumerate(gt_frags):
         for pi, p in enumerate(pred_frags):

@@ -234,6 +234,26 @@ class TestScoreSample:
         assert agg["b_n_samples"] == 2.0
 
 
+class TestWildcardsAndStar:
+    def test_replace_wildcards(self):
+        from markushgrapher_tpu.chem.evaluation import replace_wildcards
+
+        out = replace_wildcards("CC(*)C")
+        assert "*" not in out
+        assert replace_wildcards("not a smiles ((") == "not a smiles (("
+        # wildcard->C makes attachment-equivalent fragments compare equal
+        assert replace_wildcards("C*") == replace_wildcards("CC")
+
+    def test_get_smiles_star_raw(self):
+        from markushgrapher_tpu.chem.evaluation import get_smiles_star_raw
+
+        assert get_smiles_star_raw("CCO") == "CCO![[0,0]]"
+        out = get_smiles_star_raw(
+            "CO", keypoints=[(100, 100), (50, 60)], atom_symbols=["C", "O"],
+            encode_position=True, ocr_box_size=80)
+        assert out.startswith("CO!") and "[60.0, 60.0, 140.0, 140.0]" in out
+
+
 class TestFragmentSimilarity:
     def test_exact_and_partial(self):
         from markushgrapher_tpu.chem.evaluation import _fragment_similarity
