@@ -46,7 +46,8 @@ def main() -> None:
     cfg = MarkushGrapherConfig()
     model = MarkushGrapherModel(
         cfg, dtype=jnp.bfloat16,
-        flash_attention=os.environ.get("BENCH_FLASH", "1") == "1")
+        flash_attention=os.environ.get("BENCH_FLASH", "1") == "1",
+        inkernel_bias=os.environ.get("BENCH_INKERNEL_BIAS", "0") == "1")
 
     rng = np.random.RandomState(0)
     T = cfg.max_seq_length
@@ -75,6 +76,12 @@ def main() -> None:
     # back to host: on remote/tunneled platforms block_until_ready() does not
     # actually synchronize, so a host readback is the only honest fence.
     quant_kv = os.environ.get("BENCH_QUANT_KV", "1") == "1"
+    # int8 decode weights measured net-negative at batch 16 (3.37 vs 3.47
+    # img/s: per-step dequant outweighs the saved reads while KV traffic
+    # dominates) — off by default, kept as a serving option
+    quant_w = os.environ.get("BENCH_QUANT_W", "0") == "1"
+
+    num_beams = int(os.environ.get("BENCH_BEAMS", "1"))
 
     @jax.jit
     def run(params, batch):
@@ -82,8 +89,15 @@ def main() -> None:
             params, batch["input_ids"], batch["bbox"],
             batch["attention_mask"], batch["pixel_values"],
             batch["ocsr_pixel_values"], method=MarkushGrapherModel.encode)
-        out = greedy_generate(model, params, enc, enc_mask, decode_len,
-                              eos_id=-1, quant_cross_kv=quant_kv)
+        if num_beams > 1:
+            out, _ = beam_generate(model, params, enc, enc_mask, decode_len,
+                                   num_beams=num_beams, eos_id=-1,
+                                   quant_cross_kv=quant_kv,
+                                   quant_weights=quant_w)
+        else:
+            out = greedy_generate(model, params, enc, enc_mask, decode_len,
+                                  eos_id=-1, quant_cross_kv=quant_kv,
+                                  quant_weights=quant_w)
         return jnp.sum(out).astype(jnp.int32)
 
     int(run(params, batch))  # compile + warmup, fenced by readback
@@ -98,8 +112,10 @@ def main() -> None:
 
     n_chips = max(1, len(jax.devices()))
     value = images_per_sec / n_chips
+    metric = ("images_per_sec_per_chip_e2e_greedy512" if num_beams <= 1
+              else f"images_per_sec_per_chip_e2e_beam{num_beams}x512")
     print(json.dumps({
-        "metric": "images_per_sec_per_chip_e2e_greedy512",
+        "metric": metric,
         "value": round(value, 4),
         "unit": f"img/s/chip (batch={batch_size}, {decode_len} decode steps, "
                 f"{jax.devices()[0].platform})",

@@ -59,6 +59,10 @@ class ModelArguments:
     freeze_molscribe_projector: bool = False
     freeze_decoder: bool = False
     loss_fct: str = "CE"                      # arguments.py:252
+    # serving quantization (rebuild extension; no reference analog — the
+    # reference serves full-precision per-image HF generate)
+    quant_kv: bool = False        # int8 cross+self KV caches during decode
+    quant_weights: bool = False   # int8 decode-step weights (+lm_head)
     # architecture sizing (UDOP-large defaults)
     vocab_size: int = 33201
     d_model: int = 1024

@@ -52,14 +52,19 @@ def greedy_generate(
     pad_id: int = 0,
     start_id: int = 0,
     quant_cross_kv: bool = False,
+    quant_weights: bool = False,
 ) -> jnp.ndarray:
     """Returns generated ids [B, max_length] (EOS-padded).
 
     quant_cross_kv stores the cross-attention cache int8 (the dominant
-    decode HBM traffic); greedy outputs may differ on near-ties."""
+    decode HBM traffic); quant_weights additionally reads all decode-step
+    weights (decoder projections/FF + lm_head) as int8 with per-channel
+    scales. Outputs may differ from full precision on near-ties."""
     batch = enc.shape[0]
     caches = model.apply(params, enc, max_length, quant_cross_kv,
                          method=type(model).init_cache)
+    qw = (model.apply(params, method=type(model).quantize_weights)
+          if quant_weights else None)
     bias_full = model.apply(params, max_length,
                             method=type(model).full_decoder_bias)
     cross_bias = mask_bias(enc_mask)
@@ -71,7 +76,7 @@ def greedy_generate(
     def body(state):
         step, tok, caches, finished, out = state
         logits, caches = model.apply(
-            params, tok, caches, step, bias_full, cross_bias,
+            params, tok, caches, step, bias_full, cross_bias, qw,
             method=type(model).decode_step)
         next_tok = jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32)
         next_tok = jnp.where(finished, pad_id, next_tok)
@@ -102,6 +107,7 @@ def beam_generate(
     start_id: int = 0,
     length_penalty: float = 1.0,
     quant_cross_kv: bool = False,
+    quant_weights: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Fixed-shape beam search. Returns (ids [B, max_length], scores [B])
     for the best finished beam per sample (HF num_beams semantics)."""
@@ -113,6 +119,8 @@ def beam_generate(
     mask_k = _tile_beams(enc_mask, k)
     caches = model.apply(params, enc_k, max_length, quant_cross_kv,
                          method=type(model).init_cache)
+    qw = (model.apply(params, method=type(model).quantize_weights)
+          if quant_weights else None)
     bias_full = model.apply(params, max_length,
                             method=type(model).full_decoder_bias)
     cross_bias = mask_bias(mask_k)
@@ -129,7 +137,7 @@ def beam_generate(
     def body(state):
         step, tok, caches, scores, finished, seqs = state
         logits, caches = model.apply(
-            params, tok, caches, step, bias_full, cross_bias,
+            params, tok, caches, step, bias_full, cross_bias, qw,
             method=type(model).decode_step)
         logp = jax.nn.log_softmax(logits[:, -1].astype(jnp.float32), axis=-1)
         vocab = logp.shape[-1]
@@ -186,6 +194,7 @@ def generate(
     pad_id: int = 0,
     start_id: int = 0,
     quant_cross_kv: bool = False,
+    quant_weights: bool = False,
 ) -> jnp.ndarray:
     """Encode + decode in one call (jit-friendly; model/static args frozen via
     closure). `batch` needs input_ids/bbox/attention_mask and the pixel
@@ -197,10 +206,12 @@ def generate(
     if num_beams <= 1:
         return greedy_generate(model, params, enc, enc_mask, max_length,
                                eos_id, pad_id, start_id,
-                               quant_cross_kv=quant_cross_kv)
+                               quant_cross_kv=quant_cross_kv,
+                               quant_weights=quant_weights)
     ids, _ = beam_generate(model, params, enc, enc_mask, max_length,
                            num_beams, eos_id, pad_id, start_id,
-                           quant_cross_kv=quant_cross_kv)
+                           quant_cross_kv=quant_cross_kv,
+                           quant_weights=quant_weights)
     return ids
 
 

@@ -80,6 +80,8 @@ def main(config_path: Optional[str] = None,
         remove_stereo=REMOVE_STEREO,
         fix_cxsmiles=FIX_CXSMILES,
         save_visualizations=dargs.save_visualizations,
+        quant_kv=margs.quant_kv,
+        quant_weights=margs.quant_weights,
         output_dir=os.path.join(targs.output_dir, "predictions"))
     evaluator = Evaluator(model, params, test_ds.markush_tokenizer, eval_cfg)
     collator = DataCollator(max_length=dargs.max_seq_length,

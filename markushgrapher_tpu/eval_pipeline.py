@@ -48,6 +48,7 @@ class EvalConfig:
     cache_predictions: bool = True
     bf16_params: bool = True  # cast weights for bandwidth-bound decode
     quant_kv: bool = False    # int8 KV caches (fastest; near-tie flips possible)
+    quant_weights: bool = False  # int8 decode-step weights (serving mode)
     # write N debug figures per run (reference writes <=100 eval PNGs,
     # curriculumTrainer.py:199-204, utils_display.py)
     save_visualizations: int = 0
@@ -81,7 +82,8 @@ class Evaluator:
         def fn(params, batch):
             return generate(model, params, batch, max_length=cfg.max_length,
                             num_beams=cfg.num_beams,
-                            quant_cross_kv=cfg.quant_kv)
+                            quant_cross_kv=cfg.quant_kv,
+                            quant_weights=cfg.quant_weights)
         self._generate = fn
 
     # -- generation -------------------------------------------------------

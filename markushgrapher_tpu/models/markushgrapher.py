@@ -27,7 +27,8 @@ import jax.numpy as jnp
 
 from markushgrapher_tpu.config import MarkushGrapherConfig
 from markushgrapher_tpu.models.swin import SwinEncoder
-from markushgrapher_tpu.models.t5 import Decoder, Encoder, param_with_axes
+from markushgrapher_tpu.models.t5 import (Decoder, Encoder, _deq,
+                                           _quantize_w, param_with_axes)
 from markushgrapher_tpu.ops import relbias
 from markushgrapher_tpu.ops.fusion import combine_image_text_embeddings
 
@@ -90,6 +91,11 @@ class MarkushGrapherModel(nn.Module):
     # fused flash attention for the encoder's 1536-token self-attention
     # (inference only; avoids materializing [B,H,L,L] scores in HBM)
     flash_attention: bool = False
+    # compute the 1d+2d relative bias INSIDE each layer's flash kernel
+    # instead of materializing a shared [B,H,L,L] bf16 bias once (recompute
+    # x24 layers is slower at batch<=32 but removes the 75MB/sample bias
+    # buffer — required headroom for batch-64 serving)
+    inkernel_bias: bool = False
 
     def setup(self):
         vtl = self.cfg.vtl
@@ -181,7 +187,20 @@ class MarkushGrapherModel(nn.Module):
             use_flash = (
                 self.flash_attention and deterministic
                 and seq_len % 256 == 0 and seq_len % 512 == 0)
-            if use_flash:
+            if use_flash and self.inkernel_bias:
+                rb = dict(
+                    hx=((full_bbox[..., 0] + full_bbox[..., 2]) / 2.0
+                        ).astype(jnp.float32),
+                    vy=((full_bbox[..., 1] + full_bbox[..., 3]) / 2.0
+                        ).astype(jnp.float32),
+                    mask=full_mask,
+                    bias_1d=self.enc_bias_1d, bias_h=self.enc_bias_h,
+                    bias_v=self.enc_bias_v,
+                    max_dist_1d=vtl.relative_attention_max_distance,
+                    max_dist_2d=vtl.rel2d_max_distance,
+                    scaling_2d=vtl.rel2d_scaling_factor)
+                e2 = self.encoder(embeds, None, rb, deterministic)
+            elif use_flash:
                 # build the (masked) bias ONCE in bf16 via the chunked
                 # builder, then every layer's flash kernel streams its tiles
                 # (in-kernel bias recompute x24 layers measured slower)
@@ -263,6 +282,15 @@ class MarkushGrapherModel(nn.Module):
                    quant_cross: bool = False):
         return self.decoder.init_cache(enc, max_len, quant_cross)
 
+    def quantize_weights(self):
+        """int8 decode-step weights (decoder projections/FF + lm_head), built
+        once per generate call outside the decode loop. See t5._quantize_w."""
+        k = self.lm_head.variables["params"]["kernel"]
+        k = k.value if hasattr(k, "value") else k
+        lm_q, lm_s = _quantize_w(k, (0,))
+        return {"layers": self.decoder.quantize_weights(),
+                "lm_head": {"q": lm_q, "s": lm_s}}
+
     def decode_step(
         self,
         token_ids: jnp.ndarray,   # [B, 1]
@@ -270,12 +298,22 @@ class MarkushGrapherModel(nn.Module):
         step: jnp.ndarray,
         dec_bias_full: jnp.ndarray,   # [1, H, S_max, S_max] precomputed causal bias
         cross_bias: jnp.ndarray,      # [B, 1, 1, L_enc]
+        qw=None,                      # output of quantize_weights, or None
     ):
         x = self.embed_tokens(token_ids)
         max_len = dec_bias_full.shape[-1]
         bias_row = jax.lax.dynamic_slice_in_dim(dec_bias_full, step, 1, axis=2)
-        x, caches = self.decoder.decode_step(x, caches, step, bias_row, cross_bias)
-        logits = self.lm_head(x.astype(jnp.float32))
+        x, caches = self.decoder.decode_step(
+            x, caches, step, bias_row, cross_bias,
+            qw["layers"] if qw is not None else None)
+        if qw is not None:
+            # bf16 operands + f32 accumulation: MXU-native, int8 HBM reads
+            logits = jnp.einsum(
+                "bqd,dv->bqv", x.astype(jnp.bfloat16),
+                _deq(qw["lm_head"]["q"], jnp.bfloat16),
+                preferred_element_type=jnp.float32) * qw["lm_head"]["s"]
+        else:
+            logits = self.lm_head(x.astype(jnp.float32))
         return logits, caches
 
     def full_decoder_bias(self, max_len: int) -> jnp.ndarray:

@@ -26,11 +26,31 @@ param_with_axes = nn.with_logical_partitioning
 
 def _quantize_kv(t: jnp.ndarray):
     """Per-(token, head) symmetric int8 quantization of a [B, K, H, D] cache
-    tensor -> (int8 values, f32 scales [B, K, H])."""
+    tensor -> (int8 values, f32 scales [B, K, H]). f32 scales measured faster
+    than bf16 ones (3.47 vs 3.19 img/s at batch 16 — the halved scale read
+    traffic loses to the extra convert in the score fusion)."""
     scale = jnp.max(jnp.abs(t.astype(jnp.float32)), axis=-1,
                     keepdims=True) / 127.0 + 1e-8
     q = jnp.round(t.astype(jnp.float32) / scale).astype(jnp.int8)
     return q, scale.astype(jnp.float32)[..., 0]
+
+
+def _quantize_w(w: jnp.ndarray, contract_axes: Tuple[int, ...]):
+    """Weight-only symmetric int8 quantization, one scale per OUTPUT channel
+    (per-channel scales commute with the contraction, so dequantization is a
+    cheap multiply on the [B, 1, out] result instead of on the full weight)."""
+    wf = w.astype(jnp.float32)
+    s = jnp.max(jnp.abs(wf), axis=contract_axes, keepdims=True) / 127.0 + 1e-12
+    q = jnp.round(wf / s).astype(jnp.int8)
+    return q, jnp.squeeze(s, contract_axes)
+
+
+def _deq(q: jnp.ndarray, dtype) -> jnp.ndarray:
+    """int8 weight -> compute dtype INSIDE the decode loop body. The
+    optimization barrier pins the convert in the loop so XLA cannot hoist it
+    and re-materialize full-width weights in HBM (which would erase the int8
+    traffic saving); the convert itself fuses into the consuming dot."""
+    return jax.lax.optimization_barrier(q).astype(dtype)
 
 
 FLASH_BLOCK_Q, FLASH_BLOCK_K = 256, 512
@@ -258,9 +278,12 @@ class DecoderLayer(nn.Module):
         quant_cross stores the cross K/V int8 with per-(token, head) scales:
         cross-attention reads ALL encoder keys EVERY step, so its cache is
         the dominant decode HBM traffic (~2.9 GB/step at batch 16 on the
-        831M model); int8 halves it."""
+        831M model); int8 halves it. Cache dim order is token-major
+        [B, K, H, D] — measured fastest; XLA picks physical layouts itself,
+        and head-major orders made it insert per-step relayouts (3.47 ->
+        2.91 img/s at batch 16)."""
         batch = enc.shape[0]
-        ck, cv = self.cross_attn.compute_kv(enc)
+        ck, cv = self.cross_attn.compute_kv(enc)       # [B, K, H, D]
         if quant_cross:
             cache = {
                 "self_k_q": jnp.zeros(
@@ -275,31 +298,91 @@ class DecoderLayer(nn.Module):
             for name, t in (("cross_k", ck), ("cross_v", cv)):
                 q, s = _quantize_kv(t)
                 cache[name + "_q"] = q
-                cache[name + "_s"] = s
+                cache[name + "_s"] = s                 # [B, K, H] f32
             return cache
-        zeros = jnp.zeros((batch, max_len, self.num_heads, self.d_kv), self.dtype)
+        zeros = jnp.zeros((batch, max_len, self.num_heads, self.d_kv),
+                          self.dtype)
         return {"cross_k": ck, "cross_v": cv, "self_k": zeros, "self_v": zeros}
 
-    def _fused_self_qkv(self, h):
+    def _kernel_of(self, mod):
+        k = mod.variables["params"]["kernel"]
+        return k.value if hasattr(k, "value") else k
+
+    def quantize_weights(self) -> Dict[str, jnp.ndarray]:
+        """int8-quantize every weight the decode step reads (per-output-channel
+        scales). Decode is HBM-bound; after the int8 KV caches, the remaining
+        per-step traffic is these ~14M params/layer — int8 halves it vs bf16.
+        Built once per generate call, read by `decode_step(..., qw=...)`."""
+        qw = {}
+        w = jnp.stack([self._kernel_of(self.self_attn.q),
+                       self._kernel_of(self.self_attn.k),
+                       self._kernel_of(self.self_attn.v)], axis=1)  # [D,3,H,Dk]
+        qw["qkv_q"], qw["qkv_s"] = _quantize_w(w, (0,))
+        qw["self_o_q"], qw["self_o_s"] = _quantize_w(
+            self._kernel_of(self.self_attn.o), (0, 1))
+        qw["cross_q_q"], qw["cross_q_s"] = _quantize_w(
+            self._kernel_of(self.cross_attn.q), (0,))
+        qw["cross_o_q"], qw["cross_o_s"] = _quantize_w(
+            self._kernel_of(self.cross_attn.o), (0, 1))
+        ff_params = self.ff.variables["params"]
+
+        def ff_kernel(name):
+            k = ff_params[name]["kernel"]
+            return k.value if hasattr(k, "value") else k
+
+        if self.ff_proj == "gated-gelu":
+            qw["wi_0_q"], qw["wi_0_s"] = _quantize_w(ff_kernel("wi_0"), (0,))
+            qw["wi_1_q"], qw["wi_1_s"] = _quantize_w(ff_kernel("wi_1"), (0,))
+        else:
+            qw["wi_q"], qw["wi_s"] = _quantize_w(ff_kernel("wi"), (0,))
+        qw["wo_q"], qw["wo_s"] = _quantize_w(ff_kernel("wo"), (0,))
+        return qw
+
+    def _fused_self_qkv(self, h, qw=None):
         """One matmul for q,k,v in the decode step: the kernel concat is
         loop-invariant so XLA hoists it out of the while_loop, and the loop
         body runs 1 projection instead of 3 (decode is small-op bound)."""
+        if qw is not None:
+            qkv = jnp.einsum("bqd,dthk->bqthk", h, _deq(qw["qkv_q"], self.dtype))
+            qkv = (qkv.astype(jnp.float32)
+                   * qw["qkv_s"][None, None]).astype(self.dtype)
+            return qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
         attn = self.self_attn
-
-        def kernel_of(mod):
-            k = mod.variables["params"]["kernel"]
-            return k.value if hasattr(k, "value") else k
-
-        w = jnp.stack([kernel_of(attn.q), kernel_of(attn.k),
-                       kernel_of(attn.v)], axis=1)  # [D, 3, H, Dk]
+        w = jnp.stack([self._kernel_of(attn.q), self._kernel_of(attn.k),
+                       self._kernel_of(attn.v)], axis=1)  # [D, 3, H, Dk]
         qkv = jnp.einsum("bqd,dthk->bqthk", h, w.astype(self.dtype))
         return qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
 
-    def _self_attend_quant(self, h, cache, step, self_bias_row):
+    def _proj_o(self, out, qw, key, attn):
+        """Output projection, optionally against int8 weights."""
+        if qw is None:
+            return attn.o(out)
+        y = jnp.einsum("bqhd,hdD->bqD", out, _deq(qw[key + "_q"], self.dtype))
+        return (y.astype(jnp.float32) * qw[key + "_s"]).astype(self.dtype)
+
+    def _ff_decode(self, h, qw):
+        """Decode-step feed-forward, optionally against int8 weights."""
+        if qw is None:
+            return self.ff(h, True)
+        if self.ff_proj == "gated-gelu":
+            a = jnp.einsum("bqd,df->bqf", h, _deq(qw["wi_0_q"], self.dtype))
+            a = jax.nn.gelu((a.astype(jnp.float32)
+                             * qw["wi_0_s"]).astype(self.dtype))
+            g = jnp.einsum("bqd,df->bqf", h, _deq(qw["wi_1_q"], self.dtype))
+            g = (g.astype(jnp.float32) * qw["wi_1_s"]).astype(self.dtype)
+            mid = a * g
+        else:
+            mid = jnp.einsum("bqd,df->bqf", h, _deq(qw["wi_q"], self.dtype))
+            mid = jax.nn.relu((mid.astype(jnp.float32)
+                               * qw["wi_s"]).astype(self.dtype))
+        y = jnp.einsum("bqf,fd->bqd", mid, _deq(qw["wo_q"], self.dtype))
+        return (y.astype(jnp.float32) * qw["wo_s"]).astype(self.dtype)
+
+    def _self_attend_quant(self, h, cache, step, self_bias_row, qw=None):
         """Self-attention over the int8 ring cache; the new row is quantized
         on insertion."""
         attn = self.self_attn
-        q, k_new, v_new = self._fused_self_qkv(h)   # [B, 1, H, Dk] each
+        q, k_new, v_new = self._fused_self_qkv(h, qw)   # [B, 1, H, Dk] each
         kq_new, ks_new = _quantize_kv(k_new)
         vq_new, vs_new = _quantize_kv(v_new)
         k_q = jax.lax.dynamic_update_slice_in_dim(cache["self_k_q"], kq_new,
@@ -313,37 +396,53 @@ class DecoderLayer(nn.Module):
         scores = jnp.einsum("bqhd,bkhd->bhqk", q.astype(jnp.float32),
                             k_q.astype(jnp.float32),
                             preferred_element_type=jnp.float32)
-        scores = scores * jnp.transpose(k_s, (0, 2, 1))[:, :, None, :]
+        scores = scores * jnp.transpose(k_s, (0, 2, 1))[:, :, None, :
+                                                        ].astype(jnp.float32)
         scores = scores + self_bias_row.astype(jnp.float32)
         probs = jax.nn.softmax(scores, axis=-1)
-        probs = probs * jnp.transpose(v_s, (0, 2, 1))[:, :, None, :]
+        probs = probs * jnp.transpose(v_s, (0, 2, 1))[:, :, None, :
+                                                      ].astype(jnp.float32)
         out = jnp.einsum("bhqk,bkhd->bqhd", probs.astype(self.dtype),
                          v_q.astype(self.dtype))
         new = dict(cache, self_k_q=k_q, self_v_q=v_q, self_k_s=k_s,
                    self_v_s=v_s)
-        return attn.o(out), new
+        return self._proj_o(out, qw, "self_o", attn), new
 
-    def _cross_attend(self, h, cache, cross_bias):
+    def _cross_q(self, h, qw):
+        if qw is None:
+            return self.cross_attn.q(h)
+        q = jnp.einsum("bqd,dhk->bqhk", h, _deq(qw["cross_q_q"], self.dtype))
+        return (q.astype(jnp.float32)
+                * qw["cross_q_s"][None, None]).astype(self.dtype)
+
+    def _cross_attend(self, h, cache, cross_bias, qw=None):
         """Cross-attention against (possibly int8) cached K/V."""
-        if "cross_k" in cache:
-            return self.cross_attn(
-                h, kv=(cache["cross_k"], cache["cross_v"]), bias=cross_bias)
         attn = self.cross_attn
-        q = attn.q(h)                                   # [B, 1, H, Dk]
+        q = self._cross_q(h, qw)                        # [B, 1, H, Dk]
+        if "cross_k" in cache:
+            scores = jnp.einsum("bqhd,bkhd->bhqk", q, cache["cross_k"],
+                                preferred_element_type=jnp.float32)
+            if cross_bias is not None:
+                scores = scores + cross_bias.astype(jnp.float32)
+            probs = jax.nn.softmax(scores, axis=-1).astype(self.dtype)
+            out = jnp.einsum("bhqk,bkhd->bqhd", probs, cache["cross_v"])
+            return self._proj_o(out, qw, "cross_o", attn)
         k_q, k_s = cache["cross_k_q"], cache["cross_k_s"]   # [B,K,H,Dk] i8, [B,K,H]
         v_q, v_s = cache["cross_v_q"], cache["cross_v_s"]
         scores = jnp.einsum("bqhd,bkhd->bhqk", q.astype(jnp.float32),
                             k_q.astype(jnp.float32),
                             preferred_element_type=jnp.float32)
-        scores = scores * jnp.transpose(k_s, (0, 2, 1))[:, :, None, :]
+        scores = scores * jnp.transpose(k_s, (0, 2, 1))[:, :, None, :
+                                                        ].astype(jnp.float32)
         if cross_bias is not None:
             scores = scores + cross_bias.astype(jnp.float32)
         probs = jax.nn.softmax(scores, axis=-1)
         # fold the v scale into the probabilities (applies before the k-sum)
-        probs = probs * jnp.transpose(v_s, (0, 2, 1))[:, :, None, :]
+        probs = probs * jnp.transpose(v_s, (0, 2, 1))[:, :, None, :
+                                                      ].astype(jnp.float32)
         out = jnp.einsum("bhqk,bkhd->bqhd", probs.astype(self.dtype),
                          v_q.astype(self.dtype))
-        return attn.o(out)
+        return self._proj_o(out, qw, "cross_o", attn)
 
     def decode_step(
         self,
@@ -352,13 +451,15 @@ class DecoderLayer(nn.Module):
         step: jnp.ndarray,         # scalar int
         self_bias_row: jnp.ndarray,   # [1, H, 1, max_len]
         cross_bias: Optional[jnp.ndarray],  # [B, 1or H, 1, K_enc] mask bias
+        qw: Optional[Dict[str, jnp.ndarray]] = None,  # int8 decode weights
     ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
         h = self.ln_self(x)
         if "self_k_q" in cache:
-            h, cache = self._self_attend_quant(h, cache, step, self_bias_row)
+            h, cache = self._self_attend_quant(h, cache, step, self_bias_row,
+                                               qw)
         else:
             attn = self.self_attn
-            q, k_new, v_new = self._fused_self_qkv(h)
+            q, k_new, v_new = self._fused_self_qkv(h, qw)
             self_k = jax.lax.dynamic_update_slice_in_dim(
                 cache["self_k"], k_new.astype(cache["self_k"].dtype),
                 step, axis=1)
@@ -370,13 +471,15 @@ class DecoderLayer(nn.Module):
                                 preferred_element_type=jnp.float32)
             scores = scores + self_bias_row.astype(jnp.float32)
             probs = jax.nn.softmax(scores, axis=-1).astype(self.dtype)
-            h = attn.o(jnp.einsum("bhqk,bkhd->bqhd", probs, self_v))
+            h = self._proj_o(
+                jnp.einsum("bhqk,bkhd->bqhd", probs, self_v), qw, "self_o",
+                attn)
             cache = dict(cache, self_k=self_k, self_v=self_v)
         x = x + h
         h = self.ln_cross(x)
-        h = self._cross_attend(h, cache, cross_bias)
+        h = self._cross_attend(h, cache, cross_bias, qw)
         x = x + h
-        x = x + self.ff(self.ln_ff(x), True)
+        x = x + self._ff_decode(self.ln_ff(x), qw)
         return x, cache
 
 
@@ -418,9 +521,15 @@ class Decoder(nn.Module):
         return [layer.init_cache(enc, max_len, quant_cross)
                 for layer in self.layers]
 
-    def decode_step(self, x, caches, step, self_bias_row, cross_bias):
+    def quantize_weights(self):
+        return [layer.quantize_weights() for layer in self.layers]
+
+    def decode_step(self, x, caches, step, self_bias_row, cross_bias,
+                    qw=None):
         new_caches = []
-        for layer, cache in zip(self.layers, caches):
-            x, cache = layer.decode_step(x, cache, step, self_bias_row, cross_bias)
+        for i, (layer, cache) in enumerate(zip(self.layers, caches)):
+            x, cache = layer.decode_step(
+                x, cache, step, self_bias_row, cross_bias,
+                qw[i] if qw is not None else None)
             new_caches.append(cache)
         return self.final_ln(x), new_caches

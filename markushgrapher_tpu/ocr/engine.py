@@ -34,6 +34,7 @@ class OCREngineConfig:
     batch_size: int = 8
     eos_id: int = 2
     pad_id: int = 0
+    quant_weights: bool = False     # int8 decode-step weights (serving mode)
 
 
 class ChemicalOCR:
@@ -58,6 +59,9 @@ class ChemicalOCR:
                 params, pixel_values, prompt_ids,
                 method=ChemicalOCRModel.prefill,
                 max_len=cfg.max_new_tokens)
+            qw = (model.apply(params,
+                              method=ChemicalOCRModel.quantize_weights)
+                  if cfg.quant_weights else None)
             batch = pixel_values.shape[0]
             first = jnp.argmax(logits[:, -1], -1).astype(jnp.int32)
 
@@ -68,7 +72,7 @@ class ChemicalOCR:
             def body(state):
                 step, tok, caches, finished, out = state
                 logits, caches = model.apply(
-                    params, tok, caches, step, prefix_len,
+                    params, tok, caches, step, prefix_len, qw,
                     method=ChemicalOCRModel.decode_step)
                 nxt = jnp.argmax(logits[:, -1], -1).astype(jnp.int32)
                 nxt = jnp.where(finished, cfg.pad_id, nxt)

@@ -22,7 +22,8 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from markushgrapher_tpu.models.t5 import RMSNorm, param_with_axes
+from markushgrapher_tpu.models.t5 import (RMSNorm, _deq, _quantize_w,
+                                           param_with_axes)
 
 
 @dataclass(frozen=True)
@@ -260,16 +261,67 @@ class LMLayer(nn.Module):
         cache = {"k": jnp.pad(k, pad), "v": jnp.pad(v, pad)}
         return x, cache
 
-    def decode_step(self, x, cache, rope, position, step, kv_mask):
+    def _kernel_of(self, mod):
+        k = mod.variables["params"]["kernel"]
+        return k.value if hasattr(k, "value") else k
+
+    def quantize_weights(self):
+        """int8 decode-step weights with per-output-channel scales (same
+        scheme as t5.DecoderLayer.quantize_weights — decode is HBM-bound on
+        weight + KV reads). q/k/v stack along the head axis (GQA: q has
+        num_heads, k/v num_kv_heads each); gate/up stack along a new axis."""
+        qw = {}
+        w = jnp.concatenate([self._kernel_of(self.q), self._kernel_of(self.k),
+                             self._kernel_of(self.v)], axis=1)  # [D,H+2Hkv,d]
+        qw["qkv_q"], qw["qkv_s"] = _quantize_w(w, (0,))
+        qw["o_q"], qw["o_s"] = _quantize_w(self._kernel_of(self.o), (0, 1))
+        gu = jnp.stack([self._kernel_of(self.gate),
+                        self._kernel_of(self.up)], axis=1)      # [D, 2, F]
+        qw["gu_q"], qw["gu_s"] = _quantize_w(gu, (0,))
+        qw["down_q"], qw["down_s"] = _quantize_w(
+            self._kernel_of(self.down), (0,))
+        return qw
+
+    def decode_step(self, x, cache, rope, position, step, kv_mask, qw=None):
+        cfg = self.cfg
         h = self.ln_attn(x)
-        q = apply_rope(self.q(h), rope, position)
-        k_new = apply_rope(self.k(h), rope, position)
-        v_new = self.v(h)
+        if qw is None:
+            q, k_new, v_new = self.q(h), self.k(h), self.v(h)
+        else:
+            qkv = jnp.einsum("bqd,dhk->bqhk", h, _deq(qw["qkv_q"], self.dtype))
+            qkv = (qkv.astype(jnp.float32)
+                   * qw["qkv_s"][None, None]).astype(self.dtype)
+            nh, nkv = cfg.num_heads, cfg.num_kv_heads
+            q, k_new, v_new = (qkv[:, :, :nh], qkv[:, :, nh:nh + nkv],
+                               qkv[:, :, nh + nkv:])
+        q = apply_rope(q, rope, position)
+        k_new = apply_rope(k_new, rope, position)
         k = jax.lax.dynamic_update_slice_in_dim(cache["k"], k_new, step, axis=1)
         v = jax.lax.dynamic_update_slice_in_dim(cache["v"], v_new, step, axis=1)
-        x = x + self._attend(q, k, v, kv_mask)
+        if qw is None:
+            x = x + self._attend(q, k, v, kv_mask)
+        else:
+            rep = cfg.num_heads // cfg.num_kv_heads
+            head_dim = q.shape[-1]
+            scores = jnp.einsum(
+                "bqhd,bkhd->bhqk", q * (head_dim ** -0.5),
+                jnp.repeat(k, rep, axis=2),
+                preferred_element_type=jnp.float32) + kv_mask
+            probs = jax.nn.softmax(scores, -1).astype(self.dtype)
+            out = jnp.einsum("bhqk,bkhd->bqhd", probs,
+                             jnp.repeat(v, rep, axis=2))
+            y = jnp.einsum("bqhd,hdD->bqD", out, _deq(qw["o_q"], self.dtype))
+            x = x + (y.astype(jnp.float32) * qw["o_s"]).astype(self.dtype)
         h = self.ln_mlp(x)
-        x = x + self.down(jax.nn.silu(self.gate(h)) * self.up(h))
+        if qw is None:
+            x = x + self.down(jax.nn.silu(self.gate(h)) * self.up(h))
+        else:
+            gu = jnp.einsum("bqd,dtf->bqtf", h, _deq(qw["gu_q"], self.dtype))
+            gu = (gu.astype(jnp.float32)
+                  * qw["gu_s"][None, None]).astype(self.dtype)
+            mid = jax.nn.silu(gu[:, :, 0]) * gu[:, :, 1]
+            y = jnp.einsum("bqf,fd->bqd", mid, _deq(qw["down_q"], self.dtype))
+            x = x + (y.astype(jnp.float32) * qw["down_s"]).astype(self.dtype)
         return x, {"k": k, "v": v}
 
 
@@ -331,7 +383,15 @@ class ChemicalOCRModel(nn.Module):
         logits = x[:, -1:] @ self.embed.T.astype(jnp.float32)
         return logits, caches, L0
 
-    def decode_step(self, token_ids, caches, step, prefix_len):
+    def quantize_weights(self):
+        """int8 decode-step weights: every LM layer + the tied-embedding LM
+        head (per-vocab-row scales). Built once per generate, outside the
+        decode while_loop."""
+        emb_q, emb_s = _quantize_w(self.embed, (1,))   # [V, D] i8, [V]
+        return {"layers": [layer.quantize_weights() for layer in self.layers],
+                "lm_head": {"q": emb_q, "s": emb_s}}
+
+    def decode_step(self, token_ids, caches, step, prefix_len, qw=None):
         """One token for all sequences; step counts from 0 after prefill."""
         b = token_ids.shape[0]
         pos = jnp.full((b, 1), prefix_len + step, jnp.int32)
@@ -342,9 +402,16 @@ class ChemicalOCRModel(nn.Module):
         kv_mask = jnp.where(idx[None, None, None, :] <= prefix_len + step,
                             0.0, neg)
         new_caches = []
-        for layer, cache in zip(self.layers, caches):
-            x, cache = layer.decode_step(x, cache, self._rope, pos,
-                                         prefix_len + step, kv_mask)
+        for i, (layer, cache) in enumerate(zip(self.layers, caches)):
+            x, cache = layer.decode_step(
+                x, cache, self._rope, pos, prefix_len + step, kv_mask,
+                qw["layers"][i] if qw is not None else None)
             new_caches.append(cache)
         x = self.final_ln(x)
+        if qw is not None:
+            logits = jnp.einsum(
+                "bqd,vd->bqv", x.astype(jnp.bfloat16),
+                _deq(qw["lm_head"]["q"], jnp.bfloat16),
+                preferred_element_type=jnp.float32) * qw["lm_head"]["s"]
+            return logits, new_caches
         return x @ self.embed.T.astype(jnp.float32), new_caches

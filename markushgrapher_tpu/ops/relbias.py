@@ -114,7 +114,7 @@ def encoder_position_bias_chunked(
     max_distance_1d: int,
     rel2d_scaling: int,
     max_distance_2d: int,
-    chunk: int = 256,
+    chunk: int = 0,
     out_dtype=jnp.bfloat16,
     mask_value: float = -1e9,
 ) -> jnp.ndarray:
@@ -124,7 +124,13 @@ def encoder_position_bias_chunked(
     by ops.flash_attention.flash_attention_bias, which streams tiles).
 
     The one-shot builder (encoder_position_bias) allocates several f32
-    [B,H,L,L] intermediates — >10 GB at batch 16 on the 831M model."""
+    [B,H,L,L] intermediates — >10 GB at batch 16 on the 831M model.
+
+    chunk=0 auto-sizes by batch: 256 up to batch 16 (fastest measured), 64
+    above (the table gathers' [B,chunk,L,H] transients pad the 16-wide head
+    dim to 128 lanes — 8x — and OOM 16 GB HBM at batch 32 with chunk 256)."""
+    if chunk <= 0:
+        chunk = 256 if bbox.shape[0] <= 16 else 64
     if seq_len % chunk:
         chunk = seq_len  # degenerate fallback
     n_chunks = seq_len // chunk
@@ -137,28 +143,46 @@ def encoder_position_bias_chunked(
     hx_chunks = jnp.moveaxis(hx.reshape(-1, n_chunks, chunk), 1, 0)
     vy_chunks = jnp.moveaxis(vy.reshape(-1, n_chunks, chunk), 1, 0)
 
-    def one_chunk(_, xs):
-        pos_q, hx_q, vy_q = xs   # [chunk], [B, chunk], [B, chunk]
+    batch = bbox.shape[0]
+    num_heads = bias_1d_table.shape[-1]
+    # Write chunks into the FINAL [B, H, L, L] carry in place: a stacked
+    # scan output [n_chunks, B, H, chunk, L] tempts the layout assigner to
+    # put the 16-wide head dim on the 128-lane axis (8x HBM padding -> OOM
+    # at batch 32); the carry keeps the natural (L, L) tiling.
+    acc0 = jnp.zeros((batch, num_heads, seq_len, seq_len), out_dtype)
+
+    # gather from TRANSPOSED tables so every intermediate keeps L (divisible
+    # by 128) on the lane axis: `table[idx]` puts the 16-wide head dim there
+    # instead, and T(8,128) tiling pads 16 -> 128 (8x HBM, 6 GB per gather at
+    # batch 32 — the allocation that blocked batch-32 serving).
+    t1 = bias_1d_table.T        # [H, num_buckets]
+    th = bias_h_table.T
+    tv = bias_v_table.T
+
+    def one_chunk(acc, xs):
+        idx, pos_q, hx_q, vy_q = xs   # [], [chunk], [B, chunk], [B, chunk]
         rel = positions[None, :] - pos_q[:, None]
         b1 = relative_position_bucket(rel, True, num_buckets, max_distance_1d)
-        bias = bias_1d_table[b1]                       # [chunk, L, H]
+        bias = jnp.take(t1, b1, axis=1)                # [H, chunk, L]
         relh = ((hx[:, None, :] - hx_q[:, :, None]) * rel2d_scaling
                 ).astype(jnp.int32)
         bh = relative_position_bucket(relh, True, num_buckets, max_distance_2d)
         relv = ((vy[:, None, :] - vy_q[:, :, None]) * rel2d_scaling
                 ).astype(jnp.int32)
         bv = relative_position_bucket(relv, True, num_buckets, max_distance_2d)
-        full = bias[None] + bias_h_table[bh] + bias_v_table[bv]  # [B,chunk,L,H]
-        full = jnp.where(key_mask[:, None, :, None], full, mask_value)
-        # -> [B, H, chunk, L]
-        return None, jnp.moveaxis(full, -1, 1).astype(out_dtype)
+        full = (bias[:, None] + jnp.take(th, bh, axis=1)
+                + jnp.take(tv, bv, axis=1))            # [H, B, chunk, L]
+        full = jnp.where(key_mask[None, :, None, :], full, mask_value)
+        tile = jnp.moveaxis(full, 0, 1).astype(out_dtype)  # [B, H, chunk, L]
+        acc = jax.lax.dynamic_update_slice(
+            acc, tile, (0, 0, idx * chunk, 0))
+        return acc, None
 
-    _, chunks = jax.lax.scan(one_chunk, None,
-                             (pos_chunks, hx_chunks, vy_chunks))
-    # chunks: [n_chunks, B, H, chunk, L] -> [B, H, L, L]
-    out = jnp.moveaxis(chunks, 0, 2)
-    b, h = out.shape[0], out.shape[1]
-    return out.reshape(b, h, seq_len, seq_len)
+    out, _ = jax.lax.scan(
+        one_chunk, acc0,
+        (jnp.arange(n_chunks, dtype=jnp.int32), pos_chunks, hx_chunks,
+         vy_chunks))
+    return out
 
 
 def decoder_position_bias(

@@ -90,3 +90,13 @@ class TestModelInKernelRelBias:
         # bf16-level divergence
         np.testing.assert_allclose(np.asarray(enc_f), np.asarray(enc_n),
                                    atol=2e-2, rtol=2e-2)
+
+        # in-kernel relbias variant (batch-64 serving path: no [B,H,L,L]
+        # bias buffer) must match the same reference
+        inkernel = MarkushGrapherModel(cfg, dtype=jnp.float32,
+                                       flash_attention=True,
+                                       inkernel_bias=True)
+        enc_k, _ = inkernel.apply(params, *args,
+                                  method=MarkushGrapherModel.encode)
+        np.testing.assert_allclose(np.asarray(enc_k), np.asarray(enc_n),
+                                   atol=2e-2, rtol=2e-2)

@@ -119,6 +119,26 @@ class TestBeam:
         out = generate(model, params, batch, max_length=MAXLEN, num_beams=3)
         assert out.shape == (2, MAXLEN)
 
+    def test_length_penalty_changes_ranking_monotonically(self, setup):
+        """HF semantics score/len**penalty: higher penalty must not pick a
+        LONGER sequence than lower penalty picks (it divides more)."""
+        cfg, model, params, batch, enc, enc_mask = setup
+
+        def lengths(ids):
+            ids = np.asarray(ids)
+            return [(row != 0).sum() for row in ids]
+
+        short_pref, _ = beam_generate(model, params, enc, enc_mask, MAXLEN,
+                                      num_beams=4, eos_id=1,
+                                      length_penalty=0.0)
+        long_pref, _ = beam_generate(model, params, enc, enc_mask, MAXLEN,
+                                     num_beams=4, eos_id=1,
+                                     length_penalty=2.0)
+        # log-probs are negative: dividing by len**2 shrinks magnitude, so
+        # higher penalty favors longer sequences (HF behavior)
+        for ls, ll in zip(lengths(short_pref), lengths(long_pref)):
+            assert ll >= ls, (ls, ll)
+
 
 class TestQuantizedCrossKV:
     def test_int8_cross_kv_close_to_full(self, setup):
@@ -132,3 +152,42 @@ class TestQuantizedCrossKV:
                                            quant_cross_kv=True))
         # random init has sharp argmax margins; sequences should match
         assert (full == quant).mean() > 0.8, (full, quant)
+
+
+class TestQuantizedWeights:
+    def test_int8_weight_logits_close(self, setup):
+        """One decode step against int8 weights must track full precision:
+        per-output-channel weight quantization bounds the relative logits
+        error well under argmax margins on a random-init model."""
+        cfg, model, params, batch, enc, enc_mask = setup
+        caches = model.apply(params, enc, MAXLEN,
+                             method=MarkushGrapherModel.init_cache)
+        bias = model.apply(params, MAXLEN,
+                           method=MarkushGrapherModel.full_decoder_bias)
+        cb = mask_bias(enc_mask)
+        qw = model.apply(params, method=MarkushGrapherModel.quantize_weights)
+        tok = jnp.zeros((2, 1), jnp.int32)
+        ref, _ = model.apply(params, tok, caches, jnp.int32(0), bias, cb,
+                             method=MarkushGrapherModel.decode_step)
+        got, _ = model.apply(params, tok, caches, jnp.int32(0), bias, cb, qw,
+                             method=MarkushGrapherModel.decode_step)
+        ref, got = np.asarray(ref), np.asarray(got)
+        scale = np.abs(ref).max()
+        assert np.abs(ref - got).max() < 0.05 * scale, (ref, got)
+
+    def test_int8_weight_greedy_matches(self, setup):
+        cfg, model, params, batch, enc, enc_mask = setup
+        full = np.asarray(greedy_generate(model, params, enc, enc_mask,
+                                          MAXLEN, eos_id=1))
+        quant = np.asarray(greedy_generate(model, params, enc, enc_mask,
+                                           MAXLEN, eos_id=1,
+                                           quant_weights=True))
+        assert (full == quant).mean() > 0.8, (full, quant)
+
+    def test_int8_weight_beam_runs(self, setup):
+        cfg, model, params, batch, enc, enc_mask = setup
+        ids, scores = beam_generate(model, params, enc, enc_mask, MAXLEN,
+                                    num_beams=3, eos_id=1, quant_weights=True,
+                                    quant_cross_kv=True)
+        assert np.asarray(ids).shape == (2, MAXLEN)
+        assert np.all(np.isfinite(np.asarray(scores)))

@@ -110,6 +110,21 @@ class TestVLM:
             np.stack(step_logits, 1)[:, :-1], want[:, :-1],
             atol=2e-4, rtol=1e-4)
 
+    def test_int8_weight_decode_close(self, vlm):
+        """decode_step against int8 weights tracks full precision within
+        per-channel quantization error."""
+        cfg, model, params, pix, prompt = vlm
+        _, caches, prefix_len = model.apply(
+            params, pix, prompt, method=ChemicalOCRModel.prefill, max_len=4)
+        qw = model.apply(params, method=ChemicalOCRModel.quantize_weights)
+        tok = jnp.asarray([[7], [13]], jnp.int32)
+        ref, _ = model.apply(params, tok, caches, jnp.int32(0), prefix_len,
+                             method=ChemicalOCRModel.decode_step)
+        got, _ = model.apply(params, tok, caches, jnp.int32(0), prefix_len,
+                             qw, method=ChemicalOCRModel.decode_step)
+        ref, got = np.asarray(ref), np.asarray(got)
+        assert np.abs(ref - got).max() < 0.05 * np.abs(ref).max()
+
 
 class TestEngine:
     def test_predict_cells(self, vlm):
