@@ -47,7 +47,11 @@ def main() -> None:
     model = MarkushGrapherModel(
         cfg, dtype=jnp.bfloat16,
         flash_attention=os.environ.get("BENCH_FLASH", "1") == "1",
-        inkernel_bias=os.environ.get("BENCH_INKERNEL_BIAS", "0") == "1")
+        inkernel_bias=os.environ.get("BENCH_INKERNEL_BIAS", "0") == "1",
+        # experimental pallas decode kernel: measured 0.77 img/s vs 3.47 for
+        # XLA's fusions (Mosaic VPU lowering of the broadcast-multiply-reduce
+        # is far off XLA's code) — keep off
+        flash_decode=os.environ.get("BENCH_FLASH_DECODE", "0") == "1")
 
     rng = np.random.RandomState(0)
     T = cfg.max_seq_length

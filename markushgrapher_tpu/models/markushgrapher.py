@@ -96,6 +96,9 @@ class MarkushGrapherModel(nn.Module):
     # x24 layers is slower at batch<=32 but removes the 75MB/sample bias
     # buffer — required headroom for batch-64 serving)
     inkernel_bias: bool = False
+    # fused int8 cross-attention decode kernel (ops.flash_decode) — halves
+    # the dominant decode HBM traffic; requires quant_cross_kv at generate
+    flash_decode: bool = False
 
     def setup(self):
         vtl = self.cfg.vtl
@@ -138,7 +141,8 @@ class MarkushGrapherModel(nn.Module):
             num_layers=vtl.num_decoder_layers, d_model=vtl.d_model,
             num_heads=vtl.num_heads, d_kv=vtl.d_kv, d_ff=vtl.d_ff,
             ff_proj=vtl.feed_forward_proj, eps=vtl.layer_norm_epsilon,
-            dtype=self.dtype, dropout_rate=vtl.dropout_rate, remat=self.remat)
+            dtype=self.dtype, dropout_rate=vtl.dropout_rate, remat=self.remat,
+            flash_decode=self.flash_decode)
         self.lm_head = nn.DenseGeneral(
             features=vtl.vocab_size, use_bias=False, dtype=jnp.float32,
             param_dtype=jnp.float32,
