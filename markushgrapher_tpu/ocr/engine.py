@@ -35,6 +35,7 @@ class OCREngineConfig:
     eos_id: int = 2
     pad_id: int = 0
     quant_weights: bool = False     # int8 decode-step weights (serving mode)
+    quant_kv: bool = False          # int8 KV caches (serving mode)
 
 
 class ChemicalOCR:
@@ -58,7 +59,7 @@ class ChemicalOCR:
             logits, caches, prefix_len = model.apply(
                 params, pixel_values, prompt_ids,
                 method=ChemicalOCRModel.prefill,
-                max_len=cfg.max_new_tokens)
+                max_len=cfg.max_new_tokens, quant_kv=cfg.quant_kv)
             qw = (model.apply(params,
                               method=ChemicalOCRModel.quantize_weights)
                   if cfg.quant_weights else None)

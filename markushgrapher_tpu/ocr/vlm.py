@@ -22,8 +22,8 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from markushgrapher_tpu.models.t5 import (RMSNorm, _deq, _quantize_w,
-                                           param_with_axes)
+from markushgrapher_tpu.models.t5 import (RMSNorm, _deq, _quantize_kv,
+                                           _quantize_w, param_with_axes)
 
 
 @dataclass(frozen=True)
@@ -247,8 +247,14 @@ class LMLayer(nn.Module):
         x = x + self.down(jax.nn.silu(self.gate(h)) * self.up(h))
         return x
 
-    def prefill(self, x, rope, positions, causal_bias, max_len: int):
-        """Like __call__ but also returns a KV cache padded to max_len."""
+    def prefill(self, x, rope, positions, causal_bias, max_len: int,
+                quant_kv: bool = False):
+        """Like __call__ but also returns a KV cache padded to max_len.
+
+        quant_kv stores the cache int8 with per-(token, kv-head) scales —
+        the OCR decode runs up to 4096 steps re-reading the whole cache each
+        step, so this halves the stage's dominant HBM traffic (same scheme
+        as the MarkushGrapher decoder's quant_cross path)."""
         h = self.ln_attn(x)
         q = apply_rope(self.q(h), rope, positions)
         k = apply_rope(self.k(h), rope, positions)
@@ -258,7 +264,14 @@ class LMLayer(nn.Module):
         x = x + self.down(jax.nn.silu(self.gate(h)) * self.up(h))
         b, L, hkv, d = k.shape
         pad = [(0, 0), (0, max_len - L), (0, 0), (0, 0)]
-        cache = {"k": jnp.pad(k, pad), "v": jnp.pad(v, pad)}
+        if quant_kv:
+            k_q, k_s = _quantize_kv(k)
+            v_q, v_s = _quantize_kv(v)
+            spad = pad[:3]
+            cache = {"k_q": jnp.pad(k_q, pad), "k_s": jnp.pad(k_s, spad),
+                     "v_q": jnp.pad(v_q, pad), "v_s": jnp.pad(v_s, spad)}
+        else:
+            cache = {"k": jnp.pad(k, pad), "v": jnp.pad(v, pad)}
         return x, cache
 
     def _kernel_of(self, mod):
@@ -282,6 +295,27 @@ class LMLayer(nn.Module):
             self._kernel_of(self.down), (0,))
         return qw
 
+    def _attend_quant(self, q, cache, kv_mask):
+        """GQA attention over the int8 cache without materializing the
+        head-repeated K/V: queries reshape to [B, 1, G, rep, D] and contract
+        against the G kv-heads directly."""
+        cfg = self.cfg
+        rep = cfg.num_heads // cfg.num_kv_heads
+        b, _, _, d = q.shape
+        q5 = q.reshape(b, 1, cfg.num_kv_heads, rep, d) * (d ** -0.5)
+        k_q, k_s = cache["k_q"], cache["k_s"]     # [B,S,G,D] i8, [B,S,G] f32
+        v_q, v_s = cache["v_q"], cache["v_s"]
+        scores = jnp.einsum("bqgrd,bkgd->bgrqk", q5.astype(jnp.float32),
+                            k_q.astype(jnp.float32),
+                            preferred_element_type=jnp.float32)
+        scores = scores * jnp.transpose(k_s, (0, 2, 1))[:, :, None, None, :]
+        scores = scores + kv_mask[:, :, None]     # [B,1,1,1,S] broadcast
+        probs = jax.nn.softmax(scores, -1)
+        probs = probs * jnp.transpose(v_s, (0, 2, 1))[:, :, None, None, :]
+        out = jnp.einsum("bgrqk,bkgd->bqgrd", probs.astype(self.dtype),
+                         v_q.astype(self.dtype))
+        return out.reshape(b, 1, cfg.num_heads, d)
+
     def decode_step(self, x, cache, rope, position, step, kv_mask, qw=None):
         cfg = self.cfg
         h = self.ln_attn(x)
@@ -296,6 +330,41 @@ class LMLayer(nn.Module):
                                qkv[:, :, nh + nkv:])
         q = apply_rope(q, rope, position)
         k_new = apply_rope(k_new, rope, position)
+        if "k_q" in cache:                        # int8 ring cache
+            kq_new, ks_new = _quantize_kv(k_new)
+            vq_new, vs_new = _quantize_kv(v_new)
+            cache = dict(
+                cache,
+                k_q=jax.lax.dynamic_update_slice_in_dim(
+                    cache["k_q"], kq_new, step, axis=1),
+                k_s=jax.lax.dynamic_update_slice_in_dim(
+                    cache["k_s"], ks_new, step, axis=1),
+                v_q=jax.lax.dynamic_update_slice_in_dim(
+                    cache["v_q"], vq_new, step, axis=1),
+                v_s=jax.lax.dynamic_update_slice_in_dim(
+                    cache["v_s"], vs_new, step, axis=1))
+            attn_out = self._attend_quant(q, cache, kv_mask)
+            if qw is None:
+                y = self.o(attn_out)
+            else:
+                y = jnp.einsum("bqhd,hdD->bqD", attn_out,
+                               _deq(qw["o_q"], self.dtype))
+                y = (y.astype(jnp.float32) * qw["o_s"]).astype(self.dtype)
+            x = x + y
+            h = self.ln_mlp(x)
+            if qw is None:
+                x = x + self.down(jax.nn.silu(self.gate(h)) * self.up(h))
+            else:
+                gu = jnp.einsum("bqd,dtf->bqtf", h,
+                                _deq(qw["gu_q"], self.dtype))
+                gu = (gu.astype(jnp.float32)
+                      * qw["gu_s"][None, None]).astype(self.dtype)
+                mid = jax.nn.silu(gu[:, :, 0]) * gu[:, :, 1]
+                y = jnp.einsum("bqf,fd->bqd", mid,
+                               _deq(qw["down_q"], self.dtype))
+                x = x + (y.astype(jnp.float32)
+                         * qw["down_s"]).astype(self.dtype)
+            return x, cache
         k = jax.lax.dynamic_update_slice_in_dim(cache["k"], k_new, step, axis=1)
         v = jax.lax.dynamic_update_slice_in_dim(cache["v"], v_new, step, axis=1)
         if qw is None:
@@ -365,9 +434,11 @@ class ChemicalOCRModel(nn.Module):
         x = self.final_ln(x)
         return x @ self.embed.T.astype(jnp.float32)
 
-    def prefill(self, pixel_values, prompt_ids, max_len: int):
+    def prefill(self, pixel_values, prompt_ids, max_len: int,
+                quant_kv: bool = False):
         """Run the image+prompt prefix once; returns (next-token logits,
-        caches, prefix_len)."""
+        caches, prefix_len). quant_kv stores the caches int8 (the 4096-step
+        OCR decode's dominant HBM traffic)."""
         x = self.input_embeddings(pixel_values, prompt_ids)
         b, L0, _ = x.shape
         positions = jnp.tile(jnp.arange(L0)[None], (b, 1))
@@ -377,7 +448,8 @@ class ChemicalOCRModel(nn.Module):
         total = L0 + max_len
         for layer in self.layers:
             x, cache = layer.prefill(x, self._rope, positions,
-                                     causal[None, None], total)
+                                     causal[None, None], total,
+                                     quant_kv=quant_kv)
             caches.append(cache)
         x = self.final_ln(x)
         logits = x[:, -1:] @ self.embed.T.astype(jnp.float32)
@@ -396,7 +468,8 @@ class ChemicalOCRModel(nn.Module):
         b = token_ids.shape[0]
         pos = jnp.full((b, 1), prefix_len + step, jnp.int32)
         x = self.embed[token_ids].astype(self.dtype)
-        total = caches[0]["k"].shape[1]
+        c0 = caches[0]
+        total = (c0["k"] if "k" in c0 else c0["k_q"]).shape[1]
         neg = jnp.finfo(jnp.float32).min
         idx = jnp.arange(total)
         kv_mask = jnp.where(idx[None, None, None, :] <= prefix_len + step,

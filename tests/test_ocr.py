@@ -110,6 +110,22 @@ class TestVLM:
             np.stack(step_logits, 1)[:, :-1], want[:, :-1],
             atol=2e-4, rtol=1e-4)
 
+    def test_int8_kv_decode_close(self, vlm):
+        """Quantized-KV prefill+decode tracks the full-precision logits."""
+        cfg, model, params, pix, prompt = vlm
+        _, caches, pl_ = model.apply(
+            params, pix, prompt, method=ChemicalOCRModel.prefill, max_len=4)
+        _, qcaches, _ = model.apply(
+            params, pix, prompt, method=ChemicalOCRModel.prefill, max_len=4,
+            quant_kv=True)
+        tok = jnp.asarray([[7], [13]], jnp.int32)
+        ref, _ = model.apply(params, tok, caches, jnp.int32(0), pl_,
+                             method=ChemicalOCRModel.decode_step)
+        got, _ = model.apply(params, tok, qcaches, jnp.int32(0), pl_,
+                             method=ChemicalOCRModel.decode_step)
+        ref, got = np.asarray(ref), np.asarray(got)
+        assert np.abs(ref - got).max() < 0.05 * np.abs(ref).max()
+
     def test_int8_weight_decode_close(self, vlm):
         """decode_step against int8 weights tracks full precision within
         per-channel quantization error."""
