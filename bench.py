@@ -10,8 +10,10 @@ steps at ~2 ms/step is a generous estimate for it).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
-Env overrides: BENCH_BATCH (default 8), BENCH_DECODE_LEN (default 512),
-BENCH_REPEATS (default 3).
+Env overrides: BENCH_BATCH (default 16), BENCH_DECODE_LEN (default 512),
+BENCH_REPEATS (default 3), BENCH_BEAMS (default 1), BENCH_QUANT_KV (1),
+BENCH_QUANT_W (0), BENCH_FLASH (1), BENCH_INKERNEL_BIAS (0),
+BENCH_FLASH_DECODE (0).
 """
 
 from __future__ import annotations
