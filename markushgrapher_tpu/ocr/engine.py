@@ -72,8 +72,12 @@ class ChemicalOCR:
 
             def body(state):
                 step, tok, caches, finished, out = state
+                # `step` indexes the NEXT output slot; the token being fed is
+                # the (step-1)-th generated token, so decode_step (which counts
+                # from 0 after prefill) gets step-1 — RoPE position
+                # prefix_len+step-1 and KV slot prefix_len+step-1.
                 logits, caches = model.apply(
-                    params, tok, caches, step, prefix_len, qw,
+                    params, tok, caches, step - 1, prefix_len, qw,
                     method=ChemicalOCRModel.decode_step)
                 nxt = jnp.argmax(logits[:, -1], -1).astype(jnp.int32)
                 nxt = jnp.where(finished, cfg.pad_id, nxt)

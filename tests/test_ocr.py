@@ -143,6 +143,34 @@ class TestVLM:
 
 
 class TestEngine:
+    def test_generate_matches_teacher_forced_greedy(self, vlm):
+        """The while_loop decode must reproduce the greedy continuation
+        computed by repeated full forwards (guards the step/position
+        bookkeeping: RoPE offsets and KV-cache slots)."""
+        cfg, model, params, pix, prompt = vlm
+        n_steps = 5
+        tok = MGTokenizer()
+        engine = ChemicalOCR(
+            model, params, tok,
+            OCREngineConfig(max_new_tokens=n_steps, batch_size=2))
+        engine._build()
+        got = np.asarray(engine._generate(params, pix, prompt))
+
+        want = []
+        gen = None
+        for _ in range(n_steps):
+            full = model.apply(params, pix, prompt, gen)
+            nxt = np.asarray(jnp.argmax(full[:, -1], -1), np.int32)
+            want.append(nxt)
+            gen = (jnp.asarray(np.stack(want, 1), jnp.int32))
+        want = np.stack(want, 1)
+        # mask out post-EOS positions the engine pads
+        finished = np.zeros(want.shape[0], bool)
+        for t in range(n_steps):
+            want[finished, t] = engine.cfg.pad_id
+            finished |= want[:, t] == engine.cfg.eos_id
+        np.testing.assert_array_equal(got, want)
+
     def test_predict_cells(self, vlm):
         cfg, model, params, pix, prompt = vlm
         tok = MGTokenizer()
