@@ -21,7 +21,9 @@ import re
 from dataclasses import dataclass, field
 from typing import Dict, List, Optional, Tuple
 
-from markushgrapher_tpu.chem.mol import (
+# rdkit_compat dispatches to RDKit when importable (reference-exact
+# canonicalization/_smilesAtomOutputOrder) and to chem.mol otherwise
+from markushgrapher_tpu.chem.rdkit_compat import (
     canonical_smiles_with_order,
     is_valid_smiles,
 )

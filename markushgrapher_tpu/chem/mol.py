@@ -121,16 +121,18 @@ class Mol:
         valences = VALENCES.get(atom.symbol)
         if valences is None:
             return 0
+        if atom.aromatic:
+            # SMILES convention: bare aromatic atoms carry the Daylight
+            # default H counts (pyrrole-type N must be written [nH]).
+            deg = self.degree(i)
+            if atom.symbol in ("C", "B"):
+                return max(0, 3 - deg)
+            if atom.symbol in ("N", "P"):
+                return max(0, 2 - deg)
+            return 0
         bond_sum = 0
         for _, bond in self.neighbors(i):
             bond_sum += 1 if bond.aromatic else bond.order
-        if atom.aromatic:
-            bond_sum += 1 if atom.symbol in ("C", "B") and self.degree(i) < 3 else 0
-            # aromatic atoms: subtract one for the delocalized system
-            for v in valences:
-                if bond_sum <= v:
-                    return max(0, v - bond_sum - (0 if atom.symbol != "C" else 0))
-            return 0
         for v in valences:
             if bond_sum <= v:
                 return v - bond_sum
@@ -347,8 +349,10 @@ def canonical_ranks(mol: Mol) -> List[int]:
 def _atom_str(mol: Mol, i: int) -> str:
     a = mol.atoms[i]
     sym = a.symbol.lower() if a.aromatic else a.symbol
+    # content-based (NOT input-bracket-based) so '[nH]'-parsed and
+    # aromatize()-produced atoms write identically
     needs_bracket = (
-        a.bracket or a.charge != 0 or a.isotope or a.atom_map or a.chirality
+        a.charge != 0 or a.isotope or a.atom_map or a.chirality
         or (a.symbol not in ORGANIC_SUBSET and sym.upper() not in ORGANIC_SUBSET)
         or (a.explicit_h is not None and a.symbol != "*" and (
             a.explicit_h != _organic_default_h(mol, i))))
@@ -492,12 +496,107 @@ def to_smiles(mol: Mol, canonical: bool = True
     return ".".join(parts), output_order
 
 
+def _small_rings(mol: Mol, max_size: int = 6) -> List[List[int]]:
+    """Simple cycles of size 3..max_size (enough for aromaticity perception;
+    RDKit uses SSSR). Deduplicated by atom set."""
+    rings: List[List[int]] = []
+    seen_sets: Set[frozenset] = set()
+    n = mol.num_atoms()
+    for start in range(n):
+        # DFS paths of length <= max_size returning to start
+        stack = [(start, [start])]
+        while stack:
+            cur, path = stack.pop()
+            for j, _ in mol.neighbors(cur):
+                if j == start and len(path) >= 3:
+                    key = frozenset(path)
+                    if key not in seen_sets:
+                        seen_sets.add(key)
+                        rings.append(list(path))
+                elif j not in path and len(path) < max_size and j > start:
+                    stack.append((j, path + [j]))
+    return rings
+
+
+def aromatize(mol: Mol) -> Mol:
+    """Mark aromatic rings written in Kekule form as aromatic, in place.
+
+    The reference sanitizes (aromatizes) every parsed molecule before
+    comparison/canonicalization (utils_evaluation.py:1430-1452 'Aromatize
+    SMILES to avoid mismatches of kekulization'); without this, a Kekule
+    prediction never string-matches an aromatic GT. Covers the dominant
+    patterns: 6-rings with perfect single/double alternation (benzene,
+    pyridine, fused naphthalene/indole-type) and 5-rings with two double
+    bonds plus one lone-pair donor (N/O/S/Se); the donor N keeps its H
+    explicitly ([nH], the SMILES convention)."""
+    rings = _small_rings(mol)
+    bond_index = {}
+    for bi, b in enumerate(mol.bonds):
+        bond_index[(b.a, b.b)] = bi
+        bond_index[(b.b, b.a)] = bi
+    changed = True
+    while changed:
+        changed = False
+        for ring in rings:
+            size = len(ring)
+            if size not in (5, 6):
+                continue
+            bis = [bond_index[(ring[k], ring[(k + 1) % size])]
+                   for k in range(size)]
+            if all(mol.bonds[bi].aromatic for bi in bis):
+                continue
+            if any(mol.bonds[bi].order > 2 for bi in bis):
+                continue
+            if any(a.symbol not in ("C", "N", "O", "S", "B", "P", "Se")
+                   for a in (mol.atoms[i] for i in ring)):
+                continue
+            # per ring atom: count ring double bonds (aromatic counts as
+            # satisfying the alternation on fused systems)
+            dbl = {}
+            arom_deg = {}
+            for k in range(size):
+                i = ring[k]
+                dbl[i] = sum(1 for bi in bis
+                             if mol.bonds[bi].order == 2
+                             and i in (mol.bonds[bi].a, mol.bonds[bi].b))
+                arom_deg[i] = sum(
+                    1 for j, b in mol.neighbors(i)
+                    if b.aromatic and j in ring)
+            donors = [i for i in ring if dbl[i] == 0 and arom_deg[i] == 0]
+            ok = False
+            if size == 6:
+                ok = all(dbl[i] == 1 or arom_deg[i] > 0 for i in ring)
+            elif size == 5:
+                if len(donors) == 1 and all(
+                        dbl[i] == 1 or arom_deg[i] > 0
+                        for i in ring if i != donors[0]):
+                    d = mol.atoms[donors[0]]
+                    # the donor must have a lone pair and no exocyclic double
+                    exo_dbl = any(b.order == 2 for _, b in
+                                  mol.neighbors(donors[0]))
+                    ok = (d.symbol in ("N", "O", "S", "Se", "P")
+                          and not exo_dbl)
+            if not ok:
+                continue
+            for i in donors:
+                a = mol.atoms[i]
+                if a.symbol in ("N", "P") and a.explicit_h is None:
+                    a.explicit_h = mol.implicit_h(i)  # pyrrole-type keeps H
+            for i in ring:
+                mol.atoms[i].aromatic = True
+            for bi in bis:
+                mol.bonds[bi].order = 1
+                mol.bonds[bi].aromatic = True
+            changed = True
+    return mol
+
+
 def canonical_smiles(smiles: str) -> str:
-    return to_smiles(parse_smiles(smiles))[0]
+    return to_smiles(aromatize(parse_smiles(smiles)))[0]
 
 
 def canonical_smiles_with_order(smiles: str) -> Tuple[str, List[int]]:
-    return to_smiles(parse_smiles(smiles))
+    return to_smiles(aromatize(parse_smiles(smiles)))
 
 
 # -- fingerprints -----------------------------------------------------------------

@@ -79,8 +79,38 @@ def inchi(smiles: str) -> Optional[str]:
         mol = Chem.MolFromSmiles(smiles)
         if mol is None:
             return None
-        return MolToInchi(mol, options="/SNon")
+        return MolToInchi(mol)
     return canonical_smiles(smiles)
+
+
+def inchi_stereo_insensitive(smiles: str) -> Optional[str]:
+    """InChI with /SNon (the reference's default comparison mode,
+    utils_evaluation.py:1222-1231); pure-Python backend: canonical SMILES of
+    the stereo-stripped molecule (same equivalence classes for the
+    stereo-insensitive equality test)."""
+    if HAS_RDKIT:
+        from rdkit.Chem.inchi import MolToInchi  # type: ignore
+
+        mol = Chem.MolFromSmiles(smiles)
+        if mol is None:
+            return None
+        return MolToInchi(mol, options="/SNon")
+    try:
+        return canonical_smiles(remove_stereo(smiles))
+    except Exception:
+        return None
+
+
+def remove_stereo(smiles: str) -> str:
+    if HAS_RDKIT:
+        mol = Chem.MolFromSmiles(smiles)
+        if mol is None:
+            return smiles
+        Chem.RemoveStereochemistry(mol)
+        return Chem.MolToSmiles(mol)
+    from markushgrapher_tpu.chem import mol as mol_lib
+
+    return mol_lib.remove_stereo(smiles)
 
 
 def tanimoto(smiles_a: str, smiles_b: str) -> float:

@@ -99,12 +99,33 @@ class Evaluator:
 
     # -- the loop -----------------------------------------------------------
 
+    def _cache_digest(self) -> str:
+        """Key the prediction cache on everything that changes predictions:
+        decode config + a params fingerprint — re-running with different
+        beams/quant settings or new weights into the same output_dir must
+        not re-score stale cached predictions (the reference shared this
+        flaw, utils_evaluation.py:98-125)."""
+        import hashlib
+
+        if not hasattr(self, "_params_fp"):
+            leaves = [x for x in jax.tree_util.tree_leaves(self.params)
+                      if hasattr(x, "dtype")]
+            total = jax.jit(lambda ls: sum(
+                jnp.sum(x.astype(jnp.float32)) for x in ls))(leaves)
+            self._params_fp = float(jax.device_get(total))
+        cfg = self.cfg
+        key = (f"beams={cfg.num_beams};len={cfg.max_length};"
+               f"qkv={cfg.quant_kv};qw={cfg.quant_weights};"
+               f"bf16={cfg.bf16_params};fp={self._params_fp:.6e}")
+        return hashlib.md5(key.encode()).hexdigest()[:10]
+
     def run(self, dataset, collator: Optional[DataCollator] = None,
             benchmark_name: str = "eval") -> EvalResult:
         cfg = self.cfg
         os.makedirs(cfg.output_dir, exist_ok=True)
         cache_path = os.path.join(
-            cfg.output_dir, f"predictions_cache_{benchmark_name}.pkl")
+            cfg.output_dir,
+            f"predictions_cache_{benchmark_name}_{self._cache_digest()}.pkl")
 
         n = len(dataset)
         if cfg.max_eval_samples:

@@ -195,12 +195,15 @@ class TestMarkushQuality:
 
     def test_perfect(self):
         s = compute_markush_prediction_quality(self.GT, self.GT)
-        assert s["cxsmi_equality"] and s["r"] and s["m"] and s["sg"]
+        # reference semantics: sg is None (excluded) when GT has no Sg
+        assert s["cxsmi_equality"] and s["r"] == 1.0 and s["m"] == 1.0
+        assert s["sg"] is None
+        assert s["inchi_equality"] and s["tanimoto"] == 1.0
 
     def test_wrong_label(self):
         pred = self.GT.replace("R2", "R3")
         s = compute_markush_prediction_quality(pred, self.GT)
-        assert s["backbone_equality"] and not s["r"]
+        assert s["backbone_equality"] and s["r"] == 0.5
         assert not s["cxsmi_equality"]
 
     def test_wrong_backbone(self):
@@ -211,6 +214,62 @@ class TestMarkushQuality:
     def test_invalid(self):
         s = compute_markush_prediction_quality("garbage(((", self.GT)
         assert not s["valid_cxsmiles"]
+
+    def test_atom_order_permuted_equivalent(self):
+        """Prediction written in a different atom order (and Kekule aromatic
+        ring) must still score r/m via the MCS mapping — the VERDICT-2 'done'
+        case where string equality would score 0."""
+        # same structure, atoms listed from the other end, Kekule ring
+        pred = "*c1ccc(C(C)*)cc1 |$R2;;;;;;;R1;;$,m:4:1.2|"
+        s = compute_markush_prediction_quality(pred, self.GT)
+        assert s["inchi_equality"], s
+        assert s["r"] == 1.0, s
+        assert s["m"] == 1.0, s
+        assert s["cxsmi_equality"], s
+
+    def test_one_wrong_side_chain_partial_r(self):
+        """Multi-fragment: one side chain's backbone wrong (Cl vs Br) ->
+        R labels still score 1.0 through the per-fragment MCS mapping and
+        the R-label tie filter, while inchi/cxsmi correctly fail — the
+        reference's index-mapped behavior, not all-or-nothing string
+        equality."""
+        gt = "*C=O.*Cl.CC(*)(*)N |$R1;;;R2;;;;R1;R2;$|"
+        pred = "*C=O.*Br.CC(*)(*)N |$R1;;;R2;;;;R1;R2;$|"
+        s = compute_markush_prediction_quality(pred, gt)
+        assert s["num_fragments_equal"]
+        assert s["r"] == 1.0, s
+        assert not s["inchi_equality"]  # Br != Cl on one side fragment
+        assert not s["cxsmi_equality"]
+        assert 0 < s["tanimoto"] < 1.0
+
+    def test_fragment_steal_matches_reference_greediness(self):
+        """The reference's greedy GT-fragment loop lets a side chain that is
+        a subgraph of the core steal the predicted core (documented flaw,
+        utils_evaluation.py:1520-1524). The port reproduces it rather than
+        'fixing' the metric."""
+        gt = "*C.*CC.CC(*)(*)C |$R1;;R2;;;;;R1;R2;$|"
+        pred = "*C.*CO.CC(*)(*)C |$R1;;R2;;;;;R1;R2;$|"
+        s = compute_markush_prediction_quality(pred, gt)
+        assert s["num_fragments_equal"]
+        assert s["r"] == 0.5, s  # core stolen by *CC -> two labels lost
+        assert not s["cxsmi_equality"]
+
+    def test_sg_through_mapping(self):
+        gt = "CCOCC |Sg:n:2:m:ht|"
+        pred_same = "CCOCC |Sg:n:2:m:ht|"
+        s = compute_markush_prediction_quality(pred_same, gt)
+        assert s["sg"] == 1.0 and s["cxsmi_equality"]
+        wrong_label = "CCOCC |Sg:n:2:k:ht|"
+        s = compute_markush_prediction_quality(wrong_label, gt)
+        assert s["sg"] == 0.0 and not s["cxsmi_equality"]
+
+    def test_kekule_vs_aromatic_gt(self):
+        """Kekule prediction of an aromatic GT must reach inchi equality."""
+        gt = "Cc1ccc(*)cc1 |$;;;;R1;;$|"
+        pred = "CC1=CC=C(*)C=C1 |$;;;;R1;;$|"
+        s = compute_markush_prediction_quality(pred, gt)
+        assert s["inchi_equality"] and s["r"] == 1.0
+        assert s["cxsmi_equality"]
 
 
 class TestScoreSample:
@@ -271,3 +330,34 @@ class TestFragmentSimilarity:
         assert 0.0 < s["fragment_similarity"] < 1.0
         perfect = compute_markush_prediction_quality(gt, gt)
         assert perfect["fragment_similarity"] == 1.0
+
+
+class TestRdkitCompatDispatch:
+    """The dispatch layer is a real consumer path now (evaluation.py and
+    cxsmiles.py route through it); on this image backend() must be
+    pure-python and the dispatch must equal the chem.mol results."""
+
+    def test_backend_and_equivalence(self):
+        from markushgrapher_tpu.chem import mol as mol_lib
+        from markushgrapher_tpu.chem import rdkit_compat as rc
+
+        assert rc.backend() == "pure-python"
+        for smi in ["CCO", "c1ccccc1O", "C1=CC=CC=C1", "C/C=C/C", "CC(*)C"]:
+            assert rc.canonical_smiles(smi) == mol_lib.canonical_smiles(smi)
+            assert rc.is_valid_smiles(smi) == mol_lib.is_valid_smiles(smi)
+            assert rc.tanimoto(smi, "CCO") == mol_lib.tanimoto(smi, "CCO")
+            assert rc.remove_stereo(smi) == mol_lib.remove_stereo(smi)
+        a = rc.canonical_smiles_with_order("OCC")
+        b = mol_lib.canonical_smiles_with_order("OCC")
+        assert a == b
+
+    def test_stereo_insensitive_inchi_proxy(self):
+        from markushgrapher_tpu.chem import rdkit_compat as rc
+
+        # /SNon semantics: stereoisomers collapse
+        assert (rc.inchi_stereo_insensitive("C/C=C/C")
+                == rc.inchi_stereo_insensitive("C/C=C\\C"))
+        assert (rc.inchi_stereo_insensitive("N[C@@H](C)C(=O)O")
+                == rc.inchi_stereo_insensitive("N[C@H](C)C(=O)O"))
+        assert (rc.inchi_stereo_insensitive("CCO")
+                != rc.inchi_stereo_insensitive("CCN"))
