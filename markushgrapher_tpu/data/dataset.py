@@ -155,6 +155,10 @@ class DatasetRegistry:
             encode_position=cfg.get("encode_position", False),
             encode_index=cfg.get("encode_index", False),
             condense_labels=cfg.get("condense_labels", True),
+            # reference dataset configs carry training_dataset_name; it picks
+            # the vocab inventory + separators (markush_tokenizer.py:21-42)
+            training_dataset_name=cfg.get("training_dataset_name"),
+            vocab_dir=cfg.get("vocab_dir"),
         )
         return MDUDataset.from_disk(
             cfg["dataset_path"], split=split, markush_tokenizer=mt,

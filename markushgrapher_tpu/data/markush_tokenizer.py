@@ -38,18 +38,46 @@ class MarkushTokenizer:
         tokenizer: Optional[MGTokenizer] = None,
         vocab_tokens: Optional[Dict[str, int]] = None,
         atom_tokens: Optional[Dict[str, int]] = None,
-        task: str = "markush",  # "markush" | "cxsmiles" | "smiles"
+        task: Optional[str] = None,  # "markush" | "cxsmiles" | "smiles"
         encode_position: bool = False,
         encode_index: bool = False,
         condense_labels: bool = True,
-        substituents_separator: str = "<n>",
+        substituents_separator: Optional[str] = None,
+        training_dataset_name: Optional[str] = None,
+        vocab_dir: Optional[str] = None,
+        grounded_smiles: bool = False,
     ):
         self.tokenizer = tokenizer or MGTokenizer()
-        self.task = task
+        self.training_dataset_name = training_dataset_name
+        # Reference-fidelity path: when a dataset name is given, derive the
+        # task / separators / inventories exactly as the reference does
+        # (markush_tokenizer.py:21-26, 240-285) from the shipped vocab JSONs.
+        if training_dataset_name is not None:
+            from markushgrapher_tpu.data import ref_vocab
+
+            if task is None:
+                if "ocsr" in training_dataset_name:
+                    task = "smiles"
+                elif "mdu_2002" in training_dataset_name:
+                    task = "cxsmiles"
+                else:
+                    task = "markush"
+            if substituents_separator is None:
+                substituents_separator = ref_vocab.substituents_separator_for(
+                    training_dataset_name
+                )
+            if vocab_tokens is None and ref_vocab.find_vocab_dir(vocab_dir):
+                vocab_tokens, atom_tokens = ref_vocab.load_reference_vocabulary(
+                    training_dataset_name,
+                    vocab_dir=vocab_dir,
+                    encode_position=encode_position,
+                    grounded_smiles=grounded_smiles,
+                )
+        self.task = task or "markush"
         self.encode_position = encode_position
         self.encode_index = encode_index
         self.condense_labels = condense_labels
-        self.substituents_separator = substituents_separator
+        self.substituents_separator = substituents_separator or "<n>"
         self.rtable_item_separator = "<ns>"
         self._vocab_tokens = vocab_tokens or domain_vocab.default_smiles_vocab()
         self.vocabulary_atoms = list(
@@ -79,10 +107,12 @@ class MarkushTokenizer:
 
         from markushgrapher_tpu.data.vocab import NUM_OTHER
 
-        if len(vocab) > NUM_OTHER:
+        # checkpoint tokenizers carry their own <other_N> budget
+        num_other = getattr(self.tokenizer, "num_other", 0) or NUM_OTHER
+        if len(vocab) > num_other:
             raise ValueError(
                 f"domain vocabulary has {len(vocab)} tokens but only "
-                f"{NUM_OTHER} <other_N> ids are reserved in the base tokenizer"
+                f"{num_other} <other_N> ids are reserved in the base tokenizer"
             )
         self.vocabulary = {tok: f"<other_{i}>" for i, tok in enumerate(vocab)}
         self.vocabulary_inverse = {f"<other_{i}>": tok for i, tok in enumerate(vocab)}
@@ -207,7 +237,9 @@ class MarkushTokenizer:
 
         rtable = ""
         if len(cxsmiles_opt.split("|")) > 1:
-            rtable = "|" + cxsmiles_opt.split("|", 1)[1]
+            # content between the pipes only — the closing "|" must not ride
+            # into the last section token (reference markush_tokenizer.py:363)
+            rtable = "|" + cxsmiles_opt.split("|")[1]
 
         # Locate <r>...</r> R-group labels, then swap markers for brackets so
         # the atomwise tokenizer treats each label as one bracket token.

@@ -99,6 +99,7 @@ class MGTokenizer:
         self.eos_token_id = EOS_ID
         self.unk_token_id = UNK_ID
         self.vocab_size = len(self.vocab)
+        self.num_other = NUM_OTHER
 
     # -- core ------------------------------------------------------------
 
@@ -167,6 +168,16 @@ class MGTokenizer:
     def load(cls, path: str) -> "MGTokenizer":
         with open(path) as f:
             return cls(json.load(f))
+
+    @staticmethod
+    def load_pretrained(path: str):
+        """Load a published-checkpoint tokenizer directory (HF layout:
+        tokenizer.json or spiece.model + added_tokens.json). Returns an
+        `SPMTokenizer` with the exact checkpoint id layout — use this instead
+        of the self-contained vocab when running converted fork weights."""
+        from markushgrapher_tpu.data import spm
+
+        return spm.load_pretrained(path)
 
 
 def loc_token_id(n: int) -> int:

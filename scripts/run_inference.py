@@ -79,6 +79,9 @@ def main() -> None:
             "dataset_path": ocr_dir,
             "normalize_bbox": True,
             "condense_labels": True,
+            # reference inference.sh:152,175 — mdu for HF-dataset runs,
+            # mdu_3008_aug for raw image dirs; picks the vocab inventory
+            "training_dataset_name": "mdu" if args.hf_dataset else "mdu_3008_aug",
         }}, f)
     predict_cfg = {
         "datasets_config": datasets_yaml,

@@ -1,0 +1,245 @@
+"""Checkpoint-fidelity tokenizer tests.
+
+Golden-tests the pure-python sentencepiece substrate (data/spm.py) against
+the HF `tokenizers` Unigram implementation, round-trips the ModelProto wire
+reader, and verifies the reference vocabulary importer reproduces the
+reference's `<other_N>` assignment order (markush_tokenizer.py:160-285).
+"""
+
+import json
+import os
+import random
+import string
+
+import pytest
+
+from markushgrapher_tpu.data import ref_vocab, spm
+from markushgrapher_tpu.data.markush_tokenizer import MarkushTokenizer
+
+tokenizers = pytest.importorskip("tokenizers")
+
+REF_VOCAB_DIR = "/root/reference/data/vocabulary"
+
+
+def _random_unigram_vocab(rng, n_pieces=400):
+    """A unigram inventory over ASCII with ▁-prefixed variants."""
+    alphabet = string.ascii_lowercase + string.digits + "()[]=#+-@/\\.%:|,<>"
+    pieces = [("<pad>", 0.0), ("</s>", 0.0), ("<unk>", 0.0)]
+    seen = {p for p, _ in pieces}
+    # all single chars so every input is coverable
+    for c in alphabet:
+        for p in (c, spm.SP_SPACE + c):
+            if p not in seen:
+                seen.add(p)
+                pieces.append((p, -rng.uniform(1.0, 12.0)))
+    pieces.append((spm.SP_SPACE, -rng.uniform(1.0, 12.0)))
+    seen.add(spm.SP_SPACE)
+    while len(pieces) < n_pieces:
+        ln = rng.randint(2, 6)
+        body = "".join(rng.choice(alphabet) for _ in range(ln))
+        p = (spm.SP_SPACE + body) if rng.random() < 0.4 else body
+        if p not in seen:
+            seen.add(p)
+            pieces.append((p, -rng.uniform(1.0, 12.0)))
+    return pieces
+
+
+def _hf_unigram(pieces):
+    from tokenizers import Tokenizer, models, pre_tokenizers
+
+    t = Tokenizer(models.Unigram([(p, s) for p, s in pieces], unk_id=2, byte_fallback=False))
+    t.pre_tokenizer = pre_tokenizers.Metaspace(
+        replacement=spm.SP_SPACE, prepend_scheme="always"
+    )
+    return t
+
+
+def _sample_texts(rng, n=200):
+    alphabet = string.ascii_lowercase + string.digits + "()[]=#+-@/\\.%:|,"
+    texts = [
+        "CC(=O)Oc1ccccc1C(=O)O",
+        "[1*]c1ccc([2*])cc1 |m:2:5.6,Sg:n:3,4:n:ht|",
+        "c1ccccc1 hello world 12 345",
+        "R1 : C2-C6 alkyl <n> halogen",
+    ]
+    for _ in range(n):
+        nw = rng.randint(1, 5)
+        words = [
+            "".join(rng.choice(alphabet) for _ in range(rng.randint(1, 12)))
+            for _ in range(nw)
+        ]
+        texts.append(" ".join(words))
+    return texts
+
+
+class TestUnigramGolden:
+    def test_matches_hf_tokenizers(self):
+        rng = random.Random(0)
+        pieces = _random_unigram_vocab(rng)
+        ours = spm.SPMTokenizer(pieces, unk_id=2, pad_id=0, eos_id=1)
+        theirs = _hf_unigram(pieces)
+        for text in _sample_texts(rng):
+            got = ours.encode(text, add_eos=False)
+            want = theirs.encode(text).ids
+            assert got == want, (text, ours.tokenize(text), theirs.encode(text).tokens)
+
+    def test_unknown_chars_fuse(self):
+        pieces = [("<pad>", 0.0), ("</s>", 0.0), ("<unk>", 0.0),
+                  (spm.SP_SPACE, -2.0), ("a", -1.0), (spm.SP_SPACE + "a", -1.0)]
+        ours = spm.SPMTokenizer(pieces, unk_id=2)
+        theirs = _hf_unigram(pieces)
+        for text in ["aéæa", "é", "a££", "銀行 a"]:
+            assert ours.encode(text, add_eos=False) == theirs.encode(text).ids
+
+
+class TestModelProto:
+    def test_roundtrip(self, tmp_path):
+        pieces = [("<pad>", 0.0, spm.PIECE_CONTROL), ("</s>", 0.0, spm.PIECE_CONTROL),
+                  ("<unk>", 0.0, spm.PIECE_UNKNOWN), (spm.SP_SPACE + "he", -2.5, spm.PIECE_NORMAL),
+                  ("llo", -3.25, spm.PIECE_NORMAL), ("l", -1.0, spm.PIECE_NORMAL),
+                  ("o", -1.5, spm.PIECE_NORMAL), (spm.SP_SPACE, -4.0, spm.PIECE_NORMAL)]
+        blob = spm.write_model_proto(pieces)
+        parsed = spm.parse_model_proto(blob)
+        assert [(p, t) for p, _, t in parsed["pieces"]] == [(p, t) for p, _, t in pieces]
+        for (p, s, _), (p2, s2, _) in zip(pieces, parsed["pieces"]):
+            assert abs(s - s2) < 1e-6
+        assert parsed["trainer"] == {"model_type": 1, "unk_id": 2}
+        assert parsed["normalizer"]["add_dummy_prefix"] is True
+
+        path = tmp_path / "spiece.model"
+        path.write_bytes(blob)
+        tok = spm.load_sentencepiece_model(str(path))
+        assert tok.tokenize("hello") == [spm.SP_SPACE + "he", "llo"]
+        # control pieces never match text
+        assert "<pad>" not in tok.model.pieces
+        assert tok.piece_to_id("<pad>") == 0
+
+    def test_load_pretrained_spiece_with_added(self, tmp_path):
+        pieces = [("<pad>", 0.0, spm.PIECE_CONTROL), ("</s>", 0.0, spm.PIECE_CONTROL),
+                  ("<unk>", 0.0, spm.PIECE_UNKNOWN)]
+        pieces += [(c, -2.0, spm.PIECE_NORMAL) for c in "abc("]
+        pieces += [(spm.SP_SPACE + c, -2.0, spm.PIECE_NORMAL) for c in "abc("]
+        (tmp_path / "spiece.model").write_bytes(spm.write_model_proto(pieces))
+        added = {"<loc_0>": 32500, "<loc_500>": 33000, "<other_0>": 100, "<other_1>": 101}
+        (tmp_path / "added_tokens.json").write_text(json.dumps(added))
+        tok = spm.load_pretrained(str(tmp_path))
+        assert tok.piece_to_id("<loc_0>") == 32500
+        assert tok._convert_token_to_id("a") == tok.vocab["a"]
+        # added tokens split before segmentation
+        ids = tok.encode("a<loc_0>b", add_eos=False)
+        assert 32500 in ids
+        assert tok.num_other == 2
+
+    def test_load_hf_tokenizer_json(self, tmp_path):
+        from tokenizers import Tokenizer, models, pre_tokenizers
+        from tokenizers.processors import TemplateProcessing
+
+        vocab = [("<pad>", 0.0), ("</s>", 0.0), ("<unk>", 0.0),
+                 (spm.SP_SPACE, -3.0)] + [
+            (p, -2.0) for c in "abcxyz" for p in (c, spm.SP_SPACE + c)
+        ]
+        t = Tokenizer(models.Unigram(vocab, unk_id=2, byte_fallback=False))
+        t.pre_tokenizer = pre_tokenizers.Metaspace(
+            replacement=spm.SP_SPACE, prepend_scheme="always"
+        )
+        t.add_special_tokens(["<loc_7>", "<other_3>"])
+        path = tmp_path / "tokenizer.json"
+        t.save(str(path))
+        ours = spm.load_hf_tokenizer_json(str(path))
+        for text in ["abc xyz", "a<loc_7>b", "<other_3> ax"]:
+            assert ours.encode(text, add_eos=False) == t.encode(text).ids
+
+
+@pytest.mark.skipif(not os.path.isdir(REF_VOCAB_DIR), reason="reference vocab not mounted")
+class TestReferenceVocabImport:
+    def test_dispatch_table(self):
+        assert ref_vocab.select_vocab_files("ocxsr_17") == (["ocxsr_12.json"], "ocxsr_12_atoms.json")
+        assert ref_vocab.select_vocab_files("ocsr_3") == (["ocsr_3.json"], "ocsr_vocab_atoms.json")
+        assert ref_vocab.select_vocab_files("ocsr_3", encode_position=True, grounded_smiles=True) == (
+            ["ocsr_3_mol.json"], "ocsr_3_atoms.json")
+        assert ref_vocab.select_vocab_files("ocsr_2")[0] == [
+            "ocsr_vocab_atoms.json", "ocsr_vocab_bonds.json", "ocsr_vocab_chars.json"]
+        assert ref_vocab.select_vocab_files("mdu_3008_aug") == (["ocsr_3.json"], "ocsr_vocab_atoms.json")
+
+    def test_mdu_other_id_assignment(self):
+        """Default (mdu) layout: 10 base markers then ocsr_3.json keys in
+        file order — byte-for-byte the reference's set_vocabulary result."""
+        mt = MarkushTokenizer(training_dataset_name="mdu")
+        assert mt.task == "markush" and mt.substituents_separator == "<n>"
+        base = ["<cxsmi>", "</cxsmi>", "<r>", "</r>", "<markush>", "</markush>",
+                "<stable>", "</stable>", "<n>", "<ns>"]
+        for i, tok in enumerate(base):
+            assert mt.vocabulary[tok] == f"<other_{i}>"
+        with open(os.path.join(REF_VOCAB_DIR, "ocsr_3.json")) as f:
+            keys = list(json.load(f))
+        assert mt.vocabulary[keys[0]] == "<other_10>"
+        assert mt.vocabulary[keys[-1]] == f"<other_{10 + len(keys) - 1}>"
+        assert mt.max_vocabulary_range == 10 + len(keys)
+        with open(os.path.join(REF_VOCAB_DIR, "ocsr_vocab_atoms.json")) as f:
+            assert mt.vocabulary_atoms == list(json.load(f))
+
+    def test_mdu_300_uses_comma_separator(self):
+        mt = MarkushTokenizer(training_dataset_name="mdu_300")
+        assert mt.substituents_separator == ","
+        assert mt.vocabulary[","] == "<other_8>"
+
+    def test_ocsr_smiles_layout(self):
+        mt = MarkushTokenizer(training_dataset_name="ocsr_3")
+        assert mt.task == "smiles"
+        assert mt.vocabulary["<smi>"] == "<other_0>"
+        assert mt.vocabulary["</smi>"] == "<other_1>"
+        with open(os.path.join(REF_VOCAB_DIR, "ocsr_3.json")) as f:
+            keys = list(json.load(f))
+        assert mt.vocabulary[keys[0]] == "<other_2>"
+
+    def test_ocxsr_12_with_index(self):
+        mt = MarkushTokenizer(training_dataset_name="ocxsr_12", encode_index=True)
+        assert mt.vocabulary["<i>"] == "<other_10>"
+        assert mt.vocabulary["</i>"] == "<other_11>"
+        with open(os.path.join(REF_VOCAB_DIR, "ocxsr_12.json")) as f:
+            keys = list(json.load(f))
+        assert mt.vocabulary[keys[0]] == "<other_12>"
+        with open(os.path.join(REF_VOCAB_DIR, "ocxsr_12_atoms.json")) as f:
+            assert mt.vocabulary_atoms == list(json.load(f))
+
+    def test_encode_golden_ids(self):
+        """A CXSMILES encodes to a deterministic id sequence through the
+        imported reference inventory + the self-contained base vocab."""
+        mt = MarkushTokenizer(training_dataset_name="mdu")
+        ids = mt.encode("<cxsmi>CC[1*] |m:1:2|</cxsmi>")
+        # starts <cxsmi>, ends </cxsmi>
+        assert ids[0] == mt._vid("<cxsmi>")
+        assert ids[-1] == mt._vid("</cxsmi>")
+        assert mt._vid("C") == mt.tokenizer._convert_token_to_id(mt.vocabulary["C"])
+        # decoding inverts through vocabulary_inverse
+        text = mt.decode(ids)
+        assert "CC" in text.replace(" ", "") and "m:1:2" in text.replace(" ", "")
+
+
+class TestSPMMarkushIntegration:
+    def test_markush_tokenizer_over_spm_base(self, tmp_path):
+        """The Markush layer runs unchanged over a checkpoint-style
+        sentencepiece base with added <other_N>/<loc_N> tokens."""
+        chars = string.ascii_letters + string.digits + "()[]=#+-@/\\.%:|,*$"
+        pieces = [("<pad>", 0.0, spm.PIECE_CONTROL), ("</s>", 0.0, spm.PIECE_CONTROL),
+                  ("<unk>", 0.0, spm.PIECE_UNKNOWN), (spm.SP_SPACE, -4.0, spm.PIECE_NORMAL)]
+        pieces += [(p, -2.0, spm.PIECE_NORMAL) for c in chars for p in (c, spm.SP_SPACE + c)]
+        pieces += [(str(n), -3.0, spm.PIECE_NORMAL) for n in range(10, 40)]
+        (tmp_path / "spiece.model").write_bytes(spm.write_model_proto(pieces))
+        base = len(pieces)
+        added = {f"<other_{i}>": base + i for i in range(200)}
+        added.update({f"<loc_{n}>": base + 200 + n for n in range(501)})
+        (tmp_path / "added_tokens.json").write_text(json.dumps(added))
+
+        tok = spm.load_pretrained(str(tmp_path))
+        vocab_kwargs = {}
+        if os.path.isdir(REF_VOCAB_DIR):
+            mt = MarkushTokenizer(tokenizer=tok, training_dataset_name="mdu")
+        else:
+            mt = MarkushTokenizer(tokenizer=tok)
+        label = "<markush><cxsmi>CC([1*])C |m:2:3.4|</cxsmi><stable>R1:C<n>N</stable></markush>"
+        ids = mt.encode(label)
+        assert ids[0] == tok.vocab[mt.vocabulary["<markush>"]]
+        decoded = mt.decode(ids).replace(" ", "")
+        assert "<markush>" in decoded and "<stable>" in decoded
+        assert "m:2:3.4" in decoded
