@@ -145,6 +145,90 @@ def convert_udop_state_dict(
     return {"params": params}
 
 
+def _convert_projector(sd: Dict, prefix: str) -> Dict:
+    """Fork MLP projector -> {fc1, fc2}. Accepts either named Linears
+    (fc1/fc2, dense1/dense2) or nn.Sequential indices (0/2)."""
+    sub = {k[len(prefix):]: v for k, v in sd.items() if k.startswith(prefix)}
+    weights = sorted(
+        (k for k in sub if k.endswith(".weight")),
+        key=lambda k: [int(p) if p.isdigit() else p for p in k.split(".")],
+    )
+    if len(weights) != 2:
+        raise ValueError(
+            f"projector under {prefix!r} has {len(weights)} Linear weights, expected 2"
+        )
+    out = {}
+    for name, wkey in zip(("fc1", "fc2"), weights):
+        layer = {"kernel": _t(sub[wkey]).T}
+        bkey = wkey[: -len("weight")] + "bias"
+        if bkey in sub:
+            layer["bias"] = _t(sub[bkey])
+        out[name] = layer
+    return out
+
+
+def convert_markushgrapher_state_dict(sd: Dict, cfg) -> Dict:
+    """One-shot MarkushGrapher-2 fork state dict -> full param tree.
+
+    The fork's module surface (reference utils_model_loading.py:20-42,
+    begin.py:141-172): a UDOP trunk plus `encoder.molscribe_encoder.*`
+    (MolScribe Swin-B, timm names) and `encoder.molscribe_projector.*`
+    (2-layer MLP). Returns {params: ...} ready for `graft_into` on an
+    initialized MarkushGrapherModel tree. `cfg` is a MarkushGrapherConfig.
+    """
+    from markushgrapher_tpu.convert.swin_from_torch import convert_swin_state_dict
+
+    sd = {
+        (k[len("model."):] if k.startswith("model.") else k): v
+        for k, v in sd.items()
+    }
+    # drop torch buffers that have no parameter analog
+    sd = {k: v for k, v in sd.items()
+          if not k.endswith(("position_ids", "relative_position_index", "attn_mask"))}
+
+    ms_enc_prefix = "encoder.molscribe_encoder."
+    ms_proj_prefix = "encoder.molscribe_projector."
+    ms_enc = {k[len(ms_enc_prefix):]: v for k, v in sd.items()
+              if k.startswith(ms_enc_prefix)}
+    udop_sd = {k: v for k, v in sd.items()
+               if not k.startswith((ms_enc_prefix, ms_proj_prefix))}
+
+    vtl = cfg.vtl
+    params = convert_udop_state_dict(
+        udop_sd,
+        num_layers=vtl.num_layers,
+        num_decoder_layers=vtl.num_decoder_layers,
+        num_heads=vtl.num_heads,
+        d_kv=vtl.d_kv,
+        d_model=vtl.d_model,
+        patch_size=vtl.patch_size,
+    )["params"]
+
+    if ms_enc:
+        # MolScribe wrappers nest the timm Swin at varying depths
+        for wrapper in ("", "transformer.", "encoder.", "swin.", "model."):
+            if f"{wrapper}patch_embed.proj.weight" in ms_enc:
+                break
+        else:
+            raise KeyError(
+                "molscribe_encoder weights present but no timm Swin "
+                f"patch_embed found; keys like {sorted(ms_enc)[:3]}"
+            )
+        params["molscribe_encoder"] = convert_swin_state_dict(
+            ms_enc,
+            depths=cfg.swin.depths,
+            num_heads=cfg.swin.num_heads,
+            embed_dim=cfg.swin.embed_dim,
+            patch_size=cfg.swin.patch_size,
+            prefix=wrapper,
+        )["params"]
+
+    if any(k.startswith(ms_proj_prefix) for k in sd):
+        params["molscribe_projector"] = _convert_projector(sd, ms_proj_prefix)
+
+    return {"params": params}
+
+
 def graft_into(model_params: Dict, converted: Dict) -> Dict:
     """Copy converted leaves into an initialized (possibly boxed) param tree,
     preserving partitioning metadata; shape mismatches raise."""

@@ -104,3 +104,84 @@ def batch_sharding(mesh: Mesh) -> NamedSharding:
 
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
+
+
+def _key_name(k) -> str:
+    if hasattr(k, "key"):
+        return str(k.key)
+    if hasattr(k, "name"):
+        return str(k.name)
+    if hasattr(k, "idx"):
+        return str(k.idx)
+    return str(k)
+
+
+# ZeRO-1: replicated-param moments at/above this size get sharded over `data`
+_ZERO_MIN_SIZE = 2 ** 16
+
+
+def opt_state_shardings(tx, params, param_shardings, mesh: Mesh,
+                        zero_shard_replicated: bool = True,
+                        zero_min_size: Optional[int] = None):
+    """Shardings for an optax state tree (ZeRO-style optimizer sharding).
+
+    Optimizer moments (adam mu/nu, MultiSteps acc_grads, ...) are pytrees
+    that mirror the param tree; we match each optimizer-state leaf to its
+    param by key-path suffix and give it the param's sharding. Leaves with
+    no param analog (step counters) are replicated.
+
+    With `zero_shard_replicated`, moments of *replicated* params are
+    additionally sharded over the `data` axis on their largest divisible
+    dim when big enough to matter — the GSPMD equivalent of ZeRO-1
+    (optimizer-state partitioning); XLA inserts the gather/reduce-scatter
+    collectives around the update.
+    """
+    if zero_min_size is None:
+        zero_min_size = _ZERO_MIN_SIZE
+    abstract = jax.eval_shape(tx.init, params)
+    unboxed_params = nn.meta.unbox(params)
+
+    p_by_path = {}
+    for path, leaf in jax.tree_util.tree_flatten_with_path(unboxed_params)[0]:
+        p_by_path[tuple(_key_name(k) for k in path)] = leaf.shape
+
+    shard_by_path = {}
+    for path, shard in jax.tree_util.tree_flatten_with_path(
+            nn.meta.unbox(param_shardings))[0]:
+        shard_by_path[tuple(_key_name(k) for k in path)] = shard
+
+    data_size = mesh.shape.get("data", 1)
+    repl = replicated(mesh)
+
+    def zero_shard(shape, spec: P) -> NamedSharding:
+        """Shard the largest unsharded, divisible dim over `data`."""
+        spec = tuple(spec) + (None,) * (len(shape) - len(tuple(spec)))
+        cands = [d for d in range(len(shape))
+                 if spec[d] is None and shape[d] % data_size == 0 and shape[d] > 1]
+        if not cands:
+            return NamedSharding(mesh, P(*spec))
+        d = max(cands, key=lambda i: shape[i])
+        new_spec = list(spec)
+        new_spec[d] = "data"
+        return NamedSharding(mesh, P(*new_spec))
+
+    def assign(path, leaf):
+        keys = tuple(_key_name(k) for k in path)
+        # flax Partitioned boxes flatten with a trailing `.value` key the
+        # unboxed param paths don't have
+        if keys and keys[-1] == "value":
+            keys = keys[:-1]
+        for i in range(len(keys)):
+            suffix = keys[i:]
+            if suffix in p_by_path and tuple(p_by_path[suffix]) == tuple(leaf.shape):
+                shard = shard_by_path.get(suffix, repl)
+                spec = getattr(shard, "spec", P())
+                size = int(np.prod(leaf.shape)) if leaf.shape else 1
+                if (zero_shard_replicated and data_size > 1
+                        and size >= zero_min_size
+                        and all(s is None for s in tuple(spec))):
+                    return zero_shard(leaf.shape, spec)
+                return shard
+        return repl
+
+    return jax.tree_util.tree_map_with_path(assign, abstract)

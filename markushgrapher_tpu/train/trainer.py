@@ -102,12 +102,17 @@ class Trainer:
         else:
             params = jax.device_put(params, p_shard)
 
+        # ZeRO-style optimizer-state sharding: moments follow param specs,
+        # large replicated moments shard over the data axis (mesh.py)
+        opt_shard = mesh_lib.opt_state_shardings(
+            self.tx, params, p_shard, self.mesh)
         opt_state = jax.jit(
             self.tx.init,
-            out_shardings=None)(params)
+            out_shardings=opt_shard)(params)
         state = TrainState(step=jnp.zeros((), jnp.int32), params=params,
                            opt_state=opt_state)
         self._param_shardings = p_shard
+        self._opt_shardings = opt_shard
         return state
 
     # -- the step ------------------------------------------------------------
@@ -129,9 +134,20 @@ class Trainer:
             return new_state, {"loss": loss, "grad_norm": gnorm}
 
         batch_shard = mesh_lib.batch_sharding(self.mesh)
+        # pin state output shardings: donation requires stable layouts, and
+        # without this XLA could migrate the ZeRO-sharded moments back to
+        # replicated on the first update
+        out_shardings = None
+        if getattr(self, "_opt_shardings", None) is not None:
+            state_shard = TrainState(
+                step=mesh_lib.replicated(self.mesh),
+                params=self._param_shardings,
+                opt_state=self._opt_shardings)
+            out_shardings = (state_shard, None)
         self._step_fn = jax.jit(
             train_step,
             in_shardings=(None, batch_shard, None),
+            out_shardings=out_shardings,
             donate_argnums=(0,),
         )
 

@@ -129,3 +129,71 @@ class TestCurriculum:
         assert cb.update(0.95) == 0   # bad 1
         assert cb.update(0.95) == 1   # bad 2 -> level up
         assert cb.update(2.0) == 1    # counter reset
+
+
+class TestOptStateSharding:
+    """ZeRO-style optimizer-state sharding (parallel/mesh.py
+    opt_state_shardings): moments follow param specs; big replicated
+    moments shard over the data axis."""
+
+    def _shard_tree(self, trainer, batch, zero_min_size):
+        from flax import linen as nn
+
+        rng = jax.random.PRNGKey(0)
+
+        def init(r):
+            return trainer.model.init(r, **{k: jnp.asarray(v) for k, v in batch.items()})
+
+        abstract = jax.eval_shape(init, rng)
+        logical = nn.get_partition_spec(abstract)
+        p_shard = mesh_lib.logical_to_mesh_sharding(logical, trainer.mesh)
+        params = jax.jit(init, out_shardings=p_shard)(rng)
+        from markushgrapher_tpu.train.optim import make_optimizer
+        tx = make_optimizer(trainer.cfg)
+        opt_shard = mesh_lib.opt_state_shardings(
+            tx, params, p_shard, trainer.mesh, zero_min_size=zero_min_size)
+        return tx, params, p_shard, opt_shard
+
+    def test_moments_follow_param_specs(self):
+        trainer, batch = tiny_setup()
+        with trainer.mesh:
+            tx, params, p_shard, opt_shard = self._shard_tree(trainer, batch, 1 << 30)
+        # adam state: chain(clip, adamw) -> opt_shard[1][0] is ScaleByAdamState
+        adam = opt_shard[1][0]
+        wi = adam.mu["params"]["encoder"]["layer_0"]["ff"]["wi"]
+        wi_param_shard = p_shard["params"]["encoder"]["layer_0"]["ff"]["wi"]
+        assert mesh_lib.unbox(wi)["kernel"].spec == mesh_lib.unbox(wi_param_shard)["kernel"].spec
+        # scalar count is replicated
+        assert adam.count.spec == jax.sharding.PartitionSpec()
+
+    def test_big_replicated_moments_zero_shard(self):
+        trainer, batch = tiny_setup()
+        with trainer.mesh:
+            tx, params, p_shard, opt_shard = self._shard_tree(trainer, batch, 64)
+        adam = opt_shard[1][0]
+        emb = mesh_lib.unbox(adam.mu["params"]["shared_embedding"])
+        # shared_embedding [64, 16] is replicated as a param; its moment must
+        # pick up a 'data' dim with the tiny threshold
+        assert "data" in jax.tree_util.tree_leaves(
+            [list(emb.spec)])  # flattened spec contains 'data'
+        # init under jit with these shardings must succeed
+        opt_state = jax.jit(tx.init, out_shardings=opt_shard)(params)
+        got = mesh_lib.unbox(opt_state[1][0].mu["params"]["shared_embedding"])
+        assert "data" in tuple(got.sharding.spec)
+
+    def test_train_step_with_zero_sharding(self, monkeypatch):
+        monkeypatch.setattr(mesh_lib, "_ZERO_MIN_SIZE", 64)
+        trainer, batch = tiny_setup()
+        rng = jax.random.PRNGKey(0)
+        with trainer.mesh:
+            state = trainer.init_state(rng, batch)
+            emb_mu = mesh_lib.unbox(state.opt_state[1][0].mu["params"]["shared_embedding"])
+            assert "data" in tuple(emb_mu.sharding.spec)
+            losses = []
+            for _ in range(3):
+                state, m = trainer.train_step(state, batch, rng)
+                losses.append(float(m["loss"]))
+            # sharding must be stable across donated steps
+            emb_mu2 = mesh_lib.unbox(state.opt_state[1][0].mu["params"]["shared_embedding"])
+            assert emb_mu2.sharding == emb_mu.sharding
+        assert all(np.isfinite(losses)) and losses[-1] < losses[0]
