@@ -95,6 +95,12 @@ def greedy_generate(
     return out
 
 
+def _take_beams(x: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """Gather along axis 1: x [B, N, ...], idx [B, M] -> [B, M, ...]."""
+    return jnp.take_along_axis(
+        x, idx.reshape(idx.shape + (1,) * (x.ndim - 2)), axis=1)
+
+
 def beam_generate(
     model: Any,
     params: Any,
@@ -106,13 +112,25 @@ def beam_generate(
     pad_id: int = 0,
     start_id: int = 0,
     length_penalty: float = 1.0,
+    early_stopping: bool = False,
     quant_cross_kv: bool = False,
     quant_weights: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Fixed-shape beam search. Returns (ids [B, max_length], scores [B])
-    for the best finished beam per sample (HF num_beams semantics)."""
+    """Fixed-shape beam search with HF `_beam_search` semantics
+    (transformers/generation/utils.py:3113-3404): per step the top 2K of the
+    K*V continuations are taken; continuations that hit a stopping criterion
+    (EOS or max length) AND rank in the global top K merge into a running
+    finished set of K hypotheses (scores normalized by generated_len **
+    length_penalty); the best K non-finished continuations carry the live
+    search. The loop stops when no live beam can improve on the worst
+    finished hypothesis (the HF early-stop heuristic), every candidate hits a
+    stopping criterion, or (with early_stopping=True) every finished slot is
+    filled. Returns (ids [B, max_length], scores [B]) of the best finished
+    hypothesis — token-for-token what HF `generate(num_beams=K)` produces.
+    """
     batch, _, _ = enc.shape
     k = num_beams
+    k2 = 2 * k  # HF beams_to_keep = max(2, 1 + n_eos) * num_beams
     neg_inf = jnp.float32(-1e9)
 
     enc_k = _tile_beams(enc, k)
@@ -126,62 +144,99 @@ def beam_generate(
     cross_bias = mask_bias(mask_k)
 
     # beam 0 active, others muted at step 0 so all beams start identical
-    init_scores = jnp.tile(
+    run_scores0 = jnp.tile(
         jnp.concatenate([jnp.zeros((1,)), jnp.full((k - 1,), neg_inf)])[None],
-        (batch, 1))
+        (batch, 1)).astype(jnp.float32)
+    # ranks 0..K-1 of the 2K sorted candidates are eligible to finalize
+    top_k_mask = (jnp.arange(k2) < k)[None]  # [1, 2K]
 
     def cond(state):
-        step, _, _, _, finished, _ = state
-        return (step < max_length) & ~jnp.all(finished)
+        step, halt = state[0], state[-1]
+        return (step < max_length) & ~halt
 
     def body(state):
-        step, tok, caches, scores, finished, seqs = state
+        (step, tok, caches, run_scores, run_seqs,
+         fin_scores, fin_seqs, fin_flags, heur_unsat, _) = state
+
         logits, caches = model.apply(
             params, tok, caches, step, bias_full, cross_bias, qw,
             method=type(model).decode_step)
         logp = jax.nn.log_softmax(logits[:, -1].astype(jnp.float32), axis=-1)
         vocab = logp.shape[-1]
-        logp = logp.reshape(batch, k, vocab)
+        acc = run_scores[..., None] + logp.reshape(batch, k, vocab)
 
-        # finished beams only continue with pad at no cost
-        pad_row = jnp.full((vocab,), neg_inf).at[pad_id].set(0.0)
-        logp = jnp.where(finished.reshape(batch, k)[..., None], pad_row, logp)
+        top2k, idx = jax.lax.top_k(acc.reshape(batch, k * vocab), k2)
+        cand_beam = (idx // vocab).astype(jnp.int32)          # [B, 2K]
+        cand_tok = (idx % vocab).astype(jnp.int32)
 
-        cand = scores[..., None] + logp                      # [B, K, V]
-        flat = cand.reshape(batch, k * vocab)
-        top_scores, top_idx = jax.lax.top_k(flat, k)          # [B, K]
-        beam_idx = top_idx // vocab
-        token_idx = (top_idx % vocab).astype(jnp.int32)
+        cand_seqs = _take_beams(run_seqs, cand_beam)          # [B, 2K, L]
+        cand_seqs = jnp.moveaxis(
+            jnp.moveaxis(cand_seqs, -1, 0).at[step].set(cand_tok), 0, -1)
+        # stopping criteria: EOS token or max length reached
+        hits = (cand_tok == eos_id) | (step + 1 >= max_length)
 
-        caches = _gather_beams(caches, beam_idx, batch, k)
-        seqs = _gather_beams(seqs, beam_idx, batch, k)
-        finished = _gather_beams(finished, beam_idx, batch, k)
-        seqs = seqs.at[:, step].set(token_idx.reshape(-1))
-        finished = finished | (token_idx.reshape(-1) == eos_id)
-        return (step + 1, token_idx.reshape(-1, 1), caches, top_scores,
-                finished, seqs)
+        # live beams for the next step: best K non-finished continuations
+        # (finished ones muted by -1e9, exactly like HF — the mute is kept
+        # in the carried score)
+        live_scores2k = top2k + hits.astype(jnp.float32) * neg_inf
+        new_run_scores, live_idx = jax.lax.top_k(live_scores2k, k)
+        new_run_seqs = _take_beams(cand_seqs, live_idx)
+        tok_next = _take_beams(cand_tok, live_idx)            # [B, K]
+        orig_beam = _take_beams(cand_beam, live_idx)          # [B, K]
+        caches = _gather_beams(caches, orig_beam, batch, k)
+
+        # finished-set update: only top-K-ranked candidates that hit a
+        # stopping criterion may finalize; normalize by generated length
+        did_finish = hits & top_k_mask
+        norm = top2k / ((step + 1).astype(jnp.float32) ** length_penalty)
+        norm = norm + (~did_finish).astype(jnp.float32) * neg_inf
+        if early_stopping:
+            full = jnp.all(fin_flags, axis=-1, keepdims=True)
+            norm = norm + full.astype(jnp.float32) * neg_inf
+        norm = norm + (~heur_unsat)[:, None].astype(jnp.float32) * neg_inf
+
+        m_scores = jnp.concatenate([fin_scores, norm], axis=1)     # [B, 3K]
+        m_idx = jax.lax.top_k(m_scores, k)[1]
+        new_fin_scores = _take_beams(m_scores, m_idx)
+        new_fin_seqs = _take_beams(
+            jnp.concatenate([fin_seqs, cand_seqs], axis=1), m_idx)
+        new_fin_flags = _take_beams(
+            jnp.concatenate([fin_flags, did_finish], axis=1), m_idx)
+
+        # HF early-stop heuristic (early_stopping=False branch): can the top
+        # live beam still beat the worst finished hypothesis?
+        best_possible = new_run_scores[:, :1] / (
+            (step + 1).astype(jnp.float32) ** length_penalty)
+        worst_fin = jnp.where(
+            new_fin_flags, jnp.min(new_fin_scores, axis=1, keepdims=True),
+            neg_inf)
+        heur_unsat = heur_unsat & jnp.any(best_possible > worst_fin, axis=-1)
+
+        improvement_possible = jnp.any(heur_unsat)
+        exists_open_beam = ~(jnp.all(new_fin_flags) & early_stopping)
+        valid_continuations = ~jnp.all(hits)
+        halt = ~(improvement_possible & exists_open_beam & valid_continuations)
+
+        return (step + 1, tok_next.reshape(-1, 1), caches,
+                new_run_scores, new_run_seqs,
+                new_fin_scores, new_fin_seqs, new_fin_flags, heur_unsat, halt)
 
     init = (
         jnp.int32(0),
         jnp.full((batch * k, 1), start_id, jnp.int32),
         caches,
-        init_scores,
-        jnp.zeros((batch * k,), bool),
-        jnp.full((batch * k, max_length), pad_id, jnp.int32),
+        run_scores0,
+        jnp.full((batch, k, max_length), pad_id, jnp.int32),
+        jnp.full((batch, k), neg_inf, jnp.float32),
+        jnp.full((batch, k, max_length), pad_id, jnp.int32),
+        jnp.zeros((batch, k), bool),
+        jnp.ones((batch,), bool),
+        jnp.array(False),
     )
-    steps, _, _, scores, finished, seqs = jax.lax.while_loop(cond, body, init)
-
-    # length-normalized final scores (HF length_penalty semantics)
-    seqs_bk = seqs.reshape(batch, k, max_length)
-    lengths = jnp.sum(
-        jnp.cumsum(seqs_bk == eos_id, axis=-1) == 0, axis=-1) + 1  # incl. EOS
-    lengths = jnp.minimum(lengths, max_length).astype(jnp.float32)
-    norm_scores = scores / (lengths ** length_penalty)
-    best = jnp.argmax(norm_scores, axis=-1)  # [B]
-    best_seqs = jnp.take_along_axis(
-        seqs_bk, best[:, None, None].astype(jnp.int32), axis=1)[:, 0]
-    best_scores = jnp.take_along_axis(norm_scores, best[:, None], axis=1)[:, 0]
-    return best_seqs, best_scores
+    out = jax.lax.while_loop(cond, body, init)
+    fin_scores, fin_seqs = out[5], out[6]
+    # merged top-k keeps descending score order: slot 0 is the best
+    return fin_seqs[:, 0], fin_scores[:, 0]
 
 
 def generate(
