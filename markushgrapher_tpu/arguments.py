@@ -147,9 +147,10 @@ def build_model_config(margs: ModelArguments, dargs: DataArguments
     )
 
 
-def build_train_config(targs: TrainingArguments, dargs: DataArguments
-                       ) -> TrainConfig:
+def build_train_config(targs: TrainingArguments, dargs: DataArguments,
+                       margs: "ModelArguments" = None) -> TrainConfig:
     return TrainConfig(
+        loss_fct=margs.loss_fct if margs is not None else "CE",
         learning_rate=targs.learning_rate,
         lr_schedule=targs.lr_scheduler_type,
         warmup_steps=targs.warmup_steps,

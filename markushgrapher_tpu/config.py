@@ -133,6 +133,9 @@ class TrainConfig:
     adam_eps: float = 1e-8
     max_grad_norm: float = 1.0
     label_smoothing: float = 0.0
+    # "CE" (model-internal cross-entropy) or "huber" (train/losses.py;
+    # reference arguments.py:252 loss_fct)
+    loss_fct: str = "CE"
     seed: int = 0
     dtype: str = "bfloat16"
     eval_steps: int = 1000

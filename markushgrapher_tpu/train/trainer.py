@@ -25,6 +25,7 @@ from jax.sharding import Mesh
 from markushgrapher_tpu.config import TrainConfig
 from markushgrapher_tpu.models.markushgrapher import MarkushGrapherModel
 from markushgrapher_tpu.parallel import mesh as mesh_lib
+from markushgrapher_tpu.train.losses import get_loss_fn
 from markushgrapher_tpu.train.optim import freeze_mask, make_optimizer
 
 logger = logging.getLogger(__name__)
@@ -120,10 +121,16 @@ class Trainer:
     def _build_step(self):
         tx = self.tx
         model = self.model
+        # loss_fct knob (reference arguments.py:252): "CE" uses the model's
+        # internal cross-entropy; anything else dispatches train/losses.py
+        loss_name = getattr(self.cfg, "loss_fct", "CE") or "CE"
+        loss_override = (get_loss_fn(loss_name) if loss_name != "CE" else None)
 
         def loss_fn(params, batch, rng):
             out = model.apply(params, **batch, deterministic=False,
                               rngs={"dropout": rng})
+            if loss_override is not None:
+                return loss_override(out["logits"], batch["labels"])
             return out["loss"]
 
         def train_step(state: TrainState, batch, rng):

@@ -54,7 +54,7 @@ def main(config_path: Optional[str] = None) -> Dict[str, float]:
     logger.info("devices: %s", jax.devices())
 
     cfg = build_model_config(margs, dargs)
-    tcfg = build_train_config(targs, dargs)
+    tcfg = build_train_config(targs, dargs, margs)
     dtype = jnp.bfloat16 if tcfg.dtype == "bfloat16" else jnp.float32
     model = MarkushGrapherModel(cfg, dtype=dtype, remat=tcfg.remat)
 
