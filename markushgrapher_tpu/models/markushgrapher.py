@@ -99,6 +99,10 @@ class MarkushGrapherModel(nn.Module):
     # fused int8 cross-attention decode kernel (ops.flash_decode) — halves
     # the dominant decode HBM traffic; requires quant_cross_kv at generate
     flash_decode: bool = False
+    # MXU-dot fused int8 cross-attention (ops.mxu_decode), default for
+    # quant_cross_kv decode: 1.55x over the XLA int8 fusions at serving
+    # shapes (scripts/microbench_cross.py); flash_decode overrides
+    mxu_decode: bool = True
 
     def setup(self):
         vtl = self.cfg.vtl
@@ -142,7 +146,7 @@ class MarkushGrapherModel(nn.Module):
             num_heads=vtl.num_heads, d_kv=vtl.d_kv, d_ff=vtl.d_ff,
             ff_proj=vtl.feed_forward_proj, eps=vtl.layer_norm_epsilon,
             dtype=self.dtype, dropout_rate=vtl.dropout_rate, remat=self.remat,
-            flash_decode=self.flash_decode)
+            flash_decode=self.flash_decode, mxu_decode=self.mxu_decode)
         self.lm_head = nn.DenseGeneral(
             features=vtl.vocab_size, use_bias=False, dtype=jnp.float32,
             param_dtype=jnp.float32,

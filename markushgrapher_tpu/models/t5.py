@@ -252,6 +252,11 @@ class DecoderLayer(nn.Module):
     # per-head cache slab once for QK+softmax+PV instead of XLA's two
     # fusions re-reading it — cross-attention is ~51% of the decode step
     flash_decode: bool = False
+    # MXU-dot fused int8 cross-attention (ops.mxu_decode): block-diagonal-Q
+    # MXU dots + grid-pipelined slab streaming; measured 1.55x over the XLA
+    # int8 path at serving shapes (scripts/microbench_cross.py). Default for
+    # quant_cross; flash_decode=True (legacy VPU kernel) takes precedence.
+    mxu_decode: bool = True
 
     def setup(self):
         self.ln_self = RMSNorm(eps=self.eps, dtype=self.dtype)
@@ -323,6 +328,21 @@ class DecoderLayer(nn.Module):
                 "self_v_s": jnp.zeros((batch, max_len, self.num_heads),
                                       jnp.float32),
             }
+            if self.mxu_decode:
+                # MXU kernel layout: values token-major FLAT [B, Kp, H*D]
+                # int8 (free reshape of [B, K, H, D]); scales head-major
+                # [B, H, Kp] f32 (K minormost — a 16-minormost f32 array
+                # would be 8x lane-padded in HBM). K padded to a 256
+                # multiple; zero scales + -1e9 bias mask the padding.
+                kpad = (-ck.shape[1]) % 256
+                for name, t in (("cross_k", ck), ("cross_v", cv)):
+                    q, s = _quantize_kv(t)             # [B,K,H,D], [B,K,H]
+                    q = jnp.pad(q, ((0, 0), (0, kpad), (0, 0), (0, 0)))
+                    cache[name + "_q"] = q.reshape(
+                        batch, q.shape[1], self.num_heads * self.d_kv)
+                    cache[name + "_s"] = jnp.pad(
+                        s, ((0, 0), (0, kpad), (0, 0))).transpose(0, 2, 1)
+                return cache
             for name, t in (("cross_k", ck), ("cross_v", cv)):
                 q, s = _quantize_kv(t)
                 cache[name + "_q"] = q
@@ -482,6 +502,23 @@ class DecoderLayer(nn.Module):
                 q[:, 0], cache["cross_k_q"], cache["cross_k_s"],
                 cache["cross_v_q"], cache["cross_v_s"], bias)
             return self._proj_o(out[:, None], qw, "cross_o", attn)
+        if "cross_k_q" in cache and cache["cross_k_q"].ndim == 3:
+            # MXU-dot fused kernel (ops.mxu_decode); flat [B, Kp, H*D] slabs
+            from markushgrapher_tpu.ops.mxu_decode import cross_decode_mxu
+
+            kp = cache["cross_k_q"].shape[1]
+            if cross_bias is None:
+                bias = jnp.zeros((1, 1, kp), jnp.float32)
+            else:
+                bias = cross_bias[:, :1, 0, :].astype(jnp.float32)
+                if bias.shape[-1] < kp:  # mask the K padding from init_cache
+                    bias = jnp.pad(
+                        bias, ((0, 0), (0, 0), (0, kp - bias.shape[-1])),
+                        constant_values=-1e9)
+            out = cross_decode_mxu(
+                q[:, 0], cache["cross_k_q"], cache["cross_k_s"],
+                cache["cross_v_q"], cache["cross_v_s"], bias)
+            return self._proj_o(out[:, None], qw, "cross_o", attn)
         if "cross_k" in cache:
             scores = jnp.einsum("bqhd,bkhd->bhqk", q, cache["cross_k"],
                                 preferred_element_type=jnp.float32)
@@ -558,6 +595,7 @@ class Decoder(nn.Module):
     dropout_rate: float = 0.0
     remat: bool = False
     flash_decode: bool = False
+    mxu_decode: bool = True
 
     def setup(self):
         layer_cls = DecoderLayer
@@ -567,7 +605,7 @@ class Decoder(nn.Module):
         self.layers = [
             layer_cls(self.d_model, self.num_heads, self.d_kv, self.d_ff,
                       self.ff_proj, self.eps, self.dtype, self.dropout_rate,
-                      self.flash_decode, name=f"layer_{i}")
+                      self.flash_decode, self.mxu_decode, name=f"layer_{i}")
             for i in range(self.num_layers)
         ]
         self.final_ln = RMSNorm(eps=self.eps, dtype=self.dtype)

@@ -1,0 +1,177 @@
+"""MXU-dot fused int8 cross-attention for the decode step.
+
+Cross-attention over the int8 KV cache is ~51% of every 831M decode step
+(device profile, CLAUDE.md). XLA lowers the Q=1 attention to separate QK and
+PV multiply-reduce fusions; this kernel streams each per-batch slab through
+VMEM once, grid-pipelined, and keeps the FLOPs on the MXU via a
+block-diagonal trick:
+
+  - Q [H, D] is expanded to a block-diagonal [H, H*D] matrix (head h's query
+    occupies columns h*D..(h+1)*D). One [H, H*D] x [H*D, TK] dot then yields
+    exactly the per-head scores — the off-head products are zeroed by the
+    block structure. Same for PV: [H, TK] x [TK, H*D] gives an [H, H*D]
+    accumulator whose block diagonal is the per-head output (extracted
+    OUTSIDE the kernel; Mosaic cannot shape-cast [H, HD] -> [H, H, D], and
+    the full accumulator is ~2% of the slab traffic).
+  - The wasted off-diagonal FLOPs (xH) are free: the kernel is
+    HBM-bandwidth-bound and the MXU has orders of magnitude of headroom.
+
+vs the previous attempt (ops/flash_decode.py, 4x SLOWER than XLA): that
+kernel computed scores as VPU broadcast-multiply-reduces and hand-looped K
+tiles inside one program (serializing the HBM->VMEM copies); this one uses
+MXU dots and the sequential grid's automatic double-buffering. Measured on
+v5e at serving shapes (B16 H16 K1792 D64, 24 layers): 1.55x over the XLA
+int8 path (scripts/microbench_cross.py).
+
+Semantics match models.t5.DecoderLayer._cross_attend's int8 branch:
+scores = (q . k_int8) * k_scale + bias; probs = softmax(scores);
+out = (probs * v_scale) . v_int8. No 1/sqrt(d) scaling (T5 convention).
+
+Layouts: values token-major flat [B, K, H*D] int8 (a free reshape of the
+XLA path's [B, K, H, D]); scales head-major [B, H, K] f32 (K minormost —
+a [.., 16]-minormost f32 array would be 8x lane-padded in HBM); bias
+[B, 1, K] f32 broadcast over heads in-kernel.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e30
+
+
+def pick_block_k(kv_len: int, hd: int,
+                 vmem_budget: int = 12 * 2 ** 20) -> int:
+    """Whole-slab tiles when they fit VMEM, else the largest 128-multiple
+    divisor within budget (lane-axis tile offsets must be 128-multiples;
+    callers pad kv_len to a 256-multiple). Measured at serving shapes
+    (K=1792, HD=1024): whole-slab 3.93 ms vs 4.80 ms at block 256 — fewer
+    grid steps + larger DMAs win; pipelining rides the batch grid axis."""
+    if kv_len * hd * 4 <= vmem_budget:  # K+V int8, double-buffered
+        return kv_len
+    cap = max(128, vmem_budget // (hd * 4))
+    for cand in range(cap - cap % 128, 127, -128):
+        if kv_len % cand == 0:
+            return cand
+    return kv_len
+
+
+def _kernel(qb_ref, kq_ref, ks_ref, vq_ref, vs_ref, bias_ref, o_ref,
+            m_ref, l_ref, acc_ref, *, n_k: int):
+    # qb_ref: [1, H, HD] bf16; kq/vq_ref: [1, TK, HD] int8;
+    # ks/vs_ref: [1, H, TK] f32; bias_ref: [1, 1, TK] f32;
+    # o_ref: [1, H, HD] f32; scratch m/l: [H, 128] f32, acc: [H, HD] f32
+    i = pl.program_id(1)
+
+    @pl.when(i == 0)
+    def _init():
+        m_ref[...] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[...] = jnp.zeros_like(l_ref)
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    qb = qb_ref[0]                                    # [H, HD] bf16
+    k = kq_ref[0].astype(jnp.bfloat16)                # [TK, HD]
+    s = jax.lax.dot_general(
+        qb, k, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)           # [H, TK]
+    s = s * ks_ref[0] + bias_ref[0]                   # bias [1,TK] broadcasts
+
+    m_prev = m_ref[:, :1]
+    l_prev = l_ref[:, :1]
+    m_cur = jnp.max(s, axis=-1, keepdims=True)
+    m_new = jnp.maximum(m_prev, m_cur)
+    alpha = jnp.exp(m_prev - m_new)
+    p = jnp.exp(s - m_new)                            # [H, TK]
+    l_new = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
+
+    pv = (p * vs_ref[0]).astype(jnp.bfloat16)         # [H, TK]
+    v = vq_ref[0].astype(jnp.bfloat16)                # [TK, HD]
+    o = jax.lax.dot_general(
+        pv, v, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)           # [H, HD]
+    acc_ref[...] = acc_ref[...] * alpha + o
+    m_ref[...] = jnp.broadcast_to(m_new, m_ref.shape)
+    l_ref[...] = jnp.broadcast_to(l_new, l_ref.shape)
+
+    @pl.when(i == n_k - 1)
+    def _finish():
+        o_ref[0] = (acc_ref[...] / jnp.maximum(l_ref[:, :1], 1e-30)
+                    ).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("block_k", "interpret"))
+def cross_decode_mxu(
+    q: jnp.ndarray,        # [B, H, D] float
+    kq_flat: jnp.ndarray,  # [B, K, H*D] int8
+    ks: jnp.ndarray,       # [B, H, K] f32
+    vq_flat: jnp.ndarray,  # [B, K, H*D] int8
+    vs: jnp.ndarray,       # [B, H, K] f32
+    bias: jnp.ndarray,     # [B or 1, 1, K] f32 additive (mask included)
+    block_k: int = 0,
+    interpret: bool | None = None,
+) -> jnp.ndarray:
+    """Returns attention output [B, H, D] in q.dtype."""
+    batch, kv_len, hd = kq_flat.shape
+    heads = q.shape[1]
+    d = hd // heads
+    if block_k <= 0:
+        block_k = pick_block_k(kv_len, hd)
+    n_k = kv_len // block_k
+    bias = jnp.broadcast_to(bias, (batch, 1, kv_len)).astype(jnp.float32)
+
+    # block-diagonal Q: qb[b, h, h*D + j] = q[b, h, j]
+    eye = jnp.eye(heads, dtype=jnp.bfloat16)
+    qb = (eye[None, :, :, None] * q.astype(jnp.bfloat16)[:, None, :, :]
+          ).reshape(batch, heads, hd)
+
+    acc = pl.pallas_call(
+        functools.partial(_kernel, n_k=n_k),
+        grid=(batch, n_k),
+        in_specs=[
+            pl.BlockSpec((1, heads, hd), lambda b, i: (b, 0, 0)),
+            pl.BlockSpec((1, block_k, hd), lambda b, i: (b, i, 0)),
+            pl.BlockSpec((1, heads, block_k), lambda b, i: (b, 0, i)),
+            pl.BlockSpec((1, block_k, hd), lambda b, i: (b, i, 0)),
+            pl.BlockSpec((1, heads, block_k), lambda b, i: (b, 0, i)),
+            pl.BlockSpec((1, 1, block_k), lambda b, i: (b, 0, i)),
+        ],
+        out_specs=pl.BlockSpec((1, heads, hd), lambda b, i: (b, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((batch, heads, hd), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((heads, 128), jnp.float32),
+            pltpu.VMEM((heads, 128), jnp.float32),
+            pltpu.VMEM((heads, hd), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+            vmem_limit_bytes=64 * 1024 * 1024),
+        interpret=(jax.default_backend() != "tpu") if interpret is None
+        else interpret,
+    )(qb, kq_flat, ks, vq_flat, vs, bias)
+
+    # block-diagonal extraction: out[b, h, :] = acc[b, h, h*D:(h+1)*D]
+    acc4 = acc.reshape(batch, heads, heads, d)
+    sel = jnp.eye(heads, dtype=acc.dtype)
+    return jnp.einsum("bxyd,xy->bxd", acc4, sel).astype(q.dtype)
+
+
+def cross_decode_reference(q, kq_flat, ks, vq_flat, vs, bias):
+    """jnp reference with identical math and layouts (for tests)."""
+    batch, kv_len, hd = kq_flat.shape
+    heads = q.shape[1]
+    d = hd // heads
+    kq = kq_flat.reshape(batch, kv_len, heads, d)
+    vq = vq_flat.reshape(batch, kv_len, heads, d)
+    scores = jnp.einsum("bhd,bkhd->bhk", q.astype(jnp.float32),
+                        kq.astype(jnp.float32),
+                        preferred_element_type=jnp.float32)
+    scores = scores * ks + bias.astype(jnp.float32)
+    probs = jax.nn.softmax(scores, axis=-1)
+    probs = probs * vs
+    return jnp.einsum("bhk,bkhd->bhd", probs.astype(q.dtype),
+                      vq.astype(q.dtype)).astype(q.dtype)
