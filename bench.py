@@ -10,7 +10,8 @@ steps at ~2 ms/step is a generous estimate for it).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
-Env overrides: BENCH_BATCH (default 16), BENCH_DECODE_LEN (default 512),
+Env overrides: BENCH_BATCH (default 48 — measured optimum with the MXU
+cross-attention kernel; 16 was optimal on the XLA path), BENCH_DECODE_LEN (default 512),
 BENCH_REPEATS (default 3), BENCH_BEAMS (default 1), BENCH_QUANT_KV (1),
 BENCH_QUANT_W (0), BENCH_FLASH (1), BENCH_INKERNEL_BIAS (0),
 BENCH_FLASH_DECODE (0).
@@ -41,7 +42,7 @@ def main() -> None:
     from markushgrapher_tpu.decode.generate import beam_generate, greedy_generate
     from markushgrapher_tpu.models.markushgrapher import MarkushGrapherModel
 
-    batch_size = int(os.environ.get("BENCH_BATCH", "16"))
+    batch_size = int(os.environ.get("BENCH_BATCH", "48"))
     decode_len = int(os.environ.get("BENCH_DECODE_LEN", "512"))
     repeats = int(os.environ.get("BENCH_REPEATS", "3"))
 

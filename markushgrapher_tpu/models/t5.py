@@ -334,6 +334,16 @@ class DecoderLayer(nn.Module):
                 # [B, H, Kp] f32 (K minormost — a 16-minormost f32 array
                 # would be 8x lane-padded in HBM). K padded to a 256
                 # multiple; zero scales + -1e9 bias mask the padding.
+                # Self caches use the same flat layout.
+                hd = self.num_heads * self.d_kv
+                cache = {
+                    "self_k_q": jnp.zeros((batch, max_len, hd), jnp.int8),
+                    "self_v_q": jnp.zeros((batch, max_len, hd), jnp.int8),
+                    "self_k_s": jnp.zeros((batch, self.num_heads, max_len),
+                                          jnp.float32),
+                    "self_v_s": jnp.zeros((batch, self.num_heads, max_len),
+                                          jnp.float32),
+                }
                 kpad = (-ck.shape[1]) % 256
                 for name, t in (("cross_k", ck), ("cross_v", cv)):
                     q, s = _quantize_kv(t)             # [B,K,H,D], [B,K,H]
@@ -431,6 +441,29 @@ class DecoderLayer(nn.Module):
         on insertion."""
         attn = self.self_attn
         q, k_new, v_new = self._fused_self_qkv(h, qw)   # [B, 1, H, Dk] each
+        if cache["self_k_q"].ndim == 3:
+            # MXU kernel layout: flat [B, S, H*D] int8 values + [B, H, S]
+            # scales (ops.mxu_decode); per-head relative bias row carries
+            # the causal mask for the unwritten tail
+            from markushgrapher_tpu.ops.mxu_decode import cross_decode_mxu
+
+            batch = h.shape[0]
+            hd = self.num_heads * self.d_kv
+            kq_new, ks_new = _quantize_kv(k_new)        # [B,1,H,D], [B,1,H]
+            vq_new, vs_new = _quantize_kv(v_new)
+            k_q = jax.lax.dynamic_update_slice_in_dim(
+                cache["self_k_q"], kq_new.reshape(batch, 1, hd), step, axis=1)
+            v_q = jax.lax.dynamic_update_slice_in_dim(
+                cache["self_v_q"], vq_new.reshape(batch, 1, hd), step, axis=1)
+            k_s = jax.lax.dynamic_update_slice_in_dim(
+                cache["self_k_s"], ks_new.transpose(0, 2, 1), step, axis=2)
+            v_s = jax.lax.dynamic_update_slice_in_dim(
+                cache["self_v_s"], vs_new.transpose(0, 2, 1), step, axis=2)
+            bias = self_bias_row[:, :, 0, :].astype(jnp.float32)  # [1, H, S]
+            out = cross_decode_mxu(q[:, 0], k_q, k_s, v_q, v_s, bias)
+            new = dict(cache, self_k_q=k_q, self_v_q=v_q, self_k_s=k_s,
+                       self_v_s=v_s)
+            return self._proj_o(out[:, None], qw, "self_o", attn), new
         if self.flash_decode:
             from markushgrapher_tpu.ops.flash_decode import (
                 flash_cross_decode_int8)

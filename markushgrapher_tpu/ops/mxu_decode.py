@@ -111,7 +111,7 @@ def cross_decode_mxu(
     ks: jnp.ndarray,       # [B, H, K] f32
     vq_flat: jnp.ndarray,  # [B, K, H*D] int8
     vs: jnp.ndarray,       # [B, H, K] f32
-    bias: jnp.ndarray,     # [B or 1, 1, K] f32 additive (mask included)
+    bias: jnp.ndarray,     # [B or 1, 1 or H, K] f32 additive (mask included)
     block_k: int = 0,
     interpret: bool | None = None,
 ) -> jnp.ndarray:
@@ -122,7 +122,10 @@ def cross_decode_mxu(
     if block_k <= 0:
         block_k = pick_block_k(kv_len, hd)
     n_k = kv_len // block_k
-    bias = jnp.broadcast_to(bias, (batch, 1, kv_len)).astype(jnp.float32)
+    # bias may be per-head ([.., H, K], self-attention relative bias) or
+    # shared ([.., 1, K], cross-attention mask); either broadcasts in-kernel
+    bias_b, bias_h = bias.shape[0], bias.shape[1]
+    bias = bias.astype(jnp.float32)
 
     # block-diagonal Q: qb[b, h, h*D + j] = q[b, h, j]
     eye = jnp.eye(heads, dtype=jnp.bfloat16)
@@ -138,7 +141,8 @@ def cross_decode_mxu(
             pl.BlockSpec((1, heads, block_k), lambda b, i: (b, 0, i)),
             pl.BlockSpec((1, block_k, hd), lambda b, i: (b, i, 0)),
             pl.BlockSpec((1, heads, block_k), lambda b, i: (b, 0, i)),
-            pl.BlockSpec((1, 1, block_k), lambda b, i: (b, 0, i)),
+            pl.BlockSpec((1, bias_h, block_k),
+                         lambda b, i: (b if bias_b > 1 else 0, 0, i)),
         ],
         out_specs=pl.BlockSpec((1, heads, hd), lambda b, i: (b, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((batch, heads, hd), jnp.float32),

@@ -92,6 +92,94 @@ from jax.experimental.pallas import tpu as pltpu
 NEG_INF = -1e30
 
 
+def _s8_kernel(qb_ref, kq_ref, ks_ref, vq_ref, vs_ref, bias_ref, o_ref,
+               m_ref, l_ref, acc_ref, *, n_k: int):
+    """QK as s8 x s8 -> s32 MXU dot (q block-diag quantized to int8, its
+    scale folded into ks) — skips the int8->bf16 conversion of the K slab
+    (~half the kernel's VPU work). PV still converts V to bf16."""
+    i = pl.program_id(1)
+
+    @pl.when(i == 0)
+    def _init():
+        m_ref[...] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[...] = jnp.zeros_like(l_ref)
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    qb = qb_ref[0]                                    # [H, HD] int8
+    k = kq_ref[0]                                     # [TK, HD] int8
+    s32 = jax.lax.dot_general(
+        qb, k, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32)             # [H, TK]
+    s = s32.astype(jnp.float32) * ks_ref[0] + bias_ref[0]
+
+    m_prev = m_ref[:, :1]
+    l_prev = l_ref[:, :1]
+    m_cur = jnp.max(s, axis=-1, keepdims=True)
+    m_new = jnp.maximum(m_prev, m_cur)
+    alpha = jnp.exp(m_prev - m_new)
+    p = jnp.exp(s - m_new)
+    l_new = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
+
+    pv = (p * vs_ref[0]).astype(jnp.bfloat16)
+    v = vq_ref[0].astype(jnp.bfloat16)
+    o = jax.lax.dot_general(
+        pv, v, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    acc_ref[...] = acc_ref[...] * alpha + o
+    m_ref[...] = jnp.broadcast_to(m_new, m_ref.shape)
+    l_ref[...] = jnp.broadcast_to(l_new, l_ref.shape)
+
+    @pl.when(i == n_k - 1)
+    def _finish():
+        o_ref[0] = (acc_ref[...] / jnp.maximum(l_ref[:, :1], 1e-30)
+                    ).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("block_k",))
+def pallas_cross_s8(qb_i8, kq_flat, ks_eff, vq_flat, vs_hk, bias_hk,
+                    block_k: int = 1792):
+    batch, kv_len, hd = kq_flat.shape
+    heads = qb_i8.shape[1]
+    d = hd // heads
+    n_k = kv_len // block_k
+    out = pl.pallas_call(
+        functools.partial(_s8_kernel, n_k=n_k),
+        grid=(batch, n_k),
+        in_specs=[
+            pl.BlockSpec((1, heads, hd), lambda b, i: (b, 0, 0)),
+            pl.BlockSpec((1, block_k, hd), lambda b, i: (b, i, 0)),
+            pl.BlockSpec((1, heads, block_k), lambda b, i: (b, 0, i)),
+            pl.BlockSpec((1, block_k, hd), lambda b, i: (b, i, 0)),
+            pl.BlockSpec((1, heads, block_k), lambda b, i: (b, 0, i)),
+            pl.BlockSpec((1, heads, block_k), lambda b, i: (b, 0, i)),
+        ],
+        out_specs=pl.BlockSpec((1, heads, hd), lambda b, i: (b, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((batch, heads, hd), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((heads, 128), jnp.float32),
+            pltpu.VMEM((heads, 128), jnp.float32),
+            pltpu.VMEM((heads, hd), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+            vmem_limit_bytes=64 * 1024 * 1024),
+        interpret=jax.default_backend() != "tpu",
+    )(qb_i8, kq_flat, ks_eff, vq_flat, vs_hk, bias_hk)
+    acc4 = out.reshape(batch, heads, heads, d)
+    eye = jnp.eye(heads, dtype=out.dtype)
+    return jnp.einsum("bxyd,xy->bxd", acc4, eye).astype(jnp.bfloat16)
+
+
+def quantize_qb(q):  # q [B, 1, H, D] -> (qb_i8 [B,H,HD], qscale [B,H,1])
+    b, _, h, d = q.shape
+    qf = q[:, 0].astype(jnp.float32)                   # [B, H, D]
+    scale = jnp.max(jnp.abs(qf), axis=-1, keepdims=True) / 127.0 + 1e-12
+    qi = jnp.round(qf / scale).astype(jnp.int8)
+    eye = jnp.eye(h, dtype=jnp.int8)
+    qb = (eye[None, :, :, None] * qi[:, None, :, :]).reshape(b, h, h * d)
+    return qb, scale
+
+
 def _mxu_kernel(qb_ref, kq_ref, ks_ref, vq_ref, vs_ref, bias_ref, o_ref,
                 m_ref, l_ref, acc_ref, *, n_k: int):
     # qb_ref: [1, H, HD] bf16 block-diagonal Q
@@ -260,6 +348,22 @@ def main():
         results["pallas_mxu"] = bench_variant(
             f"pallas_mxu/{args.block_k}", run,
             (qb, kq_flat, ks_hk, vq_flat, vs_hk), args.steps)
+
+    if "pallas_s8" in variants:
+        qb_i8, qscale = jax.jit(jax.vmap(quantize_qb))(q)
+        kq_flat = kq.reshape(LAYERS, B, K, HD)
+        vq_flat = vq.reshape(LAYERS, B, K, HD)
+        ks_eff = jnp.transpose(ks, (0, 1, 3, 2)) * qscale  # fold q scale in
+        vs_hk = jnp.transpose(vs, (0, 1, 3, 2))
+        bias_bh = jnp.broadcast_to(bias[:, :, 0, :], (B, H, K))
+        run = make_runner(
+            lambda qbb, a, b_, c, d_, bh: pallas_cross_s8(
+                qbb, a, b_, c, d_, bh,
+                block_k=args.block_k)[:, :, None].astype(jnp.float32),
+            (bias_bh,))
+        results["pallas_s8"] = bench_variant(
+            f"pallas_s8/{args.block_k}", run,
+            (qb_i8, kq_flat, ks_eff, vq_flat, vs_hk), args.steps)
 
     # correctness cross-check on one layer (small tolerance: bf16 PV);
     # costs two extra remote compiles — opt-in (interpret-mode CPU check
