@@ -412,13 +412,76 @@ def load_sentencepiece_model(
     return tok
 
 
+class HFTokenizerWrapper:
+    """`tokenizers`-library adapter exposing the same API surface as
+    SPMTokenizer, for non-Unigram checkpoint tokenizers (e.g. the
+    ChemicalOCR stage's SmolLM2-family byte-level BPE). Pure-python
+    substrate covers Unigram/T5; BPE checkpoints ride the Rust library
+    when present (it is in this image)."""
+
+    def __init__(self, tok, pad_id: int = 0, eos_id: int = 1,
+                 unk_id: int = 0):
+        self._tok = tok
+        self.vocab: Dict[str, int] = tok.get_vocab(with_added_tokens=True)
+        self.ids_to_pieces = {i: p for p, i in self.vocab.items()}
+        self.vocab_size = tok.get_vocab_size(with_added_tokens=True)
+        self.pad_token_id = pad_id
+        self.eos_token_id = eos_id
+        self.unk_token_id = unk_id
+        self.num_other = sum(1 for t in self.vocab if t.startswith("<other_"))
+
+    @classmethod
+    def from_file(cls, path: str) -> "HFTokenizerWrapper":
+        from tokenizers import Tokenizer
+
+        tok = Tokenizer.from_file(path)
+        vocab = tok.get_vocab(with_added_tokens=True)
+        ids = {n: vocab[n] for n in ("<pad>", "</s>", "<unk>",
+                                     "<|endoftext|>") if n in vocab}
+        return cls(tok,
+                   pad_id=ids.get("<pad>", 0),
+                   eos_id=ids.get("</s>", ids.get("<|endoftext|>", 1)),
+                   unk_id=ids.get("<unk>", 0))
+
+    def tokenize(self, text: str) -> List[str]:
+        return self._tok.encode(text, add_special_tokens=False).tokens
+
+    def encode(self, text: str, add_eos: bool = True) -> List[int]:
+        ids = self._tok.encode(text, add_special_tokens=False).ids
+        if add_eos:
+            ids.append(self.eos_token_id)
+        return ids
+
+    def piece_to_id(self, piece: str) -> int:
+        return self.vocab.get(piece, self.unk_token_id)
+
+    def _convert_token_to_id(self, token: str) -> int:
+        if token in self.vocab:
+            return self.vocab[token]
+        for marked in (SP_SPACE + token, "Ġ" + token):  # ▁ / Ġ
+            if marked in self.vocab:
+                return self.vocab[marked]
+        return self.unk_token_id
+
+    def convert_ids_to_tokens(self, ids: Iterable[int]) -> List[str]:
+        return [self.ids_to_pieces.get(int(i), "<unk>") for i in ids]
+
+    def decode(self, ids: Sequence[int], skip_special_tokens: bool = True) -> str:
+        return self._tok.decode([int(i) for i in ids],
+                                skip_special_tokens=skip_special_tokens)
+
+
 def load_hf_tokenizer_json(path: str) -> SPMTokenizer:
-    """Load an HF fast-tokenizer `tokenizer.json` (Unigram model)."""
+    """Load an HF fast-tokenizer `tokenizer.json`.
+
+    Unigram models use the pure-python substrate (exact, no deps);
+    other model types (BPE, WordPiece) fall back to the `tokenizers`
+    library via HFTokenizerWrapper."""
     with open(path) as f:
         spec = json.load(f)
     model = spec.get("model", {})
     if model.get("type") != "Unigram":
-        raise ValueError(f"unsupported tokenizer.json model type {model.get('type')!r}")
+        return HFTokenizerWrapper.from_file(path)
     pieces = [(v[0], float(v[1])) for v in model["vocab"]]
     unk_id = int(model.get("unk_id", 2))
     added: Dict[str, int] = {}

@@ -268,8 +268,14 @@ class LMLayer(nn.Module):
             k_q, k_s = _quantize_kv(k)
             v_q, v_s = _quantize_kv(v)
             spad = pad[:3]
-            cache = {"k_q": jnp.pad(k_q, pad), "k_s": jnp.pad(k_s, spad),
-                     "v_q": jnp.pad(v_q, pad), "v_s": jnp.pad(v_s, spad)}
+            # MXU-kernel layout (ops.mxu_decode, GQA-aware): values flat
+            # [B, S, G*D] int8, scales kv-head-major [B, G, S] f32
+            cache = {
+                "k_q": jnp.pad(k_q, pad).reshape(b, max_len, hkv * d),
+                "v_q": jnp.pad(v_q, pad).reshape(b, max_len, hkv * d),
+                "k_s": jnp.pad(k_s, spad).transpose(0, 2, 1),
+                "v_s": jnp.pad(v_s, spad).transpose(0, 2, 1),
+            }
         else:
             cache = {"k": jnp.pad(k, pad), "v": jnp.pad(v, pad)}
         return x, cache
@@ -295,27 +301,6 @@ class LMLayer(nn.Module):
             self._kernel_of(self.down), (0,))
         return qw
 
-    def _attend_quant(self, q, cache, kv_mask):
-        """GQA attention over the int8 cache without materializing the
-        head-repeated K/V: queries reshape to [B, 1, G, rep, D] and contract
-        against the G kv-heads directly."""
-        cfg = self.cfg
-        rep = cfg.num_heads // cfg.num_kv_heads
-        b, _, _, d = q.shape
-        q5 = q.reshape(b, 1, cfg.num_kv_heads, rep, d) * (d ** -0.5)
-        k_q, k_s = cache["k_q"], cache["k_s"]     # [B,S,G,D] i8, [B,S,G] f32
-        v_q, v_s = cache["v_q"], cache["v_s"]
-        scores = jnp.einsum("bqgrd,bkgd->bgrqk", q5.astype(jnp.float32),
-                            k_q.astype(jnp.float32),
-                            preferred_element_type=jnp.float32)
-        scores = scores * jnp.transpose(k_s, (0, 2, 1))[:, :, None, None, :]
-        scores = scores + kv_mask[:, :, None]     # [B,1,1,1,S] broadcast
-        probs = jax.nn.softmax(scores, -1)
-        probs = probs * jnp.transpose(v_s, (0, 2, 1))[:, :, None, None, :]
-        out = jnp.einsum("bgrqk,bkgd->bqgrd", probs.astype(self.dtype),
-                         v_q.astype(self.dtype))
-        return out.reshape(b, 1, cfg.num_heads, d)
-
     def decode_step(self, x, cache, rope, position, step, kv_mask, qw=None):
         cfg = self.cfg
         h = self.ln_attn(x)
@@ -331,19 +316,30 @@ class LMLayer(nn.Module):
         q = apply_rope(q, rope, position)
         k_new = apply_rope(k_new, rope, position)
         if "k_q" in cache:                        # int8 ring cache
-            kq_new, ks_new = _quantize_kv(k_new)
+            from markushgrapher_tpu.ops.mxu_decode import cross_decode_mxu
+
+            b = x.shape[0]
+            nkv, d = cfg.num_kv_heads, cfg.d_model // cfg.num_heads
+            kq_new, ks_new = _quantize_kv(k_new)  # [B,1,G,D], [B,1,G]
             vq_new, vs_new = _quantize_kv(v_new)
             cache = dict(
                 cache,
                 k_q=jax.lax.dynamic_update_slice_in_dim(
-                    cache["k_q"], kq_new, step, axis=1),
+                    cache["k_q"], kq_new.reshape(b, 1, nkv * d), step, axis=1),
                 k_s=jax.lax.dynamic_update_slice_in_dim(
-                    cache["k_s"], ks_new, step, axis=1),
+                    cache["k_s"], ks_new.transpose(0, 2, 1), step, axis=2),
                 v_q=jax.lax.dynamic_update_slice_in_dim(
-                    cache["v_q"], vq_new, step, axis=1),
+                    cache["v_q"], vq_new.reshape(b, 1, nkv * d), step, axis=1),
                 v_s=jax.lax.dynamic_update_slice_in_dim(
-                    cache["v_s"], vs_new, step, axis=1))
-            attn_out = self._attend_quant(q, cache, kv_mask)
+                    cache["v_s"], vs_new.transpose(0, 2, 1), step, axis=2))
+            # per-head scales for the kernel's [H, TK] score rows: repeat
+            # each kv-head scale across its query group
+            rep = cfg.num_heads // nkv
+            attn_out = cross_decode_mxu(
+                q[:, 0] * (d ** -0.5),
+                cache["k_q"], jnp.repeat(cache["k_s"], rep, axis=1),
+                cache["v_q"], jnp.repeat(cache["v_s"], rep, axis=1),
+                kv_mask[:, 0])[:, None]           # [B, 1, H, D]
             if qw is None:
                 y = self.o(attn_out)
             else:

@@ -118,7 +118,13 @@ def cross_decode_mxu(
     """Returns attention output [B, H, D] in q.dtype."""
     batch, kv_len, hd = kq_flat.shape
     heads = q.shape[1]
-    d = hd // heads
+    d = q.shape[2]
+    # GQA generalizes for free: with G kv-heads the slabs are [K, G*D] and
+    # Q expands block-diagonally into its GROUP's column block — the same
+    # [H, G*D] x [G*D, TK] dot yields per-head scores against the right
+    # kv-head (rows sharing a group share columns). MHA is G == H.
+    groups = hd // d
+    rep = heads // groups
     if block_k <= 0:
         block_k = pick_block_k(kv_len, hd)
     n_k = kv_len // block_k
@@ -127,9 +133,10 @@ def cross_decode_mxu(
     bias_b, bias_h = bias.shape[0], bias.shape[1]
     bias = bias.astype(jnp.float32)
 
-    # block-diagonal Q: qb[b, h, h*D + j] = q[b, h, j]
-    eye = jnp.eye(heads, dtype=jnp.bfloat16)
-    qb = (eye[None, :, :, None] * q.astype(jnp.bfloat16)[:, None, :, :]
+    # group-block-diagonal Q: qb[b, h, (h//rep)*D + j] = q[b, h, j]
+    sel = (jnp.arange(heads)[:, None] // rep
+           == jnp.arange(groups)[None, :]).astype(jnp.bfloat16)  # [H, G]
+    qb = (sel[None, :, :, None] * q.astype(jnp.bfloat16)[:, :, None, :]
           ).reshape(batch, heads, hd)
 
     acc = pl.pallas_call(
@@ -158,10 +165,10 @@ def cross_decode_mxu(
         else interpret,
     )(qb, kq_flat, ks, vq_flat, vs, bias)
 
-    # block-diagonal extraction: out[b, h, :] = acc[b, h, h*D:(h+1)*D]
-    acc4 = acc.reshape(batch, heads, heads, d)
-    sel = jnp.eye(heads, dtype=acc.dtype)
-    return jnp.einsum("bxyd,xy->bxd", acc4, sel).astype(q.dtype)
+    # group-block extraction: out[b, h, :] = acc[b, h, (h//rep)*D:...]
+    acc4 = acc.reshape(batch, heads, groups, d)
+    return jnp.einsum("bhgd,hg->bhd", acc4, sel.astype(acc.dtype)
+                      ).astype(q.dtype)
 
 
 def cross_decode_reference(q, kq_flat, ks, vq_flat, vs, bias):

@@ -243,3 +243,33 @@ class TestSPMMarkushIntegration:
         decoded = mt.decode(ids).replace(" ", "")
         assert "<markush>" in decoded and "<stable>" in decoded
         assert "m:2:3.4" in decoded
+
+
+class TestBPEFallback:
+    def test_bpe_tokenizer_json_via_wrapper(self, tmp_path):
+        """Non-Unigram checkpoint tokenizers (the OCR stage's SmolLM2-style
+        byte-level BPE) load through the tokenizers-library wrapper with the
+        same API surface."""
+        from tokenizers import Tokenizer, models, pre_tokenizers, decoders, trainers
+
+        tok = Tokenizer(models.BPE(unk_token=None))
+        tok.pre_tokenizer = pre_tokenizers.ByteLevel(add_prefix_space=False)
+        tok.decoder = decoders.ByteLevel()
+        trainer = trainers.BpeTrainer(
+            vocab_size=300, special_tokens=["<|endoftext|>"],
+            initial_alphabet=pre_tokenizers.ByteLevel.alphabet())
+        tok.train_from_iterator(
+            ["CC(=O)Oc1ccccc1", "perform ocr on this image",
+             "<loc_12> hello world"], trainer)
+        tok.add_special_tokens(["<loc_12>", "<other_0>", "<other_1>"])
+        path = tmp_path / "tokenizer.json"
+        tok.save(str(path))
+
+        ours = spm.load_hf_tokenizer_json(str(path))
+        assert isinstance(ours, spm.HFTokenizerWrapper)
+        text = "CC(=O)Oc1ccccc1 <loc_12>"
+        assert ours.encode(text, add_eos=False) == tok.encode(text).ids
+        assert ours.piece_to_id("<loc_12>") == tok.token_to_id("<loc_12>")
+        assert ours.num_other == 2
+        rt = ours.decode(ours.encode("hello world", add_eos=False))
+        assert rt.strip() == "hello world"
