@@ -168,12 +168,12 @@ def main() -> None:
         return [{"bbox": sorted(r.rand(2)) + sorted(r.rand(2)),
                  "text": "R%d" % r.randint(100)} for _ in range(24)]
 
-    def pipeline() -> int:
-        # stage 1: batched VLM decode (device) -> strings (host)
-        ocr_in = np.stack([
+    def prep_ocr() -> np.ndarray:
+        return np.stack([
             resize_image(im, ocr_cfg.vision.image_size) for im in images
         ]).astype(np.float32) / 255.0
-        texts = engine.generate_batch(ocr_in)
+
+    def host_encode(texts):
         # host: grammar parse -> cells -> encode -> collate
         samples = []
         r = np.random.RandomState(0)
@@ -184,24 +184,51 @@ def main() -> None:
                 image=resize_image(im, cfg.vtl.image_size),
                 ocsr_image=resize_image(im, cfg.swin.image_size))
             samples.append(enc)
-        batch = {k: jnp.asarray(v) for k, v in collator(samples).items()}
-        # stage 2: batched VTL encode + greedy decode, fenced by readback
-        return int(stage2(params, batch))
+        return {k: jnp.asarray(v) for k, v in collator(samples).items()}
+
+    def pipeline() -> int:
+        texts = engine.decode_ids(engine.generate_batch_async(prep_ocr()))
+        return int(stage2(params, host_encode(texts)))
+
+    # Pipelined stream: dispatch OCR for batch i+1 before reading batch i,
+    # so host parse/encode of batch i overlaps device OCR of batch i+1 and
+    # the chip never idles (production serving shape).
+    pipelined = os.environ.get("BENCH_PIPELINED", "0") == "1"
+    depth = int(os.environ.get("BENCH_PIPELINE_DEPTH", "4"))
+
+    def stream(n_batches: int) -> float:
+        t0 = time.perf_counter()
+        fut = engine.generate_batch_async(prep_ocr())
+        mg_outs = []
+        for i in range(n_batches):
+            nxt = (engine.generate_batch_async(prep_ocr())
+                   if i + 1 < n_batches else None)
+            texts = engine.decode_ids(fut)
+            mg_outs.append(stage2(params, host_encode(texts)))
+            fut = nxt
+        for o in mg_outs:
+            int(o)  # drain, fenced by readback
+        return time.perf_counter() - t0
 
     pipeline()  # compile + warm both programs
 
     times = []
     for _ in range(repeats):
-        t0 = time.perf_counter()
-        pipeline()
-        times.append(time.perf_counter() - t0)
+        if pipelined:
+            times.append(stream(depth) / depth)
+        else:
+            t0 = time.perf_counter()
+            pipeline()
+            times.append(time.perf_counter() - t0)
     best = min(times)
     images_per_sec = batch_size / best
 
     n_chips = max(1, len(jax.devices()))
     value = images_per_sec / n_chips
+    metric = ("images_per_sec_per_chip_e2e_pipelined" if pipelined
+              else "images_per_sec_per_chip_e2e_pipeline")
     print(json.dumps({
-        "metric": "images_per_sec_per_chip_e2e_pipeline",
+        "metric": metric,
         "value": round(value, 4),
         "unit": f"img/s/chip (OCR {ocr_tokens} tok + MG {decode_len} tok, "
                 f"batch={batch_size}, {jax.devices()[0].platform})",

@@ -33,13 +33,23 @@ def _tile_beams(tree, k: int):
 
 
 def _gather_beams(tree, indices: jnp.ndarray, batch: int, k: int):
-    """Reorder the beam axis of every [B*K, ...] leaf with `indices` [B, K]."""
+    """Reorder the beam axis of every [B*K, ...] leaf with `indices` [B, K].
+
+    Cross-attention cache entries are beam-INVARIANT (every beam of a
+    sample sees the same encoder K/V): gathering them is a semantic no-op
+    that copies gigabytes per step, so `cross_*` keys pass through
+    untouched, as do beam-shared [B]-row leaves."""
     flat = indices + (jnp.arange(batch)[:, None] * k)  # [B, K] global rows
     flat = flat.reshape(-1)
 
-    def gather(x):
+    def gather(path, x):
+        if any(getattr(p, "key", None) and str(p.key).startswith("cross")
+               for p in path):
+            return x
+        if x.shape[0] != batch * k:  # beam-shared slab
+            return x
         return x[flat]
-    return jax.tree.map(gather, tree)
+    return jax.tree_util.tree_map_with_path(gather, tree)
 
 
 def greedy_generate(
@@ -133,15 +143,27 @@ def beam_generate(
     k2 = 2 * k  # HF beams_to_keep = max(2, 1 + n_eos) * num_beams
     neg_inf = jnp.float32(-1e9)
 
-    enc_k = _tile_beams(enc, k)
-    mask_k = _tile_beams(enc_mask, k)
-    caches = model.apply(params, enc_k, max_length, quant_cross_kv,
-                         method=type(model).init_cache)
+    share_cross = (quant_cross_kv and getattr(model, "mxu_decode", False)
+                   and not getattr(model, "flash_decode", False))
+    if share_cross:
+        # beam-sharing caches: ONE cross slab per sample ([B] rows), self
+        # caches at B*K rows; the MXU kernel folds all K beams' queries into
+        # one pass over the shared slab (t5._cross_attend head_map path) —
+        # cross traffic and cache HBM are 1/K of the tiled layout, and the
+        # per-step beam gather only touches the (small) self caches.
+        caches = model.apply(params, enc, max_length, True,
+                             batch * k, method=type(model).init_cache)
+        cross_bias = mask_bias(enc_mask)
+    else:
+        enc_k = _tile_beams(enc, k)
+        mask_k = _tile_beams(enc_mask, k)
+        caches = model.apply(params, enc_k, max_length, quant_cross_kv,
+                             method=type(model).init_cache)
+        cross_bias = mask_bias(mask_k)
     qw = (model.apply(params, method=type(model).quantize_weights)
           if quant_weights else None)
     bias_full = model.apply(params, max_length,
                             method=type(model).full_decoder_bias)
-    cross_bias = mask_bias(mask_k)
 
     # beam 0 active, others muted at step 0 so all beams start identical
     run_scores0 = jnp.tile(

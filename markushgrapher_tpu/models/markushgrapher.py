@@ -287,8 +287,8 @@ class MarkushGrapherModel(nn.Module):
     # -- stepwise decode (generation) ----------------------------------------
 
     def init_cache(self, enc: jnp.ndarray, max_len: int,
-                   quant_cross: bool = False):
-        return self.decoder.init_cache(enc, max_len, quant_cross)
+                   quant_cross: bool = False, self_rows=None):
+        return self.decoder.init_cache(enc, max_len, quant_cross, self_rows)
 
     def quantize_weights(self):
         """int8 decode-step weights (decoder projections/FF + lm_head), built

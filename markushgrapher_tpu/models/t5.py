@@ -281,8 +281,14 @@ class DecoderLayer(nn.Module):
         return x
 
     def init_cache(self, enc: jnp.ndarray, max_len: int,
-                   quant_cross: bool = False) -> Dict[str, jnp.ndarray]:
+                   quant_cross: bool = False,
+                   self_rows: Optional[int] = None) -> Dict[str, jnp.ndarray]:
         """Precompute cross K/V once per generate; allocate self K/V ring.
+
+        self_rows sizes the self caches independently of enc's batch — beam
+        search keeps ONE cross slab per sample ([B] rows) while self caches
+        carry B*num_beams rows (mxu path; _cross_attend maps all beams onto
+        the shared slab via the kernel's head_map).
 
         quant_cross stores the cross K/V int8 with per-(token, head) scales:
         cross-attention reads ALL encoder keys EVERY step, so its cache is
@@ -294,6 +300,7 @@ class DecoderLayer(nn.Module):
         instead wants head-major [B, H, K, D] cross slabs (it streams one
         (batch, head) slab per program)."""
         batch = enc.shape[0]
+        srows = self_rows or batch
         ck, cv = self.cross_attn.compute_kv(enc)       # [B, K, H, D]
         if quant_cross and self.flash_decode:
             cache = {
@@ -337,11 +344,11 @@ class DecoderLayer(nn.Module):
                 # Self caches use the same flat layout.
                 hd = self.num_heads * self.d_kv
                 cache = {
-                    "self_k_q": jnp.zeros((batch, max_len, hd), jnp.int8),
-                    "self_v_q": jnp.zeros((batch, max_len, hd), jnp.int8),
-                    "self_k_s": jnp.zeros((batch, self.num_heads, max_len),
+                    "self_k_q": jnp.zeros((srows, max_len, hd), jnp.int8),
+                    "self_v_q": jnp.zeros((srows, max_len, hd), jnp.int8),
+                    "self_k_s": jnp.zeros((srows, self.num_heads, max_len),
                                           jnp.float32),
-                    "self_v_s": jnp.zeros((batch, self.num_heads, max_len),
+                    "self_v_s": jnp.zeros((srows, self.num_heads, max_len),
                                           jnp.float32),
                 }
                 kpad = (-ck.shape[1]) % 256
@@ -548,9 +555,29 @@ class DecoderLayer(nn.Module):
                     bias = jnp.pad(
                         bias, ((0, 0), (0, 0), (0, kp - bias.shape[-1])),
                         constant_values=-1e9)
-            out = cross_decode_mxu(
-                q[:, 0], cache["cross_k_q"], cache["cross_k_s"],
-                cache["cross_v_q"], cache["cross_v_s"], bias)
+            rows = q.shape[0]
+            slab_rows = cache["cross_k_q"].shape[0]
+            if rows != slab_rows:
+                # Beam search: all beams of a sample share ONE [B]-row slab
+                # (beam_generate keeps cross caches un-tiled). Fold the beam
+                # dim into the kernel's query rows via head_map so the slab
+                # is read once per sample per step, not once per beam.
+                beams = rows // slab_rows
+                h_ = self.num_heads
+                q_b = q[:, 0].reshape(slab_rows, beams * h_, self.d_kv)
+                head_map = tuple(range(h_)) * beams
+                # per-row scales: kernel score rows are (beam, head)-major
+                ks_b = jnp.tile(cache["cross_k_s"], (1, beams, 1))
+                vs_b = jnp.tile(cache["cross_v_s"], (1, beams, 1))
+                out = cross_decode_mxu(
+                    q_b, cache["cross_k_q"], ks_b,
+                    cache["cross_v_q"], vs_b, bias,
+                    head_map=head_map)
+                out = out.reshape(rows, h_, self.d_kv)
+            else:
+                out = cross_decode_mxu(
+                    q[:, 0], cache["cross_k_q"], cache["cross_k_s"],
+                    cache["cross_v_q"], cache["cross_v_s"], bias)
             return self._proj_o(out[:, None], qw, "cross_o", attn)
         if "cross_k" in cache:
             scores = jnp.einsum("bqhd,bkhd->bhqk", q, cache["cross_k"],
@@ -652,8 +679,8 @@ class Decoder(nn.Module):
         return self.drop(x, deterministic=deterministic)
 
     def init_cache(self, enc: jnp.ndarray, max_len: int,
-                   quant_cross: bool = False):
-        return [layer.init_cache(enc, max_len, quant_cross)
+                   quant_cross: bool = False, self_rows=None):
+        return [layer.init_cache(enc, max_len, quant_cross, self_rows)
                 for layer in self.layers]
 
     def quantize_weights(self):

@@ -94,15 +94,23 @@ class ChemicalOCR:
 
         self._generate = jax.jit(gen)
 
-    def generate_batch(self, images: np.ndarray) -> List[str]:
-        """images: [B, H, W, 3] float in [0,1] -> decoded strings."""
+    def generate_batch_async(self, images: np.ndarray):
+        """Dispatch OCR decode for a batch; returns the on-device id array
+        WITHOUT blocking (JAX async dispatch) — lets callers pipeline the
+        next batch's device work behind host-side parsing of this one."""
         if self._generate is None:
             self._build()
         b = images.shape[0]
         prompt = jnp.tile(jnp.asarray(self.prompt_ids)[None], (b, 1))
-        ids = np.asarray(jax.device_get(
-            self._generate(self.params, jnp.asarray(images), prompt)))
+        return self._generate(self.params, jnp.asarray(images), prompt)
+
+    def decode_ids(self, ids) -> List[str]:
+        ids = np.asarray(jax.device_get(ids))
         return [self.tokenizer.decode(row) for row in ids]
+
+    def generate_batch(self, images: np.ndarray) -> List[str]:
+        """images: [B, H, W, 3] float in [0,1] -> decoded strings."""
+        return self.decode_ids(self.generate_batch_async(images))
 
     # -- dataset-level API (chemical_ocr.py predict:396-478) -------------------
 

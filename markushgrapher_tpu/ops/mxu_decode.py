@@ -104,7 +104,8 @@ def _kernel(qb_ref, kq_ref, ks_ref, vq_ref, vs_ref, bias_ref, o_ref,
                     ).astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("block_k", "interpret"))
+@functools.partial(jax.jit,
+                   static_argnames=("block_k", "interpret", "head_map"))
 def cross_decode_mxu(
     q: jnp.ndarray,        # [B, H, D] float
     kq_flat: jnp.ndarray,  # [B, K, H*D] int8
@@ -114,8 +115,15 @@ def cross_decode_mxu(
     bias: jnp.ndarray,     # [B or 1, 1 or H, K] f32 additive (mask included)
     block_k: int = 0,
     interpret: bool | None = None,
+    head_map: tuple | None = None,
 ) -> jnp.ndarray:
-    """Returns attention output [B, H, D] in q.dtype."""
+    """Returns attention output [B, H, D] in q.dtype.
+
+    head_map (static tuple, len == q rows) assigns each query row to its
+    kv-head column block; default is grouped order (row // rep). Beam
+    search passes `tile(arange(H), n_beams)` so ALL beams of a sample
+    attend one shared [B]-row slab — the slab is read once per sample per
+    step instead of once per beam."""
     batch, kv_len, hd = kq_flat.shape
     heads = q.shape[1]
     d = q.shape[2]
@@ -133,9 +141,11 @@ def cross_decode_mxu(
     bias_b, bias_h = bias.shape[0], bias.shape[1]
     bias = bias.astype(jnp.float32)
 
-    # group-block-diagonal Q: qb[b, h, (h//rep)*D + j] = q[b, h, j]
-    sel = (jnp.arange(heads)[:, None] // rep
-           == jnp.arange(groups)[None, :]).astype(jnp.bfloat16)  # [H, G]
+    # group-block-diagonal Q: qb[b, h, map(h)*D + j] = q[b, h, j]
+    hm = (jnp.asarray(head_map, jnp.int32) if head_map is not None
+          else jnp.arange(heads) // rep)
+    sel = (hm[:, None] == jnp.arange(groups)[None, :]
+           ).astype(jnp.bfloat16)                                # [H, G]
     qb = (sel[None, :, :, None] * q.astype(jnp.bfloat16)[:, :, None, :]
           ).reshape(batch, heads, hd)
 
