@@ -54,7 +54,10 @@ def main() -> None:
         # experimental pallas decode kernel: measured 0.77 img/s vs 3.47 for
         # XLA's fusions (Mosaic VPU lowering of the broadcast-multiply-reduce
         # is far off XLA's code) — keep off
-        flash_decode=os.environ.get("BENCH_FLASH_DECODE", "0") == "1")
+        flash_decode=os.environ.get("BENCH_FLASH_DECODE", "0") == "1",
+        # opt-in int4 cross KV (BENCH_INT4=1): halves the dominant slab
+        # traffic; coarser than the int8 default
+        int4_cross=os.environ.get("BENCH_INT4", "0") == "1")
 
     rng = np.random.RandomState(0)
     T = cfg.max_seq_length

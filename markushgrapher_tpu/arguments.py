@@ -63,6 +63,7 @@ class ModelArguments:
     # reference serves full-precision per-image HF generate)
     quant_kv: bool = False        # int8 cross+self KV caches during decode
     quant_weights: bool = False   # int8 decode-step weights (+lm_head)
+    int4_cross: bool = False      # int4 cross KV (coarser; needs quant_kv)
     # architecture sizing (UDOP-large defaults)
     vocab_size: int = 33201
     d_model: int = 1024

@@ -40,7 +40,8 @@ def main(config_path: Optional[str] = None,
 
     cfg = build_model_config(margs, dargs)
     model = MarkushGrapherModel(cfg, dtype=jnp.bfloat16,
-                                flash_attention=True)
+                                flash_attention=True,
+                                int4_cross=margs.int4_cross)
 
     test_ds = DatasetRegistry.from_yaml(dargs.datasets_config).build(
         dargs.dataset_name, split="test", train=False,
@@ -82,6 +83,7 @@ def main(config_path: Optional[str] = None,
         save_visualizations=dargs.save_visualizations,
         quant_kv=margs.quant_kv,
         quant_weights=margs.quant_weights,
+        int4_cross=margs.int4_cross,
         output_dir=os.path.join(targs.output_dir, "predictions"))
     evaluator = Evaluator(model, params, test_ds.markush_tokenizer, eval_cfg)
     collator = DataCollator(max_length=dargs.max_seq_length,

@@ -49,6 +49,7 @@ class EvalConfig:
     bf16_params: bool = True  # cast weights for bandwidth-bound decode
     quant_kv: bool = False    # int8 KV caches (fastest; near-tie flips possible)
     quant_weights: bool = False  # int8 decode-step weights (serving mode)
+    int4_cross: bool = False  # int4 cross KV (model must be built with it)
     # write N debug figures per run (reference writes <=100 eval PNGs,
     # curriculumTrainer.py:199-204, utils_display.py)
     save_visualizations: int = 0
@@ -116,6 +117,7 @@ class Evaluator:
         cfg = self.cfg
         key = (f"beams={cfg.num_beams};len={cfg.max_length};"
                f"qkv={cfg.quant_kv};qw={cfg.quant_weights};"
+               f"i4={cfg.int4_cross};"
                f"bf16={cfg.bf16_params};fp={self._params_fp:.6e}")
         return hashlib.md5(key.encode()).hexdigest()[:10]
 

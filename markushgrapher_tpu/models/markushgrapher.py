@@ -103,6 +103,9 @@ class MarkushGrapherModel(nn.Module):
     # quant_cross_kv decode: 1.55x over the XLA int8 fusions at serving
     # shapes (scripts/microbench_cross.py); flash_decode overrides
     mxu_decode: bool = True
+    # opt-in int4 cross K/V: halves the dominant slab traffic (DMA-bound
+    # kernel); coarser quantization than the int8 default
+    int4_cross: bool = False
 
     def setup(self):
         vtl = self.cfg.vtl
@@ -146,7 +149,8 @@ class MarkushGrapherModel(nn.Module):
             num_heads=vtl.num_heads, d_kv=vtl.d_kv, d_ff=vtl.d_ff,
             ff_proj=vtl.feed_forward_proj, eps=vtl.layer_norm_epsilon,
             dtype=self.dtype, dropout_rate=vtl.dropout_rate, remat=self.remat,
-            flash_decode=self.flash_decode, mxu_decode=self.mxu_decode)
+            flash_decode=self.flash_decode, mxu_decode=self.mxu_decode,
+            int4_cross=self.int4_cross)
         self.lm_head = nn.DenseGeneral(
             features=vtl.vocab_size, use_bias=False, dtype=jnp.float32,
             param_dtype=jnp.float32,

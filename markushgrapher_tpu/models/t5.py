@@ -35,6 +35,16 @@ def _quantize_kv(t: jnp.ndarray):
     return q, scale.astype(jnp.float32)[..., 0]
 
 
+def _quantize_kv4(t: jnp.ndarray):
+    """Per-(token, head) symmetric int4 quantization of [B, K, H, D]:
+    values in [-7, 7] (stored int8 pre-packing), scales = max|t| / 7."""
+    scale = jnp.max(jnp.abs(t.astype(jnp.float32)), axis=-1,
+                    keepdims=True) / 7.0 + 1e-8
+    q = jnp.clip(jnp.round(t.astype(jnp.float32) / scale), -7, 7
+                 ).astype(jnp.int8)
+    return q, scale.astype(jnp.float32)[..., 0]
+
+
 def _quantize_w(w: jnp.ndarray, contract_axes: Tuple[int, ...]):
     """Weight-only symmetric int8 quantization, one scale per OUTPUT channel
     (per-channel scales commute with the contraction, so dequantization is a
@@ -257,6 +267,10 @@ class DecoderLayer(nn.Module):
     # int8 path at serving shapes (scripts/microbench_cross.py). Default for
     # quant_cross; flash_decode=True (legacy VPU kernel) takes precedence.
     mxu_decode: bool = True
+    # int4 cross K/V (ops.mxu_decode.cross_decode_mxu_int4): halves the
+    # dominant slab traffic (the kernel is DMA-bound). OPT-IN — coarser
+    # quantization than the int8 default; self caches stay int8.
+    int4_cross: bool = False
 
     def setup(self):
         self.ln_self = RMSNorm(eps=self.eps, dtype=self.dtype)
@@ -352,6 +366,17 @@ class DecoderLayer(nn.Module):
                                           jnp.float32),
                 }
                 kpad = (-ck.shape[1]) % 256
+                if self.int4_cross:
+                    from markushgrapher_tpu.ops.mxu_decode import pack_int4
+
+                    for name, t in (("cross_k", ck), ("cross_v", cv)):
+                        q, s = _quantize_kv4(t)        # [B,K,H,D], [B,K,H]
+                        q = jnp.pad(q, ((0, 0), (0, kpad), (0, 0), (0, 0)))
+                        cache[name + "_q4"] = pack_int4(q.reshape(
+                            batch, q.shape[1], self.num_heads * self.d_kv))
+                        cache[name + "_s"] = jnp.pad(
+                            s, ((0, 0), (0, kpad), (0, 0))).transpose(0, 2, 1)
+                    return cache
                 for name, t in (("cross_k", ck), ("cross_v", cv)):
                     q, s = _quantize_kv(t)             # [B,K,H,D], [B,K,H]
                     q = jnp.pad(q, ((0, 0), (0, kpad), (0, 0), (0, 0)))
@@ -542,6 +567,37 @@ class DecoderLayer(nn.Module):
                 q[:, 0], cache["cross_k_q"], cache["cross_k_s"],
                 cache["cross_v_q"], cache["cross_v_s"], bias)
             return self._proj_o(out[:, None], qw, "cross_o", attn)
+        if "cross_k_q4" in cache:
+            # int4-packed slabs (opt-in; ops.mxu_decode.cross_decode_mxu_int4)
+            from markushgrapher_tpu.ops.mxu_decode import cross_decode_mxu_int4
+
+            kp = cache["cross_k_q4"].shape[1]
+            if cross_bias is None:
+                bias = jnp.zeros((1, 1, kp), jnp.float32)
+            else:
+                bias = cross_bias[:, :1, 0, :].astype(jnp.float32)
+                if bias.shape[-1] < kp:
+                    bias = jnp.pad(
+                        bias, ((0, 0), (0, 0), (0, kp - bias.shape[-1])),
+                        constant_values=-1e9)
+            rows = q.shape[0]
+            slab_rows = cache["cross_k_q4"].shape[0]
+            if rows != slab_rows:
+                beams = rows // slab_rows
+                h_ = self.num_heads
+                q_b = q[:, 0].reshape(slab_rows, beams * h_, self.d_kv)
+                out = cross_decode_mxu_int4(
+                    q_b, cache["cross_k_q4"],
+                    jnp.tile(cache["cross_k_s"], (1, beams, 1)),
+                    cache["cross_v_q4"],
+                    jnp.tile(cache["cross_v_s"], (1, beams, 1)),
+                    bias, head_map=tuple(range(h_)) * beams)
+                out = out.reshape(rows, h_, self.d_kv)
+            else:
+                out = cross_decode_mxu_int4(
+                    q[:, 0], cache["cross_k_q4"], cache["cross_k_s"],
+                    cache["cross_v_q4"], cache["cross_v_s"], bias)
+            return self._proj_o(out[:, None], qw, "cross_o", attn)
         if "cross_k_q" in cache and cache["cross_k_q"].ndim == 3:
             # MXU-dot fused kernel (ops.mxu_decode); flat [B, Kp, H*D] slabs
             from markushgrapher_tpu.ops.mxu_decode import cross_decode_mxu
@@ -656,6 +712,7 @@ class Decoder(nn.Module):
     remat: bool = False
     flash_decode: bool = False
     mxu_decode: bool = True
+    int4_cross: bool = False
 
     def setup(self):
         layer_cls = DecoderLayer
@@ -665,7 +722,8 @@ class Decoder(nn.Module):
         self.layers = [
             layer_cls(self.d_model, self.num_heads, self.d_kv, self.d_ff,
                       self.ff_proj, self.eps, self.dtype, self.dropout_rate,
-                      self.flash_decode, self.mxu_decode, name=f"layer_{i}")
+                      self.flash_decode, self.mxu_decode, self.int4_cross,
+                      name=f"layer_{i}")
             for i in range(self.num_layers)
         ]
         self.final_ln = RMSNorm(eps=self.eps, dtype=self.dtype)

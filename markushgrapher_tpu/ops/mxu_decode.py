@@ -181,6 +181,149 @@ def cross_decode_mxu(
                       ).astype(q.dtype)
 
 
+# ---------------------------------------------------------------------------
+# int4 variant: packed nibbles, column-split layout
+# ---------------------------------------------------------------------------
+
+def pack_int4(vals8: jnp.ndarray) -> jnp.ndarray:
+    """[..., K, HD] int8 in [-7, 7] -> [..., K, HD/2] packed int8.
+
+    Column-split packing: packed[..., j] holds element j in the LOW nibble
+    and element j + HD/2 in the HIGH nibble. Unpacking then yields two
+    contiguous [TK, HD/2] halves — no lane-interleaving reshape (Mosaic
+    cannot lane-split), and the kernel dots each half against the matching
+    half of the block-diagonal Q."""
+    hd = vals8.shape[-1]
+    lo = vals8[..., : hd // 2].astype(jnp.int32) & 15
+    hi = vals8[..., hd // 2:].astype(jnp.int32) & 15
+    return (lo | (hi << 4)).astype(jnp.int8)
+
+
+def _unpack_nibble(x32: jnp.ndarray, shift: int) -> jnp.ndarray:
+    n = (x32 >> shift) & 15
+    return ((n ^ 8) - 8).astype(jnp.bfloat16)   # sign-extend 4-bit
+
+
+def _kernel_i4(qb_ref, kq_ref, ks_ref, vq_ref, vs_ref, bias_ref, o_ref,
+               m_ref, l_ref, acc_ref, *, n_k: int):
+    # qb_ref [1, H, HD] bf16; kq/vq_ref [1, TK, HD/2] packed int8;
+    # ks/vs_ref [1, H, TK] f32; bias [1, bh, TK]; o_ref [1, H, HD] f32
+    i = pl.program_id(1)
+
+    @pl.when(i == 0)
+    def _init():
+        m_ref[...] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[...] = jnp.zeros_like(l_ref)
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    hd = qb_ref.shape[2]
+    half = hd // 2
+    qb = qb_ref[0]                                    # [H, HD]
+    kp = kq_ref[0].astype(jnp.int32)                  # [TK, HD/2]
+    k_lo = _unpack_nibble(kp, 0)                      # columns 0..half-1
+    k_hi = _unpack_nibble(kp, 4)                      # columns half..HD-1
+    s = jax.lax.dot_general(
+        qb[:, :half], k_lo, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    s = s + jax.lax.dot_general(
+        qb[:, half:], k_hi, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)           # [H, TK]
+    s = s * ks_ref[0] + bias_ref[0]
+
+    m_prev = m_ref[:, :1]
+    l_prev = l_ref[:, :1]
+    m_cur = jnp.max(s, axis=-1, keepdims=True)
+    m_new = jnp.maximum(m_prev, m_cur)
+    alpha = jnp.exp(m_prev - m_new)
+    p = jnp.exp(s - m_new)
+    l_new = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
+
+    pv = (p * vs_ref[0]).astype(jnp.bfloat16)         # [H, TK]
+    vp = vq_ref[0].astype(jnp.int32)
+    v_lo = _unpack_nibble(vp, 0)
+    v_hi = _unpack_nibble(vp, 4)
+    o_lo = jax.lax.dot_general(
+        pv, v_lo, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)           # [H, HD/2]
+    o_hi = jax.lax.dot_general(
+        pv, v_hi, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    acc_ref[:, :half] = acc_ref[:, :half] * alpha + o_lo
+    acc_ref[:, half:] = acc_ref[:, half:] * alpha + o_hi
+    m_ref[...] = jnp.broadcast_to(m_new, m_ref.shape)
+    l_ref[...] = jnp.broadcast_to(l_new, l_ref.shape)
+
+    @pl.when(i == n_k - 1)
+    def _finish():
+        o_ref[0] = (acc_ref[...] / jnp.maximum(l_ref[:, :1], 1e-30)
+                    ).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("block_k", "interpret", "head_map"))
+def cross_decode_mxu_int4(
+    q: jnp.ndarray,        # [B, H, D] float
+    kq_pack: jnp.ndarray,  # [B, K, HD/2] packed int8 (pack_int4 layout)
+    ks: jnp.ndarray,       # [B, H, K] f32 (scale = max|t| / 7)
+    vq_pack: jnp.ndarray,  # [B, K, HD/2] packed int8
+    vs: jnp.ndarray,       # [B, H, K] f32
+    bias: jnp.ndarray,     # [B or 1, 1 or H, K] f32
+    block_k: int = 0,
+    interpret: bool | None = None,
+    head_map: tuple | None = None,
+) -> jnp.ndarray:
+    """int4 KV variant of cross_decode_mxu: half the slab HBM traffic (the
+    kernel is DMA-bound — load-only probe 3.57 of 3.93 ms), extra VPU
+    nibble math rides the DMA shadow. Returns [B, H, D] in q.dtype."""
+    batch, kv_len, half = kq_pack.shape
+    hd = half * 2
+    heads = q.shape[1]
+    d = q.shape[2]
+    groups = hd // d
+    rep = heads // groups
+    if block_k <= 0:
+        block_k = pick_block_k(kv_len, hd)
+    n_k = kv_len // block_k
+    bias_b, bias_h = bias.shape[0], bias.shape[1]
+    bias = bias.astype(jnp.float32)
+
+    hm = (jnp.asarray(head_map, jnp.int32) if head_map is not None
+          else jnp.arange(heads) // rep)
+    sel = (hm[:, None] == jnp.arange(groups)[None, :]).astype(jnp.bfloat16)
+    qb = (sel[None, :, :, None] * q.astype(jnp.bfloat16)[:, :, None, :]
+          ).reshape(batch, heads, hd)
+
+    acc = pl.pallas_call(
+        functools.partial(_kernel_i4, n_k=n_k),
+        grid=(batch, n_k),
+        in_specs=[
+            pl.BlockSpec((1, heads, hd), lambda b, i: (b, 0, 0)),
+            pl.BlockSpec((1, block_k, half), lambda b, i: (b, i, 0)),
+            pl.BlockSpec((1, heads, block_k), lambda b, i: (b, 0, i)),
+            pl.BlockSpec((1, block_k, half), lambda b, i: (b, i, 0)),
+            pl.BlockSpec((1, heads, block_k), lambda b, i: (b, 0, i)),
+            pl.BlockSpec((1, bias_h, block_k),
+                         lambda b, i: (b if bias_b > 1 else 0, 0, i)),
+        ],
+        out_specs=pl.BlockSpec((1, heads, hd), lambda b, i: (b, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((batch, heads, hd), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((heads, 128), jnp.float32),
+            pltpu.VMEM((heads, 128), jnp.float32),
+            pltpu.VMEM((heads, hd), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+            vmem_limit_bytes=64 * 1024 * 1024),
+        interpret=(jax.default_backend() != "tpu") if interpret is None
+        else interpret,
+    )(qb, kq_pack, ks, vq_pack, vs, bias)
+
+    acc4 = acc.reshape(batch, heads, groups, d)
+    return jnp.einsum("bhgd,hg->bhd", acc4, sel.astype(acc.dtype)
+                      ).astype(q.dtype)
+
+
 def cross_decode_reference(q, kq_flat, ks, vq_flat, vs, bias):
     """jnp reference with identical math and layouts (for tests)."""
     batch, kv_len, hd = kq_flat.shape

@@ -170,6 +170,94 @@ def pallas_cross_s8(qb_i8, kq_flat, ks_eff, vq_flat, vs_hk, bias_hk,
     return jnp.einsum("bxyd,xy->bxd", acc4, eye).astype(jnp.bfloat16)
 
 
+def _mxu_kernel_bb(qb_ref, kq_ref, ks_ref, vq_ref, vs_ref, bias_ref, o_ref,
+                   *, block_b: int):
+    # whole-K, multi-batch blocks: qb [BB, H, HD] bf16; kq/vq [BB, K, HD] i8;
+    # ks/vs/bias [BB, H, K] f32; o [BB, H, HD] f32. No online softmax needed
+    # (whole K in one shot); loop over the BB batch rows, static unroll.
+    for b in range(block_b):
+        qb = qb_ref[b]                                  # [H, HD]
+        k = kq_ref[b].astype(jnp.bfloat16)              # [K, HD]
+        s = jax.lax.dot_general(
+            qb, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)         # [H, K]
+        s = s * ks_ref[b] + bias_ref[b]
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - m)
+        l = jnp.sum(p, axis=-1, keepdims=True)
+        pv = ((p / l) * vs_ref[b]).astype(jnp.bfloat16)
+        v = vq_ref[b].astype(jnp.bfloat16)
+        o_ref[b] = jax.lax.dot_general(
+            pv, v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+
+@functools.partial(jax.jit, static_argnames=("block_b",))
+def pallas_cross_mxu_bb(qb, kq_flat, ks_hk, vq_flat, vs_hk, bias_hk,
+                        block_b: int = 4):
+    batch, kv_len, hd = kq_flat.shape
+    heads = qb.shape[1]
+    d = hd // heads
+    out = pl.pallas_call(
+        functools.partial(_mxu_kernel_bb, block_b=block_b),
+        grid=(batch // block_b,),
+        in_specs=[
+            pl.BlockSpec((block_b, heads, hd), lambda b: (b, 0, 0)),
+            pl.BlockSpec((block_b, kv_len, hd), lambda b: (b, 0, 0)),
+            pl.BlockSpec((block_b, heads, kv_len), lambda b: (b, 0, 0)),
+            pl.BlockSpec((block_b, kv_len, hd), lambda b: (b, 0, 0)),
+            pl.BlockSpec((block_b, heads, kv_len), lambda b: (b, 0, 0)),
+            pl.BlockSpec((block_b, heads, kv_len), lambda b: (b, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((block_b, heads, hd), lambda b: (b, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((batch, heads, hd), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=jax.default_backend() != "tpu",
+    )(qb, kq_flat, ks_hk, vq_flat, vs_hk, bias_hk)
+    acc4 = out.reshape(batch, heads, heads, d)
+    eye = jnp.eye(heads, dtype=out.dtype)
+    return jnp.einsum("bxyd,xy->bxd", acc4, eye).astype(jnp.bfloat16)
+
+
+def _probe_kernel(qb_ref, kq_ref, ks_ref, vq_ref, vs_ref, bias_ref, o_ref):
+    """Load-only probe: reads the same bytes as the real kernel but does
+    minimal compute (int32 sums, no converts, no dots) — isolates DMA
+    throughput from VPU convert cost."""
+    k = kq_ref[0]
+    v = vq_ref[0]
+    s = (jnp.sum(k.astype(jnp.int32), axis=0, keepdims=True)
+         + jnp.sum(v.astype(jnp.int32), axis=0, keepdims=True))  # [1, HD]
+    o_ref[0] = jnp.broadcast_to(
+        s.astype(jnp.float32), o_ref.shape[1:]) + ks_ref[0, :, :1]
+
+
+@jax.jit
+def pallas_probe(qb, kq_flat, ks_hk, vq_flat, vs_hk, bias_hk):
+    batch, kv_len, hd = kq_flat.shape
+    heads = qb.shape[1]
+    out = pl.pallas_call(
+        _probe_kernel,
+        grid=(batch,),
+        in_specs=[
+            pl.BlockSpec((1, heads, hd), lambda b: (b, 0, 0)),
+            pl.BlockSpec((1, kv_len, hd), lambda b: (b, 0, 0)),
+            pl.BlockSpec((1, heads, kv_len), lambda b: (b, 0, 0)),
+            pl.BlockSpec((1, kv_len, hd), lambda b: (b, 0, 0)),
+            pl.BlockSpec((1, heads, kv_len), lambda b: (b, 0, 0)),
+            pl.BlockSpec((1, heads, kv_len), lambda b: (b, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, heads, hd), lambda b: (b, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((batch, heads, hd), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=64 * 1024 * 1024),
+        interpret=jax.default_backend() != "tpu",
+    )(qb, kq_flat, ks_hk, vq_flat, vs_hk, bias_hk)
+    return out[:, :, :64]
+
+
 def quantize_qb(q):  # q [B, 1, H, D] -> (qb_i8 [B,H,HD], qscale [B,H,1])
     b, _, h, d = q.shape
     qf = q[:, 0].astype(jnp.float32)                   # [B, H, D]
@@ -313,6 +401,7 @@ def main():
     ap.add_argument("--steps", type=int, default=30)
     ap.add_argument("--variants", default="xla_kh,xla_hk,pallas_mxu")
     ap.add_argument("--block_k", type=int, default=256)
+    ap.add_argument("--block_b", type=int, default=4)
     ap.add_argument("--check", action="store_true")
     args = ap.parse_args()
 
@@ -348,6 +437,37 @@ def main():
         results["pallas_mxu"] = bench_variant(
             f"pallas_mxu/{args.block_k}", run,
             (qb, kq_flat, ks_hk, vq_flat, vs_hk), args.steps)
+
+    if "pallas_bb" in variants:
+        qb = jax.jit(jax.vmap(make_block_diag_q))(q.astype(jnp.bfloat16))
+        kq_flat = kq.reshape(LAYERS, B, K, HD)
+        vq_flat = vq.reshape(LAYERS, B, K, HD)
+        ks_hk = jnp.transpose(ks, (0, 1, 3, 2))
+        vs_hk = jnp.transpose(vs, (0, 1, 3, 2))
+        bias_bh = jnp.broadcast_to(bias[:, :, 0, :], (B, H, K))
+        run = make_runner(
+            lambda qbb, a, b_, c, d_, bh: pallas_cross_mxu_bb(
+                qbb, a, b_, c, d_, bh,
+                block_b=args.block_b)[:, :, None].astype(jnp.float32),
+            (bias_bh,))
+        results[f"pallas_bb{args.block_b}"] = bench_variant(
+            f"pallas_bb{args.block_b}", run,
+            (qb, kq_flat, ks_hk, vq_flat, vs_hk), args.steps)
+
+    if "probe" in variants:
+        qb = jax.jit(jax.vmap(make_block_diag_q))(q.astype(jnp.bfloat16))
+        kq_flat = kq.reshape(LAYERS, B, K, HD)
+        vq_flat = vq.reshape(LAYERS, B, K, HD)
+        ks_hk = jnp.transpose(ks, (0, 1, 3, 2))
+        vs_hk = jnp.transpose(vs, (0, 1, 3, 2))
+        bias_bh = jnp.broadcast_to(bias[:, :, 0, :], (B, H, K))
+        run = make_runner(
+            lambda qbb, a, b_, c, d_, bh: pallas_probe(
+                qbb, a, b_, c, d_, bh)[:, :, None].astype(jnp.float32),
+            (bias_bh,))
+        results["probe"] = bench_variant(
+            "probe(load-only)", run, (qb, kq_flat, ks_hk, vq_flat, vs_hk),
+            args.steps)
 
     if "pallas_s8" in variants:
         qb_i8, qscale = jax.jit(jax.vmap(quantize_qb))(q)

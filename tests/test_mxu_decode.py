@@ -98,3 +98,94 @@ class TestModelIntegration:
                 model, params, enc, enc_mask, 8, eos_id=1,
                 quant_cross_kv=True))
         np.testing.assert_array_equal(outs[True], outs[False])
+
+
+class TestInt4Kernel:
+    def test_matches_int4_reference(self):
+        """Kernel output must equal exact math on the int4-quantized values
+        (the quantization itself is the only approximation)."""
+        from markushgrapher_tpu.models.t5 import _quantize_kv4
+        from markushgrapher_tpu.ops.mxu_decode import (
+            cross_decode_mxu_int4, pack_int4)
+
+        rng = np.random.RandomState(0)
+        B, H, K, D = 2, 4, 256, 8
+        HD = H * D
+        k = jnp.asarray(rng.randn(B, K, H, D).astype(np.float32))
+        v = jnp.asarray(rng.randn(B, K, H, D).astype(np.float32))
+        q = jnp.asarray(rng.randn(B, H, D).astype(np.float32)).astype(jnp.bfloat16)
+        bias = jnp.asarray(rng.randn(B, 1, K).astype(np.float32))
+
+        kq, ks = _quantize_kv4(k)
+        vq, vs = _quantize_kv4(v)
+        ks_hk = jnp.transpose(ks, (0, 2, 1))
+        vs_hk = jnp.transpose(vs, (0, 2, 1))
+        got = cross_decode_mxu_int4(
+            q, pack_int4(kq.reshape(B, K, HD)), ks_hk,
+            pack_int4(vq.reshape(B, K, HD)), vs_hk, bias, block_k=64)
+
+        # exact reference on the dequantized int4 values
+        kf = kq.astype(jnp.float32) * ks[..., None]
+        vf = vq.astype(jnp.float32) * vs[..., None]
+        scores = jnp.einsum("bhd,bkhd->bhk", q.astype(jnp.float32), kf)
+        scores = scores + bias
+        probs = jax.nn.softmax(scores, -1)
+        ref = jnp.einsum("bhk,bkhd->bhd", probs, vf)
+        err = float(jnp.max(jnp.abs(got.astype(jnp.float32) - ref)))
+        scale = float(jnp.max(jnp.abs(ref)))
+        assert err / scale < 0.02, (err, scale)
+
+    def test_pack_roundtrip(self):
+        from markushgrapher_tpu.ops.mxu_decode import pack_int4
+
+        rng = np.random.RandomState(1)
+        vals = jnp.asarray(rng.randint(-7, 8, size=(3, 16, 64)), jnp.int8)
+        packed = np.asarray(pack_int4(vals))
+        lo = ((packed & 15) ^ 8) - 8
+        hi = (((packed >> 4) & 15) ^ 8) - 8
+        np.testing.assert_array_equal(lo, np.asarray(vals)[..., :32])
+        np.testing.assert_array_equal(hi, np.asarray(vals)[..., 32:])
+
+    def test_int4_greedy_close_to_int8(self):
+        """int4 cross KV generates sequences that mostly agree with int8
+        (token-level; random tiny model, loose bar — int4 is lossier)."""
+        import sys, os
+        sys.path.insert(0, os.path.dirname(__file__))
+        from test_generate import tiny_cfg
+
+        from markushgrapher_tpu.decode.generate import greedy_generate
+        from markushgrapher_tpu.models.markushgrapher import MarkushGrapherModel
+
+        cfg = tiny_cfg()
+        rng = np.random.RandomState(5)
+        batch = dict(
+            input_ids=jnp.asarray(rng.randint(3, 30, size=(2, 4))),
+            bbox=jnp.asarray(rng.rand(2, 4, 4).astype(np.float32)),
+            attention_mask=jnp.ones((2, 4), jnp.int32),
+            labels=jnp.asarray(rng.randint(3, 30, size=(2, 8))),
+            pixel_values=jnp.asarray(rng.rand(2, 32, 32, 3).astype(np.float32)),
+        )
+        outs = {}
+        for i4 in (False, True):
+            model = MarkushGrapherModel(cfg, dtype=jnp.float32, int4_cross=i4)
+            params = model.init(jax.random.PRNGKey(0), **batch)
+            enc, enc_mask = model.apply(
+                params, batch["input_ids"], batch["bbox"],
+                batch["attention_mask"], batch["pixel_values"], None,
+                method=MarkushGrapherModel.encode)
+            caches = model.apply(params, enc, 8, True,
+                                 method=MarkushGrapherModel.init_cache)
+            if i4:
+                assert "cross_k_q4" in caches[0]
+                assert caches[0]["cross_k_q4"].shape[-1] == \
+                    cfg.vtl.num_heads * cfg.vtl.d_kv // 2
+            outs[i4] = np.asarray(greedy_generate(
+                model, params, enc, enc_mask, 8, eos_id=1,
+                quant_cross_kv=True))
+        # random-weight logits sit near argmax ties, so sequences diverge
+        # after the first disagreement — only the mechanics are assertable
+        # here (int4 math exactness is TestInt4Kernel.test_matches_int4_
+        # reference); require valid ids and SOME early agreement
+        assert outs[True].shape == outs[False].shape
+        assert (outs[True] >= 0).all()
+        assert np.mean(outs[True][:, 0] == outs[False][:, 0]) >= 0.5
