@@ -369,6 +369,16 @@ class DecoderLayer(nn.Module):
                 if self.int4_cross:
                     from markushgrapher_tpu.ops.mxu_decode import pack_int4
 
+                    cache = {
+                        "self_k_q4": jnp.zeros((srows, max_len, hd // 2),
+                                               jnp.int8),
+                        "self_v_q4": jnp.zeros((srows, max_len, hd // 2),
+                                               jnp.int8),
+                        "self_k_s": jnp.zeros((srows, self.num_heads,
+                                               max_len), jnp.float32),
+                        "self_v_s": jnp.zeros((srows, self.num_heads,
+                                               max_len), jnp.float32),
+                    }
                     for name, t in (("cross_k", ck), ("cross_v", cv)):
                         q, s = _quantize_kv4(t)        # [B,K,H,D], [B,K,H]
                         q = jnp.pad(q, ((0, 0), (0, kpad), (0, 0), (0, 0)))
@@ -473,6 +483,30 @@ class DecoderLayer(nn.Module):
         on insertion."""
         attn = self.self_attn
         q, k_new, v_new = self._fused_self_qkv(h, qw)   # [B, 1, H, Dk] each
+        if "self_k_q4" in cache:
+            # int4-packed flat self ring (opt-in, rides the int4 kernel)
+            from markushgrapher_tpu.ops.mxu_decode import (
+                cross_decode_mxu_int4, pack_int4)
+
+            batch = h.shape[0]
+            hd = self.num_heads * self.d_kv
+            kq_new, ks_new = _quantize_kv4(k_new)       # [B,1,H,D], [B,1,H]
+            vq_new, vs_new = _quantize_kv4(v_new)
+            k_q = jax.lax.dynamic_update_slice_in_dim(
+                cache["self_k_q4"], pack_int4(kq_new.reshape(batch, 1, hd)),
+                step, axis=1)
+            v_q = jax.lax.dynamic_update_slice_in_dim(
+                cache["self_v_q4"], pack_int4(vq_new.reshape(batch, 1, hd)),
+                step, axis=1)
+            k_s = jax.lax.dynamic_update_slice_in_dim(
+                cache["self_k_s"], ks_new.transpose(0, 2, 1), step, axis=2)
+            v_s = jax.lax.dynamic_update_slice_in_dim(
+                cache["self_v_s"], vs_new.transpose(0, 2, 1), step, axis=2)
+            bias = self_bias_row[:, :, 0, :].astype(jnp.float32)  # [1, H, S]
+            out = cross_decode_mxu_int4(q[:, 0], k_q, k_s, v_q, v_s, bias)
+            new = dict(cache, self_k_q4=k_q, self_v_q4=v_q, self_k_s=k_s,
+                       self_v_s=v_s)
+            return self._proj_o(out[:, None], qw, "self_o", attn), new
         if cache["self_k_q"].ndim == 3:
             # MXU kernel layout: flat [B, S, H*D] int8 values + [B, H, S]
             # scales (ops.mxu_decode); per-head relative bias row carries
@@ -670,7 +704,7 @@ class DecoderLayer(nn.Module):
         qw: Optional[Dict[str, jnp.ndarray]] = None,  # int8 decode weights
     ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
         h = self.ln_self(x)
-        if "self_k_q" in cache:
+        if "self_k_q" in cache or "self_k_q4" in cache:
             h, cache = self._self_attend_quant(h, cache, step, self_bias_row,
                                                qw)
         else:
