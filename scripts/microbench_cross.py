@@ -222,11 +222,12 @@ def pallas_cross_mxu_bb(qb, kq_flat, ks_hk, vq_flat, vs_hk, bias_hk,
 
 
 def _probe_kernel(qb_ref, kq_ref, ks_ref, vq_ref, vs_ref, bias_ref, o_ref):
-    """Load-only probe: reads the same bytes as the real kernel but does
-    minimal compute (int32 sums, no converts, no dots) — isolates DMA
-    throughput from VPU convert cost."""
-    k = kq_ref[0]
-    v = vq_ref[0]
+    """DMA-only probe: the BlockSpecs force the full slab DMA into VMEM,
+    but compute touches only a 64-row slice — separates DMA throughput
+    from VPU convert cost (a full-slab int32 sum costs about as much VPU
+    as the real kernel's converts and measured 3.57 ms)."""
+    k = kq_ref[0, :64, :]
+    v = vq_ref[0, :64, :]
     s = (jnp.sum(k.astype(jnp.int32), axis=0, keepdims=True)
          + jnp.sum(v.astype(jnp.int32), axis=0, keepdims=True))  # [1, HD]
     o_ref[0] = jnp.broadcast_to(
