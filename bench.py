@@ -13,8 +13,7 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 Env overrides: BENCH_BATCH (default 48 — measured optimum with the MXU
 cross-attention kernel; 16 was optimal on the XLA path), BENCH_DECODE_LEN (default 512),
 BENCH_REPEATS (default 3), BENCH_BEAMS (default 1), BENCH_QUANT_KV (1),
-BENCH_QUANT_W (0), BENCH_FLASH (1), BENCH_INKERNEL_BIAS (0),
-BENCH_FLASH_DECODE (0).
+BENCH_QUANT_W (0), BENCH_FLASH (1), BENCH_INKERNEL_BIAS (0).
 """
 
 from __future__ import annotations
@@ -51,10 +50,6 @@ def main() -> None:
         cfg, dtype=jnp.bfloat16,
         flash_attention=os.environ.get("BENCH_FLASH", "1") == "1",
         inkernel_bias=os.environ.get("BENCH_INKERNEL_BIAS", "0") == "1",
-        # experimental pallas decode kernel: measured 0.77 img/s vs 3.47 for
-        # XLA's fusions (Mosaic VPU lowering of the broadcast-multiply-reduce
-        # is far off XLA's code) — keep off
-        flash_decode=os.environ.get("BENCH_FLASH_DECODE", "0") == "1",
         # opt-in int4 cross KV (BENCH_INT4=1): halves the dominant slab
         # traffic; coarser than the int8 default
         int4_cross=os.environ.get("BENCH_INT4", "0") == "1")

@@ -78,8 +78,17 @@ def load_reference_vocabulary(
     for fn in files:
         with open(os.path.join(d, fn)) as f:
             for k in json.load(f):
-                if k not in full:
-                    full[k] = len(full)
+                # The reference extends a LIST without dedup (set_vocabulary,
+                # markush_tokenizer.py:276-281): a duplicate key would consume
+                # an id slot and shift every subsequent <other_N> vs the
+                # published checkpoint. Dict-keyed inventories can't represent
+                # that, so fail loudly instead of silently re-indexing.
+                if k in full:
+                    raise ValueError(
+                        f"duplicate vocabulary key {k!r} in {fn} (files={files}): "
+                        "reference id assignment would diverge from this importer"
+                    )
+                full[k] = len(full)
     with open(os.path.join(d, atom_file)) as f:
         atoms = {k: i for i, k in enumerate(json.load(f))}
     return full, atoms

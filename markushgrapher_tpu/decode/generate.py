@@ -143,8 +143,7 @@ def beam_generate(
     k2 = 2 * k  # HF beams_to_keep = max(2, 1 + n_eos) * num_beams
     neg_inf = jnp.float32(-1e9)
 
-    share_cross = (quant_cross_kv and getattr(model, "mxu_decode", False)
-                   and not getattr(model, "flash_decode", False))
+    share_cross = quant_cross_kv and getattr(model, "mxu_decode", False)
     if share_cross:
         # beam-sharing caches: ONE cross slab per sample ([B] rows), self
         # caches at B*K rows; the MXU kernel folds all K beams' queries into

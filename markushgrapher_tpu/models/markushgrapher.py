@@ -96,12 +96,9 @@ class MarkushGrapherModel(nn.Module):
     # x24 layers is slower at batch<=32 but removes the 75MB/sample bias
     # buffer — required headroom for batch-64 serving)
     inkernel_bias: bool = False
-    # fused int8 cross-attention decode kernel (ops.flash_decode) — halves
-    # the dominant decode HBM traffic; requires quant_cross_kv at generate
-    flash_decode: bool = False
     # MXU-dot fused int8 cross-attention (ops.mxu_decode), default for
     # quant_cross_kv decode: 1.55x over the XLA int8 fusions at serving
-    # shapes (scripts/microbench_cross.py); flash_decode overrides
+    # shapes (scripts/microbench_cross.py)
     mxu_decode: bool = True
     # opt-in int4 cross K/V: halves the dominant slab traffic (DMA-bound
     # kernel); coarser quantization than the int8 default
@@ -149,8 +146,7 @@ class MarkushGrapherModel(nn.Module):
             num_heads=vtl.num_heads, d_kv=vtl.d_kv, d_ff=vtl.d_ff,
             ff_proj=vtl.feed_forward_proj, eps=vtl.layer_norm_epsilon,
             dtype=self.dtype, dropout_rate=vtl.dropout_rate, remat=self.remat,
-            flash_decode=self.flash_decode, mxu_decode=self.mxu_decode,
-            int4_cross=self.int4_cross)
+            mxu_decode=self.mxu_decode, int4_cross=self.int4_cross)
         self.lm_head = nn.DenseGeneral(
             features=vtl.vocab_size, use_bias=False, dtype=jnp.float32,
             param_dtype=jnp.float32,

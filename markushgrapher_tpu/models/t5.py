@@ -258,14 +258,11 @@ class DecoderLayer(nn.Module):
     eps: float = 1e-6
     dtype: Any = jnp.float32
     dropout_rate: float = 0.0
-    # fused int8 cross-attention decode kernel (ops.flash_decode): reads each
-    # per-head cache slab once for QK+softmax+PV instead of XLA's two
-    # fusions re-reading it — cross-attention is ~51% of the decode step
-    flash_decode: bool = False
     # MXU-dot fused int8 cross-attention (ops.mxu_decode): block-diagonal-Q
     # MXU dots + grid-pipelined slab streaming; measured 1.55x over the XLA
     # int8 path at serving shapes (scripts/microbench_cross.py). Default for
-    # quant_cross; flash_decode=True (legacy VPU kernel) takes precedence.
+    # quant_cross. (A VPU predecessor, ops/flash_decode.py, measured 4x
+    # slower than XLA and was deleted in round 3 — writeup in README.)
     mxu_decode: bool = True
     # int4 cross K/V (ops.mxu_decode.cross_decode_mxu_int4): halves the
     # dominant slab traffic (the kernel is DMA-bound). OPT-IN — coarser
@@ -310,34 +307,10 @@ class DecoderLayer(nn.Module):
         831M model); int8 halves it. Cache dim order is token-major
         [B, K, H, D] for the XLA path — measured fastest; XLA picks physical
         layouts itself, and head-major orders made it insert per-step
-        relayouts (3.47 -> 2.91 img/s at batch 16). The flash_decode kernel
-        instead wants head-major [B, H, K, D] cross slabs (it streams one
-        (batch, head) slab per program)."""
+        relayouts (3.47 -> 2.91 img/s at batch 16)."""
         batch = enc.shape[0]
         srows = self_rows or batch
         ck, cv = self.cross_attn.compute_kv(enc)       # [B, K, H, D]
-        if quant_cross and self.flash_decode:
-            cache = {
-                "self_k_q": jnp.zeros(
-                    (batch, self.num_heads, max_len, self.d_kv), jnp.int8),
-                "self_v_q": jnp.zeros(
-                    (batch, self.num_heads, max_len, self.d_kv), jnp.int8),
-                "self_k_s": jnp.zeros((batch, self.num_heads, max_len),
-                                      jnp.float32),
-                "self_v_s": jnp.zeros((batch, self.num_heads, max_len),
-                                      jnp.float32),
-            }
-            # pad K to a multiple of 256: the kernel's lane-axis tile
-            # offsets must be 128-multiples (zero scales + -inf bias mask
-            # the padding; _cross_attend pads the bias to match)
-            kpad = (-ck.shape[1]) % 256
-            for name, t in (("cross_k", ck), ("cross_v", cv)):
-                q, s = _quantize_kv(t.transpose(0, 2, 1, 3))  # [B,H,K,D]
-                cache[name + "_q"] = jnp.pad(
-                    q, ((0, 0), (0, 0), (0, kpad), (0, 0)))
-                cache[name + "_s"] = jnp.pad(
-                    s, ((0, 0), (0, 0), (0, kpad)))    # [B, H, Kp] f32
-            return cache
         if quant_cross:
             cache = {
                 "self_k_q": jnp.zeros(
@@ -530,26 +503,6 @@ class DecoderLayer(nn.Module):
             new = dict(cache, self_k_q=k_q, self_v_q=v_q, self_k_s=k_s,
                        self_v_s=v_s)
             return self._proj_o(out[:, None], qw, "self_o", attn), new
-        if self.flash_decode:
-            from markushgrapher_tpu.ops.flash_decode import (
-                flash_cross_decode_int8)
-
-            kq_new, ks_new = _quantize_kv(k_new.transpose(0, 2, 1, 3))
-            vq_new, vs_new = _quantize_kv(v_new.transpose(0, 2, 1, 3))
-            k_q = jax.lax.dynamic_update_slice_in_dim(
-                cache["self_k_q"], kq_new, step, axis=2)
-            v_q = jax.lax.dynamic_update_slice_in_dim(
-                cache["self_v_q"], vq_new, step, axis=2)
-            k_s = jax.lax.dynamic_update_slice_in_dim(
-                cache["self_k_s"], ks_new, step, axis=2)
-            v_s = jax.lax.dynamic_update_slice_in_dim(
-                cache["self_v_s"], vs_new, step, axis=2)
-            # self_bias_row already carries the causal -inf beyond `step`
-            bias = self_bias_row[:, :, 0, :].astype(jnp.float32)  # [1,H,S]
-            out = flash_cross_decode_int8(q[:, 0], k_q, k_s, v_q, v_s, bias)
-            new = dict(cache, self_k_q=k_q, self_v_q=v_q, self_k_s=k_s,
-                       self_v_s=v_s)
-            return self._proj_o(out[:, None], qw, "self_o", attn), new
         kq_new, ks_new = _quantize_kv(k_new)
         vq_new, vs_new = _quantize_kv(v_new)
         k_q = jax.lax.dynamic_update_slice_in_dim(cache["self_k_q"], kq_new,
@@ -586,21 +539,6 @@ class DecoderLayer(nn.Module):
         """Cross-attention against (possibly int8) cached K/V."""
         attn = self.cross_attn
         q = self._cross_q(h, qw)                        # [B, 1, H, Dk]
-        if self.flash_decode and "cross_k_q" in cache:
-            from markushgrapher_tpu.ops.flash_decode import (
-                flash_cross_decode_int8)
-
-            kp = cache["cross_k_q"].shape[2]
-            bias = (jnp.zeros((1, 1, kp), jnp.float32) if cross_bias is None
-                    else cross_bias[:, :, 0, :].astype(jnp.float32))
-            if bias.shape[-1] < kp:   # mask the K padding added in init_cache
-                bias = jnp.pad(bias, ((0, 0), (0, 0),
-                                      (0, kp - bias.shape[-1])),
-                               constant_values=-1e9)
-            out = flash_cross_decode_int8(
-                q[:, 0], cache["cross_k_q"], cache["cross_k_s"],
-                cache["cross_v_q"], cache["cross_v_s"], bias)
-            return self._proj_o(out[:, None], qw, "cross_o", attn)
         if "cross_k_q4" in cache:
             # int4-packed slabs (opt-in; ops.mxu_decode.cross_decode_mxu_int4)
             from markushgrapher_tpu.ops.mxu_decode import cross_decode_mxu_int4
@@ -744,7 +682,6 @@ class Decoder(nn.Module):
     dtype: Any = jnp.float32
     dropout_rate: float = 0.0
     remat: bool = False
-    flash_decode: bool = False
     mxu_decode: bool = True
     int4_cross: bool = False
 
@@ -756,7 +693,7 @@ class Decoder(nn.Module):
         self.layers = [
             layer_cls(self.d_model, self.num_heads, self.d_kv, self.d_ff,
                       self.ff_proj, self.eps, self.dtype, self.dropout_rate,
-                      self.flash_decode, self.mxu_decode, self.int4_cross,
+                      self.mxu_decode, self.int4_cross,
                       name=f"layer_{i}")
             for i in range(self.num_layers)
         ]

@@ -16,10 +16,10 @@ block-diagonal trick:
   - The wasted off-diagonal FLOPs (xH) are free: the kernel is
     HBM-bandwidth-bound and the MXU has orders of magnitude of headroom.
 
-vs the previous attempt (ops/flash_decode.py, 4x SLOWER than XLA): that
-kernel computed scores as VPU broadcast-multiply-reduces and hand-looped K
-tiles inside one program (serializing the HBM->VMEM copies); this one uses
-MXU dots and the sequential grid's automatic double-buffering. Measured on
+vs the previous attempt (a VPU kernel, deleted in round 3 — 4x SLOWER than
+XLA): that kernel computed scores as VPU broadcast-multiply-reduces and
+hand-looped K tiles inside one program (serializing the HBM->VMEM copies);
+this one uses MXU dots and the sequential grid's automatic double-buffering. Measured on
 v5e at serving shapes (B16 H16 K1792 D64, 24 layers): 1.55x over the XLA
 int8 path (scripts/microbench_cross.py).
 
@@ -44,6 +44,26 @@ from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = -1e30
 
+_warned_interpret = False
+
+
+def _default_interpret() -> bool:
+    """Interpret the kernel off-TPU (tests), but say so once: interpreted
+    pallas is orders of magnitude slower than the XLA int8 path, so a
+    CPU/debug serving run that lands here by accident should be loud."""
+    if jax.default_backend() == "tpu":
+        return False
+    global _warned_interpret
+    if not _warned_interpret:
+        _warned_interpret = True
+        import warnings
+
+        warnings.warn(
+            "mxu_decode: non-TPU backend — running the pallas kernel in "
+            "interpret mode (slow). For CPU serving set mxu_decode=False to "
+            "use the XLA int8 path.", stacklevel=3)
+    return True
+
 
 def pick_block_k(kv_len: int, hd: int,
                  vmem_budget: int = 12 * 2 ** 20) -> int:
@@ -58,7 +78,11 @@ def pick_block_k(kv_len: int, hd: int,
     for cand in range(cap - cap % 128, 127, -128):
         if kv_len % cand == 0:
             return cand
-    return kv_len
+    # No in-budget 128-multiple divisor: compiling a whole-slab tile would
+    # VMEM-OOM at compile time with a confusing dump — fail clearly instead.
+    raise ValueError(
+        f"kv_len={kv_len} (hd={hd}) has no 128-multiple divisor within the "
+        f"{vmem_budget >> 20}MB VMEM budget; pad kv_len to a 256-multiple")
 
 
 def _kernel(qb_ref, kq_ref, ks_ref, vq_ref, vs_ref, bias_ref, o_ref,
@@ -171,8 +195,7 @@ def cross_decode_mxu(
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
             vmem_limit_bytes=64 * 1024 * 1024),
-        interpret=(jax.default_backend() != "tpu") if interpret is None
-        else interpret,
+        interpret=_default_interpret() if interpret is None else interpret,
     )(qb, kq_flat, ks, vq_flat, vs, bias)
 
     # group-block extraction: out[b, h, :] = acc[b, h, (h//rep)*D:...]
@@ -315,8 +338,7 @@ def cross_decode_mxu_int4(
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
             vmem_limit_bytes=64 * 1024 * 1024),
-        interpret=(jax.default_backend() != "tpu") if interpret is None
-        else interpret,
+        interpret=_default_interpret() if interpret is None else interpret,
     )(qb, kq_pack, ks, vq_pack, vs, bias)
 
     acc4 = acc.reshape(batch, heads, groups, d)

@@ -488,7 +488,7 @@ def main():
 
     # correctness cross-check on one layer (small tolerance: bf16 PV);
     # costs two extra remote compiles — opt-in (interpret-mode CPU check
-    # also exists, tests/test_flash_decode.py)
+    # also exists, tests/test_mxu_decode.py)
     if args.check and "pallas_mxu" in variants and "xla_kh" in variants:
         ref = xla_cross_kh(q[0], kq[0], ks[0], vq[0], vs[0], bias)
         qb0 = make_block_diag_q(q[0].astype(jnp.bfloat16))

@@ -154,30 +154,6 @@ class TestQuantizedCrossKV:
         assert (full == quant).mean() > 0.8, (full, quant)
 
 
-class TestFlashDecode:
-    def test_flash_decode_matches_xla_int8(self, setup):
-        """Greedy decode through the fused cross-attention kernel must agree
-        with the XLA int8 path (same quantized values, fused softmax)."""
-        cfg, model, params, batch, enc, enc_mask = setup
-        fd_model = type(model)(cfg, dtype=jnp.float32, flash_decode=True)
-        base = np.asarray(greedy_generate(model, params, enc, enc_mask,
-                                          MAXLEN, eos_id=1,
-                                          quant_cross_kv=True))
-        fused = np.asarray(greedy_generate(fd_model, params, enc, enc_mask,
-                                           MAXLEN, eos_id=1,
-                                           quant_cross_kv=True))
-        assert (base == fused).mean() > 0.8, (base, fused)
-
-    def test_flash_decode_beam_runs(self, setup):
-        cfg, model, params, batch, enc, enc_mask = setup
-        fd_model = type(model)(cfg, dtype=jnp.float32, flash_decode=True)
-        ids, scores = beam_generate(fd_model, params, enc, enc_mask, MAXLEN,
-                                    num_beams=3, eos_id=1,
-                                    quant_cross_kv=True)
-        assert np.asarray(ids).shape == (2, MAXLEN)
-        assert np.all(np.isfinite(np.asarray(scores)))
-
-
 class TestQuantizedWeights:
     def test_int8_weight_logits_close(self, setup):
         """One decode step against int8 weights must track full precision:
