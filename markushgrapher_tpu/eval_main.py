@@ -30,6 +30,9 @@ logger = logging.getLogger(__name__)
 # hardcoded eval flags, matching eval.py:22-23 of the reference
 REMOVE_STEREO = True
 FIX_CXSMILES = True
+# the reference pins GT/input parsing to this encoding while predictions
+# follow the dataset's training_dataset_name (eval.py:39,58-77)
+INPUT_ENCODING_TRAINING_DATASET = "mdu_3005"
 
 
 def main(config_path: Optional[str] = None,
@@ -43,11 +46,28 @@ def main(config_path: Optional[str] = None,
                                 flash_attention=True,
                                 int4_cross=margs.int4_cross)
 
-    test_ds = DatasetRegistry.from_yaml(dargs.datasets_config).build(
+    registry = DatasetRegistry.from_yaml(dargs.datasets_config)
+    test_ds = registry.build(
         dargs.dataset_name, split="test", train=False,
         image_size=dargs.image_size,
         max_seq_length=dargs.max_seq_length,
         max_seq_length_decoder=dargs.max_seq_length_decoder)
+
+    # TWO tokenizers, like the reference eval (eval.py:58-77): the dataset's
+    # tokenizer (per training_dataset_name) decodes/parses predictions; a
+    # second one pinned to mdu_3005 encoding parses ground-truth annotations.
+    # They share one base tokenizer; they differ only when the vocabularies
+    # split (e.g. mdu_300's comma substituent separator).
+    from markushgrapher_tpu.data.markush_tokenizer import MarkushTokenizer
+
+    ds_cfg = registry.configs[dargs.dataset_name]
+    input_mt = MarkushTokenizer(
+        tokenizer=test_ds.markush_tokenizer.tokenizer,
+        encode_position=ds_cfg.get("encode_position", False),
+        encode_index=ds_cfg.get("encode_index", False),
+        condense_labels=ds_cfg.get("condense_labels", True),
+        training_dataset_name=INPUT_ENCODING_TRAINING_DATASET,
+        vocab_dir=ds_cfg.get("vocab_dir"))
 
     if params is None:
         from markushgrapher_tpu.parallel import mesh as mesh_lib
@@ -85,7 +105,8 @@ def main(config_path: Optional[str] = None,
         quant_weights=margs.quant_weights,
         int4_cross=margs.int4_cross,
         output_dir=os.path.join(targs.output_dir, "predictions"))
-    evaluator = Evaluator(model, params, test_ds.markush_tokenizer, eval_cfg)
+    evaluator = Evaluator(model, params, test_ds.markush_tokenizer, eval_cfg,
+                          input_tokenizer=input_mt)
     collator = DataCollator(max_length=dargs.max_seq_length,
                             max_length_decoder=dargs.max_seq_length_decoder)
     result = evaluator.run(test_ds, collator,

@@ -64,7 +64,15 @@ class EvalResult:
 
 class Evaluator:
     def __init__(self, model, params, markush_tokenizer: MarkushTokenizer,
-                 cfg: EvalConfig, abbreviation: Optional[Abbreviation] = None):
+                 cfg: EvalConfig, abbreviation: Optional[Abbreviation] = None,
+                 input_tokenizer: Optional[MarkushTokenizer] = None):
+        """markush_tokenizer decodes/parses PREDICTIONS (the reference's
+        `markush_tokenizer_training`, per `training_dataset_name`);
+        input_tokenizer parses GROUND-TRUTH annotations (the reference pins
+        it to `mdu_3005` encoding — eval.py:39,58-77). Defaults to the same
+        tokenizer, which is correct whenever the two vocabularies coincide
+        (all shipped configs); they diverge e.g. for `mdu_300`'s comma
+        substituent separator."""
         self.model = model
         if cfg.bf16_params:
             from markushgrapher_tpu.parallel.mesh import cast_params
@@ -72,6 +80,7 @@ class Evaluator:
             params = cast_params(params, jnp.bfloat16)
         self.params = params
         self.mt = markush_tokenizer
+        self.mt_input = input_tokenizer or markush_tokenizer
         self.cfg = cfg
         self.abbreviation = abbreviation or Abbreviation()
         self._generate = None
@@ -208,7 +217,10 @@ class Evaluator:
     def _score_one(self, meta: Dict, text: str,
                    predictions: List, per_sample: List) -> None:
         gt_opt = meta["gt_cxsmiles_opt"]
-        gt_stable = self.mt.get_stable(meta["gt_annotation"]) or {}
+        # GT annotations are parsed with the INPUT tokenizer's separators,
+        # predictions with the training tokenizer's (reference
+        # utils_evaluation.py:229 vs :354)
+        gt_stable = self.mt_input.get_stable(meta["gt_annotation"]) or {}
         s = score_sample(
             text, gt_opt, gt_stable, self.mt,
             abbreviation=self.abbreviation,
