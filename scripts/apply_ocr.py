@@ -12,18 +12,52 @@ Usage: python scripts/apply_ocr.py <dataset_dir> <output_dir> [ocr_params.msgpac
 from __future__ import annotations
 
 import sys
+from typing import Dict, Optional
+
+
+def build_ocr_configs(overrides: Optional[Dict] = None):
+    """(OCRConfig, OCREngineConfig) with flat-key overrides.
+
+    Keys: `vision.<field>` / `text.<field>` for the submodel configs, bare
+    field names for OCRConfig / OCREngineConfig (`max_new_tokens` sets both).
+    Unknown keys raise — a typo'd override must not silently serve the
+    full-size model."""
+    from dataclasses import fields
+
+    from markushgrapher_tpu.ocr.engine import OCREngineConfig
+    from markushgrapher_tpu.ocr.vlm import (OCRConfig, OCRTextConfig,
+                                            OCRVisionConfig)
+
+    ov = dict(overrides or {})
+    vis = {k[len("vision."):]: ov.pop(k) for k in list(ov)
+           if k.startswith("vision.")}
+    txt = {k[len("text."):]: ov.pop(k) for k in list(ov)
+           if k.startswith("text.")}
+    top_names = {f.name for f in fields(OCRConfig)} - {"vision", "text"}
+    eng_names = {f.name for f in fields(OCREngineConfig)}
+    top = {k: ov.pop(k) for k in list(ov) if k in top_names}
+    eng = {k: ov.pop(k) for k in list(ov) if k in eng_names}
+    if "max_new_tokens" in top:
+        eng.setdefault("max_new_tokens", top["max_new_tokens"])
+    if ov:
+        raise ValueError(f"unknown OCR override keys: {sorted(ov)}")
+    cfg = OCRConfig(vision=OCRVisionConfig(**vis), text=OCRTextConfig(**txt),
+                    **top)
+    return cfg, OCREngineConfig(**eng)
 
 
 def main(dataset_dir: str, output_dir: str,
-         params_path: str | None = None) -> None:
+         params_path: str | None = None,
+         overrides: Optional[Dict] = None) -> None:
     import jax
     import jax.numpy as jnp
 
     from markushgrapher_tpu.data.vocab import MGTokenizer
-    from markushgrapher_tpu.ocr.engine import ChemicalOCR, OCREngineConfig
-    from markushgrapher_tpu.ocr.vlm import ChemicalOCRModel, OCRConfig
+    from markushgrapher_tpu.ocr.engine import ChemicalOCR
 
-    cfg = OCRConfig()
+    cfg, engine_cfg = build_ocr_configs(overrides)
+    from markushgrapher_tpu.ocr.vlm import ChemicalOCRModel
+
     model = ChemicalOCRModel(cfg, dtype=jnp.bfloat16)
     tokenizer = MGTokenizer()
     rng = jax.random.PRNGKey(0)
@@ -39,7 +73,7 @@ def main(dataset_dir: str, output_dir: str,
         print("WARNING: no OCR weights given; running random init "
               "(smoke-test mode)")
 
-    engine = ChemicalOCR(model, params, tokenizer, OCREngineConfig())
+    engine = ChemicalOCR(model, params, tokenizer, engine_cfg)
     engine.predict_to_disk(dataset_dir, output_dir)
 
 

@@ -60,6 +60,19 @@ def main() -> None:
         ds_dir = os.path.join(run_dir, "dataset_raw")
         prepare(args.hf_dataset, ds_dir)
 
+    import yaml
+
+    # `--set ocr.<key>=<value>` overrides route to the OCR stage (tiny-model
+    # CI runs, serving quantization knobs); the rest go to the predict config
+    ocr_overrides = {}
+    predict_overrides = []
+    for kv in args.overrides:
+        key, _, value = kv.partition("=")
+        if key.startswith("ocr."):
+            ocr_overrides[key[len("ocr."):]] = yaml.safe_load(value)
+        else:
+            predict_overrides.append((key, yaml.safe_load(value)))
+
     # -- stage 1: ChemicalOCR ---------------------------------------------------
     if args.skip_ocr:
         ocr_dir = ds_dir
@@ -67,12 +80,10 @@ def main() -> None:
         from apply_ocr import main as apply_ocr
 
         ocr_dir = os.path.join(run_dir, "dataset_ocr")
-        apply_ocr(ds_dir, ocr_dir, args.ocr_params)
+        apply_ocr(ds_dir, ocr_dir, args.ocr_params, overrides=ocr_overrides)
 
     # -- stage 2: MarkushGrapher eval (inline per-run configs,
     #    inference.sh:186-243 pattern) ---------------------------------------
-    import yaml
-
     datasets_yaml = os.path.join(run_dir, "datasets_predict.yaml")
     with open(datasets_yaml, "w") as f:
         yaml.safe_dump({"mdu": {
@@ -92,9 +103,8 @@ def main() -> None:
         "model_name_or_path": args.checkpoint,
         "output_dir": run_dir,
     }
-    for kv in args.overrides:
-        key, _, value = kv.partition("=")
-        predict_cfg[key] = yaml.safe_load(value)
+    for key, value in predict_overrides:
+        predict_cfg[key] = value
     predict_yaml = os.path.join(run_dir, "predict.yaml")
     with open(predict_yaml, "w") as f:
         yaml.safe_dump(predict_cfg, f)

@@ -65,3 +65,49 @@ def test_driver_images_skip_ocr(image_dir, tmp_path, monkeypatch):
     with open(os.path.join(pred_dir, score_file)) as f:
         scores = json.load(f)
     assert isinstance(scores, dict) and scores
+
+
+def test_driver_images_with_ocr(image_dir, tmp_path, monkeypatch):
+    """The OCR-ENABLED branch (the reference's primary flow,
+    inference.sh:149-184): stage-1 ChemicalOCR writes the `cells` column,
+    which flows through the dataset into stage-2 eval artifacts — all in
+    one process, on tiny configs."""
+    out = str(tmp_path / "run_ocr")
+    script = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "scripts", "run_inference.py")
+    argv = [
+        "run_inference.py", "--images", image_dir, "--output", out,
+        "--max_eval_samples", "2",
+        # tiny ChemicalOCR (random init, smoke mode)
+        "--set", "ocr.vision.image_size=32",
+        "--set", "ocr.vision.d_model=32", "--set", "ocr.vision.num_layers=1",
+        "--set", "ocr.vision.num_heads=2", "--set", "ocr.vision.d_ff=64",
+        "--set", "ocr.text.vocab_size=33104", "--set", "ocr.text.d_model=32",
+        "--set", "ocr.text.num_layers=1", "--set", "ocr.text.num_heads=4",
+        "--set", "ocr.text.num_kv_heads=2", "--set", "ocr.text.d_ff=64",
+        "--set", "ocr.text.max_position=256",
+        "--set", "ocr.pixel_shuffle_factor=2",
+        "--set", "ocr.max_new_tokens=8", "--set", "ocr.batch_size=2",
+        # tiny MarkushGrapher
+        "--set", "architecture_variant=none",
+        "--set", "d_model=64", "--set", "num_layers=1",
+        "--set", "num_heads=2", "--set", "d_ff=128",
+        "--set", "image_size=64",
+        "--set", "max_seq_length=64", "--set", "max_seq_length_decoder=12",
+        "--set", "per_device_eval_batch_size=2",
+    ]
+    monkeypatch.setattr(sys, "argv", argv)
+    runpy.run_path(script, run_name="__main__")
+
+    # stage 1 wrote an OCR dataset whose cells column feeds stage 2
+    ocr_dir = os.path.join(out, "dataset_ocr")
+    assert os.path.isdir(ocr_dir)
+    ds = datasets.load_from_disk(ocr_dir)
+    split = ds[list(ds.keys())[0]] if hasattr(ds, "keys") else ds
+    assert "cells" in split.column_names
+
+    # stage 2 artifacts exist (predictions over the OCR'd dataset)
+    pred_dir = os.path.join(out, "predictions")
+    files = os.listdir(pred_dir)
+    assert any(f.startswith("predictions_") for f in files), files
+    assert any(f.startswith("scores_") for f in files), files
