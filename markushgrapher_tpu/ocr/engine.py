@@ -36,6 +36,7 @@ class OCREngineConfig:
     pad_id: int = 0
     quant_weights: bool = False     # int8 decode-step weights (serving mode)
     quant_kv: bool = False          # int8 KV caches (serving mode)
+    int4_kv: bool = False           # pack the KV rings to int4 (needs quant_kv)
 
 
 class ChemicalOCR:
@@ -59,7 +60,8 @@ class ChemicalOCR:
             logits, caches, prefix_len = model.apply(
                 params, pixel_values, prompt_ids,
                 method=ChemicalOCRModel.prefill,
-                max_len=cfg.max_new_tokens, quant_kv=cfg.quant_kv)
+                max_len=cfg.max_new_tokens, quant_kv=cfg.quant_kv,
+                int4=cfg.int4_kv)
             qw = (model.apply(params,
                               method=ChemicalOCRModel.quantize_weights)
                   if cfg.quant_weights else None)

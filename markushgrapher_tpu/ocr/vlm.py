@@ -248,13 +248,16 @@ class LMLayer(nn.Module):
         return x
 
     def prefill(self, x, rope, positions, causal_bias, max_len: int,
-                quant_kv: bool = False):
+                quant_kv: bool = False, int4: bool = False):
         """Like __call__ but also returns a KV cache padded to max_len.
 
         quant_kv stores the cache int8 with per-(token, kv-head) scales —
         the OCR decode runs up to 4096 steps re-reading the whole cache each
         step, so this halves the stage's dominant HBM traffic (same scheme
-        as the MarkushGrapher decoder's quant_cross path)."""
+        as the MarkushGrapher decoder's quant_cross path). int4 (with
+        quant_kv) packs the values to nibbles instead — half the int8
+        traffic again, coarser quantization (the learning-test gate bounds
+        it end-to-end)."""
         h = self.ln_attn(x)
         q = apply_rope(self.q(h), rope, positions)
         k = apply_rope(self.k(h), rope, positions)
@@ -264,10 +267,24 @@ class LMLayer(nn.Module):
         x = x + self.down(jax.nn.silu(self.gate(h)) * self.up(h))
         b, L, hkv, d = k.shape
         pad = [(0, 0), (0, max_len - L), (0, 0), (0, 0)]
-        if quant_kv:
+        spad = pad[:3]
+        if quant_kv and int4:
+            from markushgrapher_tpu.ops.mxu_decode import pack_int4
+            from markushgrapher_tpu.models.t5 import _quantize_kv4
+
+            k_q, k_s = _quantize_kv4(k)
+            v_q, v_s = _quantize_kv4(v)
+            cache = {
+                "k_q4": pack_int4(
+                    jnp.pad(k_q, pad).reshape(b, max_len, hkv * d)),
+                "v_q4": pack_int4(
+                    jnp.pad(v_q, pad).reshape(b, max_len, hkv * d)),
+                "k_s": jnp.pad(k_s, spad).transpose(0, 2, 1),
+                "v_s": jnp.pad(v_s, spad).transpose(0, 2, 1),
+            }
+        elif quant_kv:
             k_q, k_s = _quantize_kv(k)
             v_q, v_s = _quantize_kv(v)
-            spad = pad[:3]
             # MXU-kernel layout (ops.mxu_decode, GQA-aware): values flat
             # [B, S, G*D] int8, scales kv-head-major [B, G, S] f32
             cache = {
@@ -315,6 +332,54 @@ class LMLayer(nn.Module):
                                qkv[:, :, nh + nkv:])
         q = apply_rope(q, rope, position)
         k_new = apply_rope(k_new, rope, position)
+        if "k_q4" in cache:                       # int4-packed ring cache
+            from markushgrapher_tpu.models.t5 import _quantize_kv4
+            from markushgrapher_tpu.ops.mxu_decode import (
+                cross_decode_mxu_int4, pack_int4)
+
+            b = x.shape[0]
+            nkv, d = cfg.num_kv_heads, cfg.d_model // cfg.num_heads
+            kq_new, ks_new = _quantize_kv4(k_new)
+            vq_new, vs_new = _quantize_kv4(v_new)
+            cache = dict(
+                cache,
+                k_q4=jax.lax.dynamic_update_slice_in_dim(
+                    cache["k_q4"], pack_int4(kq_new.reshape(b, 1, nkv * d)),
+                    step, axis=1),
+                k_s=jax.lax.dynamic_update_slice_in_dim(
+                    cache["k_s"], ks_new.transpose(0, 2, 1), step, axis=2),
+                v_q4=jax.lax.dynamic_update_slice_in_dim(
+                    cache["v_q4"], pack_int4(vq_new.reshape(b, 1, nkv * d)),
+                    step, axis=1),
+                v_s=jax.lax.dynamic_update_slice_in_dim(
+                    cache["v_s"], vs_new.transpose(0, 2, 1), step, axis=2))
+            rep = cfg.num_heads // nkv
+            attn_out = cross_decode_mxu_int4(
+                q[:, 0] * (d ** -0.5),
+                cache["k_q4"], jnp.repeat(cache["k_s"], rep, axis=1),
+                cache["v_q4"], jnp.repeat(cache["v_s"], rep, axis=1),
+                kv_mask[:, 0])[:, None]           # [B, 1, H, D]
+            if qw is None:
+                y = self.o(attn_out)
+            else:
+                y = jnp.einsum("bqhd,hdD->bqD", attn_out,
+                               _deq(qw["o_q"], self.dtype))
+                y = (y.astype(jnp.float32) * qw["o_s"]).astype(self.dtype)
+            x = x + y
+            h = self.ln_mlp(x)
+            if qw is None:
+                x = x + self.down(jax.nn.silu(self.gate(h)) * self.up(h))
+            else:
+                gu = jnp.einsum("bqd,dtf->bqtf", h,
+                                _deq(qw["gu_q"], self.dtype))
+                gu = (gu.astype(jnp.float32)
+                      * qw["gu_s"][None, None]).astype(self.dtype)
+                mid = jax.nn.silu(gu[:, :, 0]) * gu[:, :, 1]
+                y = jnp.einsum("bqf,fd->bqd", mid,
+                               _deq(qw["down_q"], self.dtype))
+                x = x + (y.astype(jnp.float32)
+                         * qw["down_s"]).astype(self.dtype)
+            return x, cache
         if "k_q" in cache:                        # int8 ring cache
             from markushgrapher_tpu.ops.mxu_decode import cross_decode_mxu
 
@@ -431,10 +496,10 @@ class ChemicalOCRModel(nn.Module):
         return x @ self.embed.T.astype(jnp.float32)
 
     def prefill(self, pixel_values, prompt_ids, max_len: int,
-                quant_kv: bool = False):
+                quant_kv: bool = False, int4: bool = False):
         """Run the image+prompt prefix once; returns (next-token logits,
         caches, prefix_len). quant_kv stores the caches int8 (the 4096-step
-        OCR decode's dominant HBM traffic)."""
+        OCR decode's dominant HBM traffic); int4 packs them to nibbles."""
         x = self.input_embeddings(pixel_values, prompt_ids)
         b, L0, _ = x.shape
         positions = jnp.tile(jnp.arange(L0)[None], (b, 1))
@@ -445,7 +510,7 @@ class ChemicalOCRModel(nn.Module):
         for layer in self.layers:
             x, cache = layer.prefill(x, self._rope, positions,
                                      causal[None, None], total,
-                                     quant_kv=quant_kv)
+                                     quant_kv=quant_kv, int4=int4)
             caches.append(cache)
         x = self.final_ln(x)
         logits = x[:, -1:] @ self.embed.T.astype(jnp.float32)
@@ -465,7 +530,7 @@ class ChemicalOCRModel(nn.Module):
         pos = jnp.full((b, 1), prefix_len + step, jnp.int32)
         x = self.embed[token_ids].astype(self.dtype)
         c0 = caches[0]
-        total = (c0["k"] if "k" in c0 else c0["k_q"]).shape[1]
+        total = next(c0[k] for k in ("k", "k_q", "k_q4") if k in c0).shape[1]
         neg = jnp.finfo(jnp.float32).min
         idx = jnp.arange(total)
         kv_mask = jnp.where(idx[None, None, None, :] <= prefix_len + step,

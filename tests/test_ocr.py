@@ -126,6 +126,25 @@ class TestVLM:
         ref, got = np.asarray(ref), np.asarray(got)
         assert np.abs(ref - got).max() < 0.05 * np.abs(ref).max()
 
+    def test_int4_kv_decode_close(self, vlm):
+        """int4-packed KV rings (prefill int4=True) track full precision:
+        coarser than int8, so a looser bound — this is the kernel-level
+        check; the end-task CXSMILES bound lives in test_learning.py."""
+        cfg, model, params, pix, prompt = vlm
+        _, caches, pl_ = model.apply(
+            params, pix, prompt, method=ChemicalOCRModel.prefill, max_len=4)
+        _, qcaches, _ = model.apply(
+            params, pix, prompt, method=ChemicalOCRModel.prefill, max_len=4,
+            quant_kv=True, int4=True)
+        assert "k_q4" in qcaches[0]
+        tok = jnp.asarray([[7], [13]], jnp.int32)
+        ref, _ = model.apply(params, tok, caches, jnp.int32(0), pl_,
+                             method=ChemicalOCRModel.decode_step)
+        got, _ = model.apply(params, tok, qcaches, jnp.int32(0), pl_,
+                             method=ChemicalOCRModel.decode_step)
+        ref, got = np.asarray(ref), np.asarray(got)
+        assert np.abs(ref - got).max() < 0.15 * np.abs(ref).max()
+
     def test_int8_weight_decode_close(self, vlm):
         """decode_step against int8 weights tracks full precision within
         per-channel quantization error."""
