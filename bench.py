@@ -13,7 +13,11 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 Env overrides: BENCH_BATCH (default 48 — measured optimum with the MXU
 cross-attention kernel; 16 was optimal on the XLA path), BENCH_DECODE_LEN (default 512),
 BENCH_REPEATS (default 3), BENCH_BEAMS (default 1), BENCH_QUANT_KV (1),
-BENCH_QUANT_W (0), BENCH_FLASH (1), BENCH_INKERNEL_BIAS (0).
+BENCH_QUANT_W (1), BENCH_INT4 (1), BENCH_FLASH (1), BENCH_INKERNEL_BIAS (0).
+
+int4 KV + int8 weights is the default serving config: the end-task
+quantization gate (tests/test_learning.py::TestQuantizationGate) shows it
+retains 100% of the f32 decode's CXSMILES exact matches.
 """
 
 from __future__ import annotations
@@ -50,16 +54,46 @@ def main() -> None:
         cfg, dtype=jnp.bfloat16,
         flash_attention=os.environ.get("BENCH_FLASH", "1") == "1",
         inkernel_bias=os.environ.get("BENCH_INKERNEL_BIAS", "0") == "1",
-        # opt-in int4 cross KV (BENCH_INT4=1): halves the dominant slab
-        # traffic; coarser than the int8 default
-        int4_cross=os.environ.get("BENCH_INT4", "0") == "1")
+        # int4 KV (cross slabs + self rings): halves the dominant slab
+        # traffic vs int8; DEFAULT since the CXSMILES exact-match gate
+        # (test_learning.py) cleared it
+        int4_cross=os.environ.get("BENCH_INT4", "1") == "1")
 
+    # Realistic inputs: synthetic Markush pages through the REAL data
+    # pipeline (cells -> words/boxes -> tokenize -> collate), so the relbias
+    # bucket distributions, attention-mask shape, and cell structure match
+    # production instead of uniform-random ints (BENCH_REAL_INPUTS=0 falls
+    # back to random for A/B). Images stay random: pixel FLOPs don't depend
+    # on content.
     rng = np.random.RandomState(0)
     T = cfg.max_seq_length
-    batch = dict(
-        input_ids=jnp.asarray(rng.randint(3, 32000, size=(batch_size, T)), jnp.int32),
-        bbox=jnp.asarray(rng.rand(batch_size, T, 4), jnp.float32),
-        attention_mask=jnp.ones((batch_size, T), jnp.int32),
+    if os.environ.get("BENCH_REAL_INPUTS", "1") == "1":
+        from markushgrapher_tpu.data.collator import DataCollator
+        from markushgrapher_tpu.data.dataset import MDUDataset
+        from markushgrapher_tpu.data.markush_tokenizer import MarkushTokenizer
+        from markushgrapher_tpu.data.synthetic import SyntheticMarkushGenerator
+
+        gen = SyntheticMarkushGenerator(seed=0, image_size=cfg.vtl.image_size)
+        ds = MDUDataset(
+            source=[gen.sample(i) for i in range(min(batch_size, 16))],
+            markush_tokenizer=MarkushTokenizer(),
+            image_size=cfg.vtl.image_size,
+            ocsr_image_size=cfg.swin.image_size,
+            max_seq_length=T, max_seq_length_decoder=8)
+        samples = [dict(ds[i % len(ds)], id=i) for i in range(batch_size)]
+        for s in samples:
+            s.pop("id", None)
+        host = DataCollator(max_length=T, max_length_decoder=8)(samples)
+        batch = {k: jnp.asarray(v) for k, v in host.items()
+                 if k in ("input_ids", "bbox", "attention_mask")}
+    else:
+        batch = dict(
+            input_ids=jnp.asarray(
+                rng.randint(3, 32000, size=(batch_size, T)), jnp.int32),
+            bbox=jnp.asarray(rng.rand(batch_size, T, 4), jnp.float32),
+            attention_mask=jnp.ones((batch_size, T), jnp.int32),
+        )
+    batch.update(
         pixel_values=jnp.asarray(
             rng.rand(batch_size, cfg.vtl.image_size, cfg.vtl.image_size, 3),
             jnp.float32),
@@ -81,10 +115,10 @@ def main() -> None:
     # back to host: on remote/tunneled platforms block_until_ready() does not
     # actually synchronize, so a host readback is the only honest fence.
     quant_kv = os.environ.get("BENCH_QUANT_KV", "1") == "1"
-    # int8 decode weights measured net-negative at batch 16 (3.37 vs 3.47
-    # img/s: per-step dequant outweighs the saved reads while KV traffic
-    # dominates) — off by default, kept as a serving option
-    quant_w = os.environ.get("BENCH_QUANT_W", "0") == "1"
+    # int8 decode weights: net-negative at batch 16 on the XLA path (3.37 vs
+    # 3.47 — dequant > saved reads while KV dominated) but +0.8-8% once the
+    # MXU kernel shrank KV traffic; DEFAULT (gated by test_learning.py)
+    quant_w = os.environ.get("BENCH_QUANT_W", "1") == "1"
 
     num_beams = int(os.environ.get("BENCH_BEAMS", "1"))
 

@@ -342,15 +342,19 @@ class DecoderLayer(nn.Module):
                 if self.int4_cross:
                     from markushgrapher_tpu.ops.mxu_decode import pack_int4
 
+                    # int4 scales ride bf16: the kernel is DMA-bound and
+                    # the [B,H,Kp] f32 scale planes are ~10% of the int4
+                    # slab bytes; bf16 halves that at ~0.4% relative scale
+                    # error (gated end-to-end by test_learning.py)
                     cache = {
                         "self_k_q4": jnp.zeros((srows, max_len, hd // 2),
                                                jnp.int8),
                         "self_v_q4": jnp.zeros((srows, max_len, hd // 2),
                                                jnp.int8),
                         "self_k_s": jnp.zeros((srows, self.num_heads,
-                                               max_len), jnp.float32),
+                                               max_len), jnp.bfloat16),
                         "self_v_s": jnp.zeros((srows, self.num_heads,
-                                               max_len), jnp.float32),
+                                               max_len), jnp.bfloat16),
                     }
                     for name, t in (("cross_k", ck), ("cross_v", cv)):
                         q, s = _quantize_kv4(t)        # [B,K,H,D], [B,K,H]
@@ -358,7 +362,8 @@ class DecoderLayer(nn.Module):
                         cache[name + "_q4"] = pack_int4(q.reshape(
                             batch, q.shape[1], self.num_heads * self.d_kv))
                         cache[name + "_s"] = jnp.pad(
-                            s, ((0, 0), (0, kpad), (0, 0))).transpose(0, 2, 1)
+                            s, ((0, 0), (0, kpad), (0, 0))
+                        ).transpose(0, 2, 1).astype(jnp.bfloat16)
                     return cache
                 for name, t in (("cross_k", ck), ("cross_v", cv)):
                     q, s = _quantize_kv(t)             # [B,K,H,D], [B,K,H]
@@ -472,9 +477,13 @@ class DecoderLayer(nn.Module):
                 cache["self_v_q4"], pack_int4(vq_new.reshape(batch, 1, hd)),
                 step, axis=1)
             k_s = jax.lax.dynamic_update_slice_in_dim(
-                cache["self_k_s"], ks_new.transpose(0, 2, 1), step, axis=2)
+                cache["self_k_s"],
+                ks_new.transpose(0, 2, 1).astype(cache["self_k_s"].dtype),
+                step, axis=2)
             v_s = jax.lax.dynamic_update_slice_in_dim(
-                cache["self_v_s"], vs_new.transpose(0, 2, 1), step, axis=2)
+                cache["self_v_s"],
+                vs_new.transpose(0, 2, 1).astype(cache["self_v_s"].dtype),
+                step, axis=2)
             bias = self_bias_row[:, :, 0, :].astype(jnp.float32)  # [1, H, S]
             out = cross_decode_mxu_int4(q[:, 0], k_q, k_s, v_q, v_s, bias)
             new = dict(cache, self_k_q4=k_q, self_v_q4=v_q, self_k_s=k_s,

@@ -186,7 +186,7 @@ def cross_decode_mxu(
                          lambda b, i: (b if bias_b > 1 else 0, 0, i)),
         ],
         out_specs=pl.BlockSpec((1, heads, hd), lambda b, i: (b, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((batch, heads, hd), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((batch, heads, hd), q.dtype),
         scratch_shapes=[
             pltpu.VMEM((heads, 128), jnp.float32),
             pltpu.VMEM((heads, 128), jnp.float32),
@@ -200,8 +200,7 @@ def cross_decode_mxu(
 
     # group-block extraction: out[b, h, :] = acc[b, h, (h//rep)*D:...]
     acc4 = acc.reshape(batch, heads, groups, d)
-    return jnp.einsum("bhgd,hg->bhd", acc4, sel.astype(acc.dtype)
-                      ).astype(q.dtype)
+    return jnp.einsum("bhgd,hg->bhd", acc4, sel.astype(acc.dtype))
 
 
 # ---------------------------------------------------------------------------
@@ -329,7 +328,7 @@ def cross_decode_mxu_int4(
                          lambda b, i: (b if bias_b > 1 else 0, 0, i)),
         ],
         out_specs=pl.BlockSpec((1, heads, hd), lambda b, i: (b, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((batch, heads, hd), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((batch, heads, hd), q.dtype),
         scratch_shapes=[
             pltpu.VMEM((heads, 128), jnp.float32),
             pltpu.VMEM((heads, 128), jnp.float32),
@@ -342,8 +341,7 @@ def cross_decode_mxu_int4(
     )(qb, kq_pack, ks, vq_pack, vs, bias)
 
     acc4 = acc.reshape(batch, heads, groups, d)
-    return jnp.einsum("bhgd,hg->bhd", acc4, sel.astype(acc.dtype)
-                      ).astype(q.dtype)
+    return jnp.einsum("bhgd,hg->bhd", acc4, sel.astype(acc.dtype))
 
 
 def cross_decode_reference(q, kq_flat, ks, vq_flat, vs, bias):

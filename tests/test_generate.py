@@ -154,6 +154,38 @@ class TestQuantizedCrossKV:
         assert (full == quant).mean() > 0.8, (full, quant)
 
 
+class TestInt4Decode:
+    def test_int4_greedy_close_to_full(self, setup):
+        """int4 cross+self KV decode tracks full precision on a random-init
+        model (end-task CXSMILES bound lives in test_learning.py)."""
+        cfg, model, params, batch, enc, enc_mask = setup
+        i4_model = type(model)(cfg, dtype=jnp.float32, int4_cross=True)
+        full = np.asarray(greedy_generate(model, params, enc, enc_mask,
+                                          MAXLEN, eos_id=1))
+        quant = np.asarray(greedy_generate(i4_model, params, enc, enc_mask,
+                                           MAXLEN, eos_id=1,
+                                           quant_cross_kv=True))
+        assert (full == quant).mean() > 0.6, (full, quant)
+
+    def test_int4_beam_shares_cross_slabs(self, setup):
+        """Beam search over the int4 model must ride the beam-shared cross
+        slabs (B-row caches) and produce finite scores."""
+        cfg, model, params, batch, enc, enc_mask = setup
+        i4_model = type(model)(cfg, dtype=jnp.float32, int4_cross=True)
+        ids, scores = beam_generate(i4_model, params, enc, enc_mask, MAXLEN,
+                                    num_beams=3, eos_id=1,
+                                    quant_cross_kv=True)
+        assert np.asarray(ids).shape == (2, MAXLEN)
+        assert np.all(np.isfinite(np.asarray(scores)))
+        # int4 beam-1 must agree with int4 greedy (same math, shared slabs)
+        g = np.asarray(greedy_generate(i4_model, params, enc, enc_mask,
+                                       MAXLEN, eos_id=1,
+                                       quant_cross_kv=True))
+        b1, _ = beam_generate(i4_model, params, enc, enc_mask, MAXLEN,
+                              num_beams=1, eos_id=1, quant_cross_kv=True)
+        assert (np.asarray(b1) == g).mean() > 0.9
+
+
 class TestQuantizedWeights:
     def test_int8_weight_logits_close(self, setup):
         """One decode step against int8 weights must track full precision:

