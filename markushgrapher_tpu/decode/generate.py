@@ -111,6 +111,46 @@ def _take_beams(x: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
         x, idx.reshape(idx.shape + (1,) * (x.ndim - 2)), axis=1)
 
 
+# self-ring cache keys (mxu layouts) and the axis their K dim lives on
+_RING_AXIS = {"self_k_q": 1, "self_v_q": 1, "self_k_q4": 1, "self_v_q4": 1,
+              "self_k_s": 2, "self_v_s": 2}
+
+
+def _pick_self_seg(max_len: int) -> int:
+    """Segment size for copy-on-write beam self rings (0 = disabled).
+
+    On TPU the kernel's lane-axis block offsets must be 128-multiples, so
+    COW needs max_len % 128 == 0 (the serving config: 512). Off-TPU
+    (interpret-mode tests) any divisor works — pick a small one so tiny
+    decode lengths exercise the multi-segment logic."""
+    if jax.default_backend() == "tpu":
+        return 128 if max_len % 128 == 0 else 0
+    for seg in (128, 4, 2, 1):
+        if max_len % seg == 0:
+            return seg
+    return 0
+
+
+def _cow_rings(tree, parent: jnp.ndarray, start: jnp.ndarray, seg: int):
+    """Copy-on-write beam reorder: physically gather ONLY the currently
+    written segment [start, start+seg) of each self ring; historical
+    segments stay put and the kernel's row_map redirects reads to them.
+    Cuts the per-step beam gather from the whole ring (max_len) to one
+    segment (seg) — the ring gather was the dominant beam-step cost."""
+    def fix(path, x):
+        key = None
+        for p in path:
+            if hasattr(p, "key"):
+                key = str(p.key)
+        axis = _RING_AXIS.get(key)
+        if axis is None:
+            return x
+        sl = jax.lax.dynamic_slice_in_dim(x, start, seg, axis=axis)
+        return jax.lax.dynamic_update_slice_in_dim(x, sl[parent], start,
+                                                   axis=axis)
+    return jax.tree_util.tree_map_with_path(fix, tree)
+
+
 def beam_generate(
     model: Any,
     params: Any,
@@ -164,6 +204,15 @@ def beam_generate(
     bias_full = model.apply(params, max_length,
                             method=type(model).full_decoder_bias)
 
+    # copy-on-write self rings: reorders move only the current K-segment;
+    # rowmap records where each beam's historical segments physically live
+    # and the MXU kernel reads through it (mxu ring layouts only)
+    seg = _pick_self_seg(max_length) if share_cross else 0
+    n_seg = max_length // seg if seg else 0
+    rows = jnp.arange(batch * k, dtype=jnp.int32)
+    rowmap0 = (jnp.tile(rows[:, None], (1, n_seg)) if seg
+               else jnp.zeros((0, 0), jnp.int32))
+
     # beam 0 active, others muted at step 0 so all beams start identical
     run_scores0 = jnp.tile(
         jnp.concatenate([jnp.zeros((1,)), jnp.full((k - 1,), neg_inf)])[None],
@@ -176,11 +225,12 @@ def beam_generate(
         return (step < max_length) & ~halt
 
     def body(state):
-        (step, tok, caches, run_scores, run_seqs,
+        (step, tok, caches, rowmap, run_scores, run_seqs,
          fin_scores, fin_seqs, fin_flags, heur_unsat, _) = state
 
         logits, caches = model.apply(
             params, tok, caches, step, bias_full, cross_bias, qw,
+            rowmap if seg else None,
             method=type(model).decode_step)
         logp = jax.nn.log_softmax(logits[:, -1].astype(jnp.float32), axis=-1)
         vocab = logp.shape[-1]
@@ -204,7 +254,18 @@ def beam_generate(
         new_run_seqs = _take_beams(cand_seqs, live_idx)
         tok_next = _take_beams(cand_tok, live_idx)            # [B, K]
         orig_beam = _take_beams(cand_beam, live_idx)          # [B, K]
-        caches = _gather_beams(caches, orig_beam, batch, k)
+        if seg:
+            parent = (orig_beam + jnp.arange(batch)[:, None] * k
+                      ).reshape(-1)                           # [B*K] flat rows
+            cs = (step + 1) // seg          # segment written next iteration
+            caches = _cow_rings(caches, parent, cs * seg, seg)
+            # historical segments follow the parent's map; segments >= cs
+            # are identity (cs was just physically gathered; later ones are
+            # still unwritten zeros)
+            rowmap = jnp.where(jnp.arange(n_seg)[None, :] >= cs,
+                               rows[:, None], rowmap[parent])
+        else:
+            caches = _gather_beams(caches, orig_beam, batch, k)
 
         # finished-set update: only top-K-ranked candidates that hit a
         # stopping criterion may finalize; normalize by generated length
@@ -238,7 +299,7 @@ def beam_generate(
         valid_continuations = ~jnp.all(hits)
         halt = ~(improvement_possible & exists_open_beam & valid_continuations)
 
-        return (step + 1, tok_next.reshape(-1, 1), caches,
+        return (step + 1, tok_next.reshape(-1, 1), caches, rowmap,
                 new_run_scores, new_run_seqs,
                 new_fin_scores, new_fin_seqs, new_fin_flags, heur_unsat, halt)
 
@@ -246,6 +307,7 @@ def beam_generate(
         jnp.int32(0),
         jnp.full((batch * k, 1), start_id, jnp.int32),
         caches,
+        rowmap0,
         run_scores0,
         jnp.full((batch, k, max_length), pad_id, jnp.int32),
         jnp.full((batch, k), neg_inf, jnp.float32),
@@ -255,7 +317,7 @@ def beam_generate(
         jnp.array(False),
     )
     out = jax.lax.while_loop(cond, body, init)
-    fin_scores, fin_seqs = out[5], out[6]
+    fin_scores, fin_seqs = out[6], out[7]
     # merged top-k keeps descending score order: slot 0 is the best
     return fin_seqs[:, 0], fin_scores[:, 0]
 

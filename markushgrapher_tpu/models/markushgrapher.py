@@ -307,13 +307,14 @@ class MarkushGrapherModel(nn.Module):
         dec_bias_full: jnp.ndarray,   # [1, H, S_max, S_max] precomputed causal bias
         cross_bias: jnp.ndarray,      # [B, 1, 1, L_enc]
         qw=None,                      # output of quantize_weights, or None
+        row_map=None,                 # int32 [B, n_seg] beam COW segment map
     ):
         x = self.embed_tokens(token_ids)
         max_len = dec_bias_full.shape[-1]
         bias_row = jax.lax.dynamic_slice_in_dim(dec_bias_full, step, 1, axis=2)
         x, caches = self.decoder.decode_step(
             x, caches, step, bias_row, cross_bias,
-            qw["layers"] if qw is not None else None)
+            qw["layers"] if qw is not None else None, row_map)
         if qw is not None:
             # bf16 operands + f32 accumulation: MXU-native, int8 HBM reads
             logits = jnp.einsum(

@@ -456,11 +456,23 @@ class DecoderLayer(nn.Module):
         y = jnp.einsum("bqf,fd->bqd", mid, _deq(qw["wo_q"], self.dtype))
         return (y.astype(jnp.float32) * qw["wo_s"]).astype(self.dtype)
 
-    def _self_attend_quant(self, h, cache, step, self_bias_row, qw=None):
+    def _self_attend_quant(self, h, cache, step, self_bias_row, qw=None,
+                           row_map=None):
         """Self-attention over the int8 ring cache; the new row is quantized
-        on insertion."""
+        on insertion.
+
+        row_map (int32 [B, n_seg]): beam search's segment row map — ring
+        K-segment s of output row b physically lives in row row_map[b, s]
+        (copy-on-write beam reorder, decode/generate.py). The map's CURRENT
+        segment column is always identity, so the in-place write below
+        lands in the right row; the kernel resolves historical segments."""
         attn = self.self_attn
         q, k_new, v_new = self._fused_self_qkv(h, qw)   # [B, 1, H, Dk] each
+        kern_kw = {}
+        if row_map is not None:
+            ring = cache.get("self_k_q4", cache.get("self_k_q"))
+            kern_kw = dict(row_map=row_map,
+                           block_k=ring.shape[1] // row_map.shape[1])
         if "self_k_q4" in cache:
             # int4-packed flat self ring (opt-in, rides the int4 kernel)
             from markushgrapher_tpu.ops.mxu_decode import (
@@ -485,7 +497,8 @@ class DecoderLayer(nn.Module):
                 vs_new.transpose(0, 2, 1).astype(cache["self_v_s"].dtype),
                 step, axis=2)
             bias = self_bias_row[:, :, 0, :].astype(jnp.float32)  # [1, H, S]
-            out = cross_decode_mxu_int4(q[:, 0], k_q, k_s, v_q, v_s, bias)
+            out = cross_decode_mxu_int4(q[:, 0], k_q, k_s, v_q, v_s, bias,
+                                        **kern_kw)
             new = dict(cache, self_k_q4=k_q, self_v_q4=v_q, self_k_s=k_s,
                        self_v_s=v_s)
             return self._proj_o(out[:, None], qw, "self_o", attn), new
@@ -508,7 +521,8 @@ class DecoderLayer(nn.Module):
             v_s = jax.lax.dynamic_update_slice_in_dim(
                 cache["self_v_s"], vs_new.transpose(0, 2, 1), step, axis=2)
             bias = self_bias_row[:, :, 0, :].astype(jnp.float32)  # [1, H, S]
-            out = cross_decode_mxu(q[:, 0], k_q, k_s, v_q, v_s, bias)
+            out = cross_decode_mxu(q[:, 0], k_q, k_s, v_q, v_s, bias,
+                                   **kern_kw)
             new = dict(cache, self_k_q=k_q, self_v_q=v_q, self_k_s=k_s,
                        self_v_s=v_s)
             return self._proj_o(out[:, None], qw, "self_o", attn), new
@@ -649,11 +663,12 @@ class DecoderLayer(nn.Module):
         self_bias_row: jnp.ndarray,   # [1, H, 1, max_len]
         cross_bias: Optional[jnp.ndarray],  # [B, 1or H, 1, K_enc] mask bias
         qw: Optional[Dict[str, jnp.ndarray]] = None,  # int8 decode weights
+        row_map: Optional[jnp.ndarray] = None,  # int32 [B, n_seg] beam COW map
     ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
         h = self.ln_self(x)
         if "self_k_q" in cache or "self_k_q4" in cache:
             h, cache = self._self_attend_quant(h, cache, step, self_bias_row,
-                                               qw)
+                                               qw, row_map)
         else:
             attn = self.self_attn
             q, k_new, v_new = self._fused_self_qkv(h, qw)
@@ -725,11 +740,11 @@ class Decoder(nn.Module):
         return [layer.quantize_weights() for layer in self.layers]
 
     def decode_step(self, x, caches, step, self_bias_row, cross_bias,
-                    qw=None):
+                    qw=None, row_map=None):
         new_caches = []
         for i, (layer, cache) in enumerate(zip(self.layers, caches)):
             x, cache = layer.decode_step(
                 x, cache, step, self_bias_row, cross_bias,
-                qw[i] if qw is not None else None)
+                qw[i] if qw is not None else None, row_map)
             new_caches.append(cache)
         return self.final_ln(x), new_caches

@@ -128,6 +128,74 @@ def _kernel(qb_ref, kq_ref, ks_ref, vq_ref, vs_ref, bias_ref, o_ref,
                     ).astype(o_ref.dtype)
 
 
+def _decode_specs(heads, hd_q, hd_kv, block_k, bias_b, bias_h, row_mapped):
+    """Block specs for the decode kernels' operands (q-block-diag, kq, ks,
+    vq, vs, bias) + the output spec. hd_q is the q/out minor dim (H*D);
+    hd_kv the KV minor dim (H*D int8, H*D/2 packed int4).
+
+    With row_mapped=True the specs take the scalar-prefetched row map as a
+    trailing index_map arg and redirect grid step (b, i)'s KV/scale block
+    reads to physical row row_map[b, i] — beam search's segment-wise
+    copy-on-write self rings read each beam's history segments from
+    whatever row holds them instead of physically gathering the whole ring
+    every step (decode/generate.py beam_generate)."""
+    if not row_mapped:
+        kv = lambda b, i: (b, i, 0)
+        sc = lambda b, i: (b, 0, i)
+        qo = lambda b, i: (b, 0, 0)
+        bi = lambda b, i: (b if bias_b > 1 else 0, 0, i)
+    else:
+        kv = lambda b, i, rm: (rm[b, i], i, 0)
+        sc = lambda b, i, rm: (rm[b, i], 0, i)
+        qo = lambda b, i, rm: (b, 0, 0)
+        bi = lambda b, i, rm: (b if bias_b > 1 else 0, 0, i)
+    in_specs = [
+        pl.BlockSpec((1, heads, hd_q), qo),
+        pl.BlockSpec((1, block_k, hd_kv), kv),
+        pl.BlockSpec((1, heads, block_k), sc),
+        pl.BlockSpec((1, block_k, hd_kv), kv),
+        pl.BlockSpec((1, heads, block_k), sc),
+        pl.BlockSpec((1, bias_h, block_k), bi),
+    ]
+    return in_specs, pl.BlockSpec((1, heads, hd_q), qo)
+
+
+def _call_decode_kernel(kernel_fn, qb, kq, ks, vq, vs, bias, *, heads,
+                        hd_q, hd_kv, block_k, n_k, bias_b, bias_h,
+                        out_dtype, interpret, row_map):
+    batch = qb.shape[0]
+    in_specs, out_spec = _decode_specs(heads, hd_q, hd_kv, block_k, bias_b,
+                                       bias_h, row_map is not None)
+    scratch = [pltpu.VMEM((heads, 128), jnp.float32),
+               pltpu.VMEM((heads, 128), jnp.float32),
+               pltpu.VMEM((heads, hd_q), jnp.float32)]
+    params = pltpu.CompilerParams(
+        dimension_semantics=("parallel", "arbitrary"),
+        vmem_limit_bytes=64 * 1024 * 1024)
+    out_shape = jax.ShapeDtypeStruct((batch, heads, hd_q), out_dtype)
+    if row_map is None:
+        return pl.pallas_call(
+            kernel_fn, grid=(batch, n_k), in_specs=in_specs,
+            out_specs=out_spec, out_shape=out_shape, scratch_shapes=scratch,
+            compiler_params=params, interpret=interpret,
+        )(qb, kq, ks, vq, vs, bias)
+    if row_map.shape != (batch, n_k):
+        raise ValueError(
+            f"row_map shape {row_map.shape} != (batch, n_k)=({batch}, {n_k})"
+            f" — its segment count must match kv_len // block_k")
+
+    def kernel_rm(rm_ref, *args):
+        kernel_fn(*args)
+
+    return pl.pallas_call(
+        kernel_rm,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1, grid=(batch, n_k), in_specs=in_specs,
+            out_specs=out_spec, scratch_shapes=scratch),
+        out_shape=out_shape, compiler_params=params, interpret=interpret,
+    )(row_map.astype(jnp.int32), qb, kq, ks, vq, vs, bias)
+
+
 @functools.partial(jax.jit,
                    static_argnames=("block_k", "interpret", "head_map"))
 def cross_decode_mxu(
@@ -140,6 +208,7 @@ def cross_decode_mxu(
     block_k: int = 0,
     interpret: bool | None = None,
     head_map: tuple | None = None,
+    row_map: jnp.ndarray | None = None,  # int32 [B, K // block_k]
 ) -> jnp.ndarray:
     """Returns attention output [B, H, D] in q.dtype.
 
@@ -147,7 +216,12 @@ def cross_decode_mxu(
     kv-head column block; default is grouped order (row // rep). Beam
     search passes `tile(arange(H), n_beams)` so ALL beams of a sample
     attend one shared [B]-row slab — the slab is read once per sample per
-    step instead of once per beam."""
+    step instead of once per beam.
+
+    row_map (traced int32 [B, K // block_k]) redirects each KV block read
+    to a physical row: output row b's i-th K-segment is read from
+    kq_flat[row_map[b, i]]. Beam search's copy-on-write self rings use it
+    to avoid gathering ring history on beam reorder."""
     batch, kv_len, hd = kq_flat.shape
     heads = q.shape[1]
     d = q.shape[2]
@@ -173,30 +247,12 @@ def cross_decode_mxu(
     qb = (sel[None, :, :, None] * q.astype(jnp.bfloat16)[:, :, None, :]
           ).reshape(batch, heads, hd)
 
-    acc = pl.pallas_call(
-        functools.partial(_kernel, n_k=n_k),
-        grid=(batch, n_k),
-        in_specs=[
-            pl.BlockSpec((1, heads, hd), lambda b, i: (b, 0, 0)),
-            pl.BlockSpec((1, block_k, hd), lambda b, i: (b, i, 0)),
-            pl.BlockSpec((1, heads, block_k), lambda b, i: (b, 0, i)),
-            pl.BlockSpec((1, block_k, hd), lambda b, i: (b, i, 0)),
-            pl.BlockSpec((1, heads, block_k), lambda b, i: (b, 0, i)),
-            pl.BlockSpec((1, bias_h, block_k),
-                         lambda b, i: (b if bias_b > 1 else 0, 0, i)),
-        ],
-        out_specs=pl.BlockSpec((1, heads, hd), lambda b, i: (b, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((batch, heads, hd), q.dtype),
-        scratch_shapes=[
-            pltpu.VMEM((heads, 128), jnp.float32),
-            pltpu.VMEM((heads, 128), jnp.float32),
-            pltpu.VMEM((heads, hd), jnp.float32),
-        ],
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "arbitrary"),
-            vmem_limit_bytes=64 * 1024 * 1024),
+    acc = _call_decode_kernel(
+        functools.partial(_kernel, n_k=n_k), qb, kq_flat, ks, vq_flat, vs,
+        bias, heads=heads, hd_q=hd, hd_kv=hd, block_k=block_k, n_k=n_k,
+        bias_b=bias_b, bias_h=bias_h, out_dtype=q.dtype,
         interpret=_default_interpret() if interpret is None else interpret,
-    )(qb, kq_flat, ks, vq_flat, vs, bias)
+        row_map=row_map)
 
     # group-block extraction: out[b, h, :] = acc[b, h, (h//rep)*D:...]
     acc4 = acc.reshape(batch, heads, groups, d)
@@ -293,10 +349,12 @@ def cross_decode_mxu_int4(
     block_k: int = 0,
     interpret: bool | None = None,
     head_map: tuple | None = None,
+    row_map: jnp.ndarray | None = None,  # int32 [B, K // block_k]
 ) -> jnp.ndarray:
     """int4 KV variant of cross_decode_mxu: half the slab HBM traffic (the
     kernel is DMA-bound — load-only probe 3.57 of 3.93 ms), extra VPU
-    nibble math rides the DMA shadow. Returns [B, H, D] in q.dtype."""
+    nibble math rides the DMA shadow. Returns [B, H, D] in q.dtype.
+    row_map as in cross_decode_mxu."""
     batch, kv_len, half = kq_pack.shape
     hd = half * 2
     heads = q.shape[1]
@@ -315,30 +373,12 @@ def cross_decode_mxu_int4(
     qb = (sel[None, :, :, None] * q.astype(jnp.bfloat16)[:, :, None, :]
           ).reshape(batch, heads, hd)
 
-    acc = pl.pallas_call(
-        functools.partial(_kernel_i4, n_k=n_k),
-        grid=(batch, n_k),
-        in_specs=[
-            pl.BlockSpec((1, heads, hd), lambda b, i: (b, 0, 0)),
-            pl.BlockSpec((1, block_k, half), lambda b, i: (b, i, 0)),
-            pl.BlockSpec((1, heads, block_k), lambda b, i: (b, 0, i)),
-            pl.BlockSpec((1, block_k, half), lambda b, i: (b, i, 0)),
-            pl.BlockSpec((1, heads, block_k), lambda b, i: (b, 0, i)),
-            pl.BlockSpec((1, bias_h, block_k),
-                         lambda b, i: (b if bias_b > 1 else 0, 0, i)),
-        ],
-        out_specs=pl.BlockSpec((1, heads, hd), lambda b, i: (b, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((batch, heads, hd), q.dtype),
-        scratch_shapes=[
-            pltpu.VMEM((heads, 128), jnp.float32),
-            pltpu.VMEM((heads, 128), jnp.float32),
-            pltpu.VMEM((heads, hd), jnp.float32),
-        ],
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "arbitrary"),
-            vmem_limit_bytes=64 * 1024 * 1024),
+    acc = _call_decode_kernel(
+        functools.partial(_kernel_i4, n_k=n_k), qb, kq_pack, ks, vq_pack,
+        vs, bias, heads=heads, hd_q=hd, hd_kv=half, block_k=block_k,
+        n_k=n_k, bias_b=bias_b, bias_h=bias_h, out_dtype=q.dtype,
         interpret=_default_interpret() if interpret is None else interpret,
-    )(qb, kq_pack, ks, vq_pack, vs, bias)
+        row_map=row_map)
 
     acc4 = acc.reshape(batch, heads, groups, d)
     return jnp.einsum("bhgd,hg->bhd", acc4, sel.astype(acc.dtype))

@@ -186,6 +186,30 @@ class TestInt4Decode:
         assert (np.asarray(b1) == g).mean() > 0.9
 
 
+class TestBeamCowRings:
+    @pytest.mark.parametrize("int4", [False, True])
+    def test_cow_matches_full_gather(self, setup, monkeypatch, int4):
+        """Beam search with segment copy-on-write self rings must track the
+        full-ring gather path (same math, different softmax partition —
+        near-tie argmax flips allowed, scores to float tolerance)."""
+        import markushgrapher_tpu.decode.generate as gen
+
+        cfg, model, params, batch, enc, enc_mask = setup
+        m = (type(model)(cfg, dtype=jnp.float32, int4_cross=True)
+             if int4 else model)
+        monkeypatch.setattr(gen, "_pick_self_seg", lambda n: 0)
+        ids0, sc0 = gen.beam_generate(m, params, enc, enc_mask, MAXLEN,
+                                      num_beams=3, eos_id=1,
+                                      quant_cross_kv=True)
+        monkeypatch.setattr(gen, "_pick_self_seg", lambda n: 2)
+        ids1, sc1 = gen.beam_generate(m, params, enc, enc_mask, MAXLEN,
+                                      num_beams=3, eos_id=1,
+                                      quant_cross_kv=True)
+        assert (np.asarray(ids0) == np.asarray(ids1)).mean() > 0.9
+        np.testing.assert_allclose(np.asarray(sc0), np.asarray(sc1),
+                                   rtol=1e-4, atol=1e-5)
+
+
 class TestQuantizedWeights:
     def test_int8_weight_logits_close(self, setup):
         """One decode step against int8 weights must track full precision:

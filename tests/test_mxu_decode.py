@@ -58,6 +58,43 @@ class TestKernelMath:
         assert pick_block_k(1792, 1024, vmem_budget=2 ** 20) == 256
         assert pick_block_k(4096, 8192, vmem_budget=2 ** 20) % 128 == 0
 
+    @pytest.mark.parametrize("int4", [False, True])
+    def test_row_map_matches_physical_gather(self, int4):
+        """Row-mapped KV reads (beam COW rings) must equal physically
+        gathering those segments into contiguous rows first."""
+        from markushgrapher_tpu.ops.mxu_decode import (
+            cross_decode_mxu_int4, pack_int4)
+
+        rng = np.random.RandomState(2)
+        B, SEG = 4, 64
+        q, kq, ks, vq, vs, bias = _rand_case(rng, B=B, K=256)
+        if int4:
+            kq = jnp.clip(kq, -7, 7)
+            vq = jnp.clip(vq, -7, 7)
+        n_seg = kq.shape[1] // SEG
+        rm = jnp.asarray(rng.randint(0, B, (B, n_seg)), jnp.int32)
+
+        def seg_gather(x, axis):
+            segs = jnp.split(x, n_seg, axis=axis)
+            return jnp.stack([jnp.concatenate(
+                [segs[s][int(rm[b, s])] for s in range(n_seg)],
+                axis=axis - 1) for b in range(B)])
+
+        gk, gv = seg_gather(kq, 1), seg_gather(vq, 1)
+        gks, gvs = seg_gather(ks, 2), seg_gather(vs, 2)
+        if int4:
+            got = cross_decode_mxu_int4(q, pack_int4(kq), ks, pack_int4(vq),
+                                        vs, bias, block_k=SEG, row_map=rm)
+            ref = cross_decode_mxu_int4(q, pack_int4(gk), gks, pack_int4(gv),
+                                        gvs, bias, block_k=SEG)
+        else:
+            got = cross_decode_mxu(q, kq, ks, vq, vs, bias, block_k=SEG,
+                                   row_map=rm)
+            ref = cross_decode_mxu(q, gk, gks, gv, gvs, bias, block_k=SEG)
+        np.testing.assert_allclose(np.asarray(got, np.float32),
+                                   np.asarray(ref, np.float32), rtol=2e-2,
+                                   atol=1e-4)
+
 
 class TestModelIntegration:
     def test_cache_layout_and_greedy_match_xla_int8(self):
