@@ -85,11 +85,39 @@ def pick_block_k(kv_len: int, hd: int,
         f"{vmem_budget >> 20}MB VMEM budget; pad kv_len to a 256-multiple")
 
 
-def _kernel(qb_ref, kq_ref, ks_ref, vq_ref, vs_ref, bias_ref, o_ref,
-            m_ref, l_ref, acc_ref, *, n_k: int):
-    # qb_ref: [1, H, HD] bf16; kq/vq_ref: [1, TK, HD] int8;
+def _expand_q(q_ref, mask, rep_s):
+    """Block-diagonal Q built IN-KERNEL: q [H, D] -> [H, HD] where head h's
+    query occupies its group's column block and off-blocks are zero.
+
+    One MXU dot replicates q into every block (rep_s [HD, D] has
+    rep_s[g*D+j, j] = 1) and the mask zeroes off-blocks — this used
+    to be a broadcast+reshape+copy chain in HLO costing ~0.3 ms/step at
+    serving shapes (48 call sites), now it rides the kernel. mask/rep_s
+    are tiny replicated inputs (pallas forbids captured array constants)."""
+    q = q_ref[0].astype(jnp.bfloat16)                 # [H, D]
+    rep = jax.lax.dot_general(q, rep_s, (((1,), (1,)), ((), ())),
+                              preferred_element_type=jnp.bfloat16)
+    return rep * mask                                 # [H, HD]
+
+
+def _extract_o(acc, l, mask, rep_s, o_ref):
+    """Group-block extraction IN-KERNEL: the [H, HD] accumulator's block
+    diagonal (per head h, its group's D columns) -> [H, D] via mask + one
+    MXU dot (the inverse of _expand_q). Replaces the reshape + einsum that
+    followed every kernel call (~0.45 ms/step total)."""
+    o = acc / jnp.maximum(l, 1e-30)
+    o = o * mask.astype(jnp.float32)                  # zero off-blocks
+    o_ref[0] = jax.lax.dot_general(
+        o.astype(jnp.bfloat16), rep_s, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(o_ref.dtype)
+
+
+def _kernel(q_ref, kq_ref, ks_ref, vq_ref, vs_ref, bias_ref, mask_ref,
+            rep_ref, o_ref, m_ref, l_ref, acc_ref, *, n_k: int):
+    # q_ref: [1, H, D] float; kq/vq_ref: [1, TK, HD] int8;
     # ks/vs_ref: [1, H, TK] f32; bias_ref: [1, 1, TK] f32;
-    # o_ref: [1, H, HD] f32; scratch m/l: [H, 128] f32, acc: [H, HD] f32
+    # mask_ref [H, HD] / rep_ref [HD, D]: block-structure constants;
+    # o_ref: [1, H, D]; scratch m/l: [H, 128] f32, acc: [H, HD] f32
     i = pl.program_id(1)
 
     @pl.when(i == 0)
@@ -98,7 +126,9 @@ def _kernel(qb_ref, kq_ref, ks_ref, vq_ref, vs_ref, bias_ref, o_ref,
         l_ref[...] = jnp.zeros_like(l_ref)
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
-    qb = qb_ref[0]                                    # [H, HD] bf16
+    mask_c = mask_ref[...]
+    rep_c = rep_ref[...]
+    qb = _expand_q(q_ref, mask_c, rep_c)              # [H, HD] bf16
     k = kq_ref[0].astype(jnp.bfloat16)                # [TK, HD]
     s = jax.lax.dot_general(
         qb, k, (((1,), (1,)), ((), ())),
@@ -124,14 +154,31 @@ def _kernel(qb_ref, kq_ref, ks_ref, vq_ref, vs_ref, bias_ref, o_ref,
 
     @pl.when(i == n_k - 1)
     def _finish():
-        o_ref[0] = (acc_ref[...] / jnp.maximum(l_ref[:, :1], 1e-30)
-                    ).astype(o_ref.dtype)
+        _extract_o(acc_ref[...], l_ref[:, :1], mask_c, rep_c, o_ref)
 
 
-def _decode_specs(heads, hd_q, hd_kv, block_k, bias_b, bias_h, row_mapped):
-    """Block specs for the decode kernels' operands (q-block-diag, kq, ks,
-    vq, vs, bias) + the output spec. hd_q is the q/out minor dim (H*D);
-    hd_kv the KV minor dim (H*D int8, H*D/2 packed int4).
+def _block_consts(head_map, heads: int, groups: int, d: int):
+    """Block-structure constants for the kernels: mask [H, HD] (head h's
+    group block is 1) and rep [HD, D] (rep[g*D+j, j] = 1, the
+    block-replicate / block-sum operator). Tiny bf16 inputs, replicated
+    to every grid step (pallas forbids captured array constants)."""
+    import numpy as np
+
+    hm = (np.asarray(head_map, np.int32) if head_map is not None
+          else np.arange(heads) // (heads // groups))
+    mask = np.zeros((heads, groups * d), np.float32)
+    for h in range(heads):
+        mask[h, hm[h] * d:(hm[h] + 1) * d] = 1.0
+    rep = np.tile(np.eye(d, dtype=np.float32), (groups, 1))  # [G*D, D]
+    return jnp.asarray(mask, jnp.bfloat16), jnp.asarray(rep, jnp.bfloat16)
+
+
+def _decode_specs(heads, hd_q, hd_kv, hd_acc, block_k, bias_b, bias_h,
+                  row_mapped):
+    """Block specs for the decode kernels' operands (q, kq, ks, vq, vs,
+    bias, mask, rep) + the output spec. hd_q is the q/out minor dim (D —
+    block expansion/extraction happens in-kernel); hd_kv the KV minor dim
+    (H*D int8, H*D/2 packed int4); hd_acc the accumulator/mask minor (H*D).
 
     With row_mapped=True the specs take the scalar-prefetched row map as a
     trailing index_map arg and redirect grid step (b, i)'s KV/scale block
@@ -149,6 +196,8 @@ def _decode_specs(heads, hd_q, hd_kv, block_k, bias_b, bias_h, row_mapped):
         sc = lambda b, i, rm: (rm[b, i], 0, i)
         qo = lambda b, i, rm: (b, 0, 0)
         bi = lambda b, i, rm: (b if bias_b > 1 else 0, 0, i)
+    cn = (lambda b, i: (0, 0)) if not row_mapped else (
+        lambda b, i, rm: (0, 0))
     in_specs = [
         pl.BlockSpec((1, heads, hd_q), qo),
         pl.BlockSpec((1, block_k, hd_kv), kv),
@@ -156,29 +205,31 @@ def _decode_specs(heads, hd_q, hd_kv, block_k, bias_b, bias_h, row_mapped):
         pl.BlockSpec((1, block_k, hd_kv), kv),
         pl.BlockSpec((1, heads, block_k), sc),
         pl.BlockSpec((1, bias_h, block_k), bi),
+        pl.BlockSpec((heads, hd_acc), cn),     # mask [H, HD]
+        pl.BlockSpec((hd_acc, hd_q), cn),      # rep  [HD, D]
     ]
     return in_specs, pl.BlockSpec((1, heads, hd_q), qo)
 
 
-def _call_decode_kernel(kernel_fn, qb, kq, ks, vq, vs, bias, *, heads,
-                        hd_q, hd_kv, block_k, n_k, bias_b, bias_h,
-                        out_dtype, interpret, row_map):
-    batch = qb.shape[0]
-    in_specs, out_spec = _decode_specs(heads, hd_q, hd_kv, block_k, bias_b,
-                                       bias_h, row_map is not None)
+def _call_decode_kernel(kernel_fn, q, kq, ks, vq, vs, bias, mask, rep, *,
+                        heads, d, hd_acc, hd_kv, block_k, n_k, bias_b,
+                        bias_h, out_dtype, interpret, row_map):
+    batch = q.shape[0]
+    in_specs, out_spec = _decode_specs(heads, d, hd_kv, hd_acc, block_k,
+                                       bias_b, bias_h, row_map is not None)
     scratch = [pltpu.VMEM((heads, 128), jnp.float32),
                pltpu.VMEM((heads, 128), jnp.float32),
-               pltpu.VMEM((heads, hd_q), jnp.float32)]
+               pltpu.VMEM((heads, hd_acc), jnp.float32)]
     params = pltpu.CompilerParams(
         dimension_semantics=("parallel", "arbitrary"),
         vmem_limit_bytes=64 * 1024 * 1024)
-    out_shape = jax.ShapeDtypeStruct((batch, heads, hd_q), out_dtype)
+    out_shape = jax.ShapeDtypeStruct((batch, heads, d), out_dtype)
     if row_map is None:
         return pl.pallas_call(
             kernel_fn, grid=(batch, n_k), in_specs=in_specs,
             out_specs=out_spec, out_shape=out_shape, scratch_shapes=scratch,
             compiler_params=params, interpret=interpret,
-        )(qb, kq, ks, vq, vs, bias)
+        )(q, kq, ks, vq, vs, bias, mask, rep)
     if row_map.shape != (batch, n_k):
         raise ValueError(
             f"row_map shape {row_map.shape} != (batch, n_k)=({batch}, {n_k})"
@@ -193,7 +244,7 @@ def _call_decode_kernel(kernel_fn, qb, kq, ks, vq, vs, bias, *, heads,
             num_scalar_prefetch=1, grid=(batch, n_k), in_specs=in_specs,
             out_specs=out_spec, scratch_shapes=scratch),
         out_shape=out_shape, compiler_params=params, interpret=interpret,
-    )(row_map.astype(jnp.int32), qb, kq, ks, vq, vs, bias)
+    )(row_map.astype(jnp.int32), q, kq, ks, vq, vs, bias, mask, rep)
 
 
 @functools.partial(jax.jit,
@@ -239,24 +290,17 @@ def cross_decode_mxu(
     bias_b, bias_h = bias.shape[0], bias.shape[1]
     bias = bias.astype(jnp.float32)
 
-    # group-block-diagonal Q: qb[b, h, map(h)*D + j] = q[b, h, j]
-    hm = (jnp.asarray(head_map, jnp.int32) if head_map is not None
-          else jnp.arange(heads) // rep)
-    sel = (hm[:, None] == jnp.arange(groups)[None, :]
-           ).astype(jnp.bfloat16)                                # [H, G]
-    qb = (sel[None, :, :, None] * q.astype(jnp.bfloat16)[:, :, None, :]
-          ).reshape(batch, heads, hd)
-
-    acc = _call_decode_kernel(
-        functools.partial(_kernel, n_k=n_k), qb, kq_flat, ks, vq_flat, vs,
-        bias, heads=heads, hd_q=hd, hd_kv=hd, block_k=block_k, n_k=n_k,
-        bias_b=bias_b, bias_h=bias_h, out_dtype=q.dtype,
+    # block-diagonal Q expansion and output extraction happen IN-KERNEL
+    # (mask/rep VMEM constants + two tiny MXU dots) — the HLO-side
+    # broadcast/reshape/einsum chain cost ~0.8 ms/step across 48 call sites
+    mask, rep_s = _block_consts(head_map, heads, groups, d)
+    return _call_decode_kernel(
+        functools.partial(_kernel, n_k=n_k),
+        q.astype(jnp.bfloat16), kq_flat, ks, vq_flat, vs, bias, mask, rep_s,
+        heads=heads, d=d, hd_acc=hd, hd_kv=hd, block_k=block_k,
+        n_k=n_k, bias_b=bias_b, bias_h=bias_h, out_dtype=q.dtype,
         interpret=_default_interpret() if interpret is None else interpret,
         row_map=row_map)
-
-    # group-block extraction: out[b, h, :] = acc[b, h, (h//rep)*D:...]
-    acc4 = acc.reshape(batch, heads, groups, d)
-    return jnp.einsum("bhgd,hg->bhd", acc4, sel.astype(acc.dtype))
 
 
 # ---------------------------------------------------------------------------
@@ -282,10 +326,11 @@ def _unpack_nibble(x32: jnp.ndarray, shift: int) -> jnp.ndarray:
     return ((n ^ 8) - 8).astype(jnp.bfloat16)   # sign-extend 4-bit
 
 
-def _kernel_i4(qb_ref, kq_ref, ks_ref, vq_ref, vs_ref, bias_ref, o_ref,
-               m_ref, l_ref, acc_ref, *, n_k: int):
-    # qb_ref [1, H, HD] bf16; kq/vq_ref [1, TK, HD/2] packed int8;
-    # ks/vs_ref [1, H, TK] f32; bias [1, bh, TK]; o_ref [1, H, HD] f32
+def _kernel_i4(q_ref, kq_ref, ks_ref, vq_ref, vs_ref, bias_ref, mask_ref,
+               rep_ref, o_ref, m_ref, l_ref, acc_ref, *, n_k: int):
+    # q_ref [1, H, D] float; kq/vq_ref [1, TK, HD/2] packed int8;
+    # ks/vs_ref [1, H, TK] f32; bias [1, bh, TK]; o_ref [1, H, D];
+    # mask_ref [H, HD] / rep_ref [HD, D]: block-structure constants
     i = pl.program_id(1)
 
     @pl.when(i == 0)
@@ -294,9 +339,11 @@ def _kernel_i4(qb_ref, kq_ref, ks_ref, vq_ref, vs_ref, bias_ref, o_ref,
         l_ref[...] = jnp.zeros_like(l_ref)
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
-    hd = qb_ref.shape[2]
+    mask_c = mask_ref[...]
+    rep_c = rep_ref[...]
+    qb = _expand_q(q_ref, mask_c, rep_c)              # [H, HD] bf16
+    hd = qb.shape[1]
     half = hd // 2
-    qb = qb_ref[0]                                    # [H, HD]
     kp = kq_ref[0].astype(jnp.int32)                  # [TK, HD/2]
     k_lo = _unpack_nibble(kp, 0)                      # columns 0..half-1
     k_hi = _unpack_nibble(kp, 4)                      # columns half..HD-1
@@ -333,8 +380,7 @@ def _kernel_i4(qb_ref, kq_ref, ks_ref, vq_ref, vs_ref, bias_ref, o_ref,
 
     @pl.when(i == n_k - 1)
     def _finish():
-        o_ref[0] = (acc_ref[...] / jnp.maximum(l_ref[:, :1], 1e-30)
-                    ).astype(o_ref.dtype)
+        _extract_o(acc_ref[...], l_ref[:, :1], mask_c, rep_c, o_ref)
 
 
 @functools.partial(jax.jit,
@@ -367,21 +413,14 @@ def cross_decode_mxu_int4(
     bias_b, bias_h = bias.shape[0], bias.shape[1]
     bias = bias.astype(jnp.float32)
 
-    hm = (jnp.asarray(head_map, jnp.int32) if head_map is not None
-          else jnp.arange(heads) // rep)
-    sel = (hm[:, None] == jnp.arange(groups)[None, :]).astype(jnp.bfloat16)
-    qb = (sel[None, :, :, None] * q.astype(jnp.bfloat16)[:, :, None, :]
-          ).reshape(batch, heads, hd)
-
-    acc = _call_decode_kernel(
-        functools.partial(_kernel_i4, n_k=n_k), qb, kq_pack, ks, vq_pack,
-        vs, bias, heads=heads, hd_q=hd, hd_kv=half, block_k=block_k,
+    mask, rep_s = _block_consts(head_map, heads, groups, d)
+    return _call_decode_kernel(
+        functools.partial(_kernel_i4, n_k=n_k),
+        q.astype(jnp.bfloat16), kq_pack, ks, vq_pack, vs, bias, mask, rep_s,
+        heads=heads, d=d, hd_acc=hd, hd_kv=half, block_k=block_k,
         n_k=n_k, bias_b=bias_b, bias_h=bias_h, out_dtype=q.dtype,
         interpret=_default_interpret() if interpret is None else interpret,
         row_map=row_map)
-
-    acc4 = acc.reshape(batch, heads, groups, d)
-    return jnp.einsum("bhgd,hg->bhd", acc4, sel.astype(acc.dtype))
 
 
 def cross_decode_reference(q, kq_flat, ks, vq_flat, vs, bias):
