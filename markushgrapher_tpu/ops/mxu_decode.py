@@ -85,19 +85,20 @@ def pick_block_k(kv_len: int, hd: int,
         f"{vmem_budget >> 20}MB VMEM budget; pad kv_len to a 256-multiple")
 
 
-def _expand_q(q_ref, mask, rep_s):
+def _expand_q(q_ref, mask, rep_t):
     """Block-diagonal Q built IN-KERNEL: q [H, D] -> [H, HD] where head h's
     query occupies its group's column block and off-blocks are zero.
 
-    One MXU dot replicates q into every block (rep_s [HD, D] has
-    rep_s[g*D+j, j] = 1) and the mask zeroes off-blocks — this used
+    One MXU dot replicates q into every block (rep_t [D, HD] has
+    rep_t[j, g*D+j] = 1; plain row-major contraction — Mosaic rejects
+    transpose_rhs matmuls) and the mask zeroes off-blocks — this used
     to be a broadcast+reshape+copy chain in HLO costing ~0.3 ms/step at
-    serving shapes (48 call sites), now it rides the kernel. mask/rep_s
+    serving shapes (48 call sites), now it rides the kernel. mask/rep_t
     are tiny replicated inputs (pallas forbids captured array constants)."""
     q = q_ref[0].astype(jnp.bfloat16)                 # [H, D]
-    rep = jax.lax.dot_general(q, rep_s, (((1,), (1,)), ((), ())),
-                              preferred_element_type=jnp.bfloat16)
-    return rep * mask                                 # [H, HD]
+    rep = jax.lax.dot_general(q, rep_t, (((1,), (0,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+    return rep.astype(jnp.bfloat16) * mask            # [H, HD]
 
 
 def _extract_o(acc, l, mask, rep_s, o_ref):
@@ -113,7 +114,8 @@ def _extract_o(acc, l, mask, rep_s, o_ref):
 
 
 def _kernel(q_ref, kq_ref, ks_ref, vq_ref, vs_ref, bias_ref, mask_ref,
-            rep_ref, o_ref, m_ref, l_ref, acc_ref, *, n_k: int):
+            rept_ref, rep_ref, o_ref, m_ref, l_ref, acc_ref, *,
+            n_k: int):
     # q_ref: [1, H, D] float; kq/vq_ref: [1, TK, HD] int8;
     # ks/vs_ref: [1, H, TK] f32; bias_ref: [1, 1, TK] f32;
     # mask_ref [H, HD] / rep_ref [HD, D]: block-structure constants;
@@ -128,7 +130,7 @@ def _kernel(q_ref, kq_ref, ks_ref, vq_ref, vs_ref, bias_ref, mask_ref,
 
     mask_c = mask_ref[...]
     rep_c = rep_ref[...]
-    qb = _expand_q(q_ref, mask_c, rep_c)              # [H, HD] bf16
+    qb = _expand_q(q_ref, mask_c, rept_ref[...])              # [H, HD] bf16
     k = kq_ref[0].astype(jnp.bfloat16)                # [TK, HD]
     s = jax.lax.dot_general(
         qb, k, (((1,), (1,)), ((), ())),
@@ -170,7 +172,8 @@ def _block_consts(head_map, heads: int, groups: int, d: int):
     for h in range(heads):
         mask[h, hm[h] * d:(hm[h] + 1) * d] = 1.0
     rep = np.tile(np.eye(d, dtype=np.float32), (groups, 1))  # [G*D, D]
-    return jnp.asarray(mask, jnp.bfloat16), jnp.asarray(rep, jnp.bfloat16)
+    return (jnp.asarray(mask, jnp.bfloat16), jnp.asarray(rep, jnp.bfloat16),
+            jnp.asarray(rep.T, jnp.bfloat16))                # rep_t [D, G*D]
 
 
 def _decode_specs(heads, hd_q, hd_kv, hd_acc, block_k, bias_b, bias_h,
@@ -205,13 +208,15 @@ def _decode_specs(heads, hd_q, hd_kv, hd_acc, block_k, bias_b, bias_h,
         pl.BlockSpec((1, block_k, hd_kv), kv),
         pl.BlockSpec((1, heads, block_k), sc),
         pl.BlockSpec((1, bias_h, block_k), bi),
-        pl.BlockSpec((heads, hd_acc), cn),     # mask [H, HD]
-        pl.BlockSpec((hd_acc, hd_q), cn),      # rep  [HD, D]
+        pl.BlockSpec((heads, hd_acc), cn),     # mask  [H, HD]
+        pl.BlockSpec((hd_q, hd_acc), cn),      # rep_t [D, HD]
+        pl.BlockSpec((hd_acc, hd_q), cn),      # rep   [HD, D]
     ]
     return in_specs, pl.BlockSpec((1, heads, hd_q), qo)
 
 
-def _call_decode_kernel(kernel_fn, q, kq, ks, vq, vs, bias, mask, rep, *,
+def _call_decode_kernel(kernel_fn, q, kq, ks, vq, vs, bias, mask, rep_t,
+                        rep, *,
                         heads, d, hd_acc, hd_kv, block_k, n_k, bias_b,
                         bias_h, out_dtype, interpret, row_map):
     batch = q.shape[0]
@@ -229,7 +234,7 @@ def _call_decode_kernel(kernel_fn, q, kq, ks, vq, vs, bias, mask, rep, *,
             kernel_fn, grid=(batch, n_k), in_specs=in_specs,
             out_specs=out_spec, out_shape=out_shape, scratch_shapes=scratch,
             compiler_params=params, interpret=interpret,
-        )(q, kq, ks, vq, vs, bias, mask, rep)
+        )(q, kq, ks, vq, vs, bias, mask, rep_t, rep)
     if row_map.shape != (batch, n_k):
         raise ValueError(
             f"row_map shape {row_map.shape} != (batch, n_k)=({batch}, {n_k})"
@@ -244,7 +249,8 @@ def _call_decode_kernel(kernel_fn, q, kq, ks, vq, vs, bias, mask, rep, *,
             num_scalar_prefetch=1, grid=(batch, n_k), in_specs=in_specs,
             out_specs=out_spec, scratch_shapes=scratch),
         out_shape=out_shape, compiler_params=params, interpret=interpret,
-    )(row_map.astype(jnp.int32), q, kq, ks, vq, vs, bias, mask, rep)
+    )(row_map.astype(jnp.int32), q, kq, ks, vq, vs, bias, mask,
+      rep_t, rep)
 
 
 @functools.partial(jax.jit,
@@ -293,10 +299,11 @@ def cross_decode_mxu(
     # block-diagonal Q expansion and output extraction happen IN-KERNEL
     # (mask/rep VMEM constants + two tiny MXU dots) — the HLO-side
     # broadcast/reshape/einsum chain cost ~0.8 ms/step across 48 call sites
-    mask, rep_s = _block_consts(head_map, heads, groups, d)
+    mask, rep_s, rep_t = _block_consts(head_map, heads, groups, d)
     return _call_decode_kernel(
         functools.partial(_kernel, n_k=n_k),
-        q.astype(jnp.bfloat16), kq_flat, ks, vq_flat, vs, bias, mask, rep_s,
+        q.astype(jnp.bfloat16), kq_flat, ks, vq_flat, vs, bias, mask,
+        rep_t, rep_s,
         heads=heads, d=d, hd_acc=hd, hd_kv=hd, block_k=block_k,
         n_k=n_k, bias_b=bias_b, bias_h=bias_h, out_dtype=q.dtype,
         interpret=_default_interpret() if interpret is None else interpret,
@@ -327,7 +334,8 @@ def _unpack_nibble(x32: jnp.ndarray, shift: int) -> jnp.ndarray:
 
 
 def _kernel_i4(q_ref, kq_ref, ks_ref, vq_ref, vs_ref, bias_ref, mask_ref,
-               rep_ref, o_ref, m_ref, l_ref, acc_ref, *, n_k: int):
+               rept_ref, rep_ref, o_ref, m_ref, l_ref, acc_ref, *,
+               n_k: int):
     # q_ref [1, H, D] float; kq/vq_ref [1, TK, HD/2] packed int8;
     # ks/vs_ref [1, H, TK] f32; bias [1, bh, TK]; o_ref [1, H, D];
     # mask_ref [H, HD] / rep_ref [HD, D]: block-structure constants
@@ -341,7 +349,7 @@ def _kernel_i4(q_ref, kq_ref, ks_ref, vq_ref, vs_ref, bias_ref, mask_ref,
 
     mask_c = mask_ref[...]
     rep_c = rep_ref[...]
-    qb = _expand_q(q_ref, mask_c, rep_c)              # [H, HD] bf16
+    qb = _expand_q(q_ref, mask_c, rept_ref[...])              # [H, HD] bf16
     hd = qb.shape[1]
     half = hd // 2
     kp = kq_ref[0].astype(jnp.int32)                  # [TK, HD/2]
@@ -413,10 +421,11 @@ def cross_decode_mxu_int4(
     bias_b, bias_h = bias.shape[0], bias.shape[1]
     bias = bias.astype(jnp.float32)
 
-    mask, rep_s = _block_consts(head_map, heads, groups, d)
+    mask, rep_s, rep_t = _block_consts(head_map, heads, groups, d)
     return _call_decode_kernel(
         functools.partial(_kernel_i4, n_k=n_k),
-        q.astype(jnp.bfloat16), kq_pack, ks, vq_pack, vs, bias, mask, rep_s,
+        q.astype(jnp.bfloat16), kq_pack, ks, vq_pack, vs, bias, mask,
+        rep_t, rep_s,
         heads=heads, d=d, hd_acc=hd, hd_kv=half, block_k=block_k,
         n_k=n_k, bias_b=bias_b, bias_h=bias_h, out_dtype=q.dtype,
         interpret=_default_interpret() if interpret is None else interpret,
