@@ -112,8 +112,8 @@ def _take_beams(x: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
 
 
 # self-ring cache keys (mxu layouts) and the axis their K dim lives on
-_RING_AXIS = {"self_k_q": 1, "self_v_q": 1, "self_k_q4": 1, "self_v_q4": 1,
-              "self_k_s": 2, "self_v_s": 2}
+_RING_AXIS = {"self_k_q": 1, "self_v_q": 1, "self_kv_q4": 1,
+              "self_k_s": 2, "self_v_s": 2, "self_kv_s": 2}
 
 
 def _pick_self_seg(max_len: int) -> int:

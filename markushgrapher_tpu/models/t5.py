@@ -140,6 +140,7 @@ class Attention(nn.Module):
         bias: Optional[jnp.ndarray] = None,   # [B or 1, H, Q, K] additive
         use_flash: bool = False,
         relbias: Optional[dict] = None,  # in-kernel bias inputs (flash only)
+        bias_hbll: bool = False,   # bias is [H, B, Q, K] (chunked-builder order)
     ) -> jnp.ndarray:
         q = self.q(x)  # [B, Q, H, Dk]
         if kv is None:
@@ -154,12 +155,14 @@ class Attention(nn.Module):
             from markushgrapher_tpu.ops.flash_attention import (
                 flash_attention_bias)
 
-            out = flash_attention_bias(q, k, v, bias)
+            out = flash_attention_bias(q, k, v, bias, bias_hbll=bias_hbll)
         else:
             scores = jnp.einsum(
                 "bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32
             )
             if bias is not None:
+                if bias_hbll:
+                    bias = jnp.moveaxis(bias, 0, 1)   # [H,B,..] -> [B,H,..]
                 scores = scores + bias.astype(jnp.float32)
             probs = jax.nn.softmax(scores, axis=-1).astype(self.dtype)
             out = jnp.einsum("bhqk,bkhd->bqhd", probs, v)
@@ -206,13 +209,15 @@ class EncoderLayer(nn.Module):
     flash: bool = False
 
     @nn.compact
-    def __call__(self, x, bias, relbias=None, deterministic: bool = True):
+    def __call__(self, x, bias, relbias=None, deterministic: bool = True,
+                 bias_hbll: bool = False):
         h = RMSNorm(eps=self.eps, dtype=self.dtype, name="ln_attn")(x)
         # flash kernel is forward-only: inference path only
         h = Attention(self.d_model, self.num_heads, self.d_kv, self.dtype,
                       name="attn")(h, bias=bias,
                                    use_flash=self.flash and deterministic,
-                                   relbias=relbias if deterministic else None)
+                                   relbias=relbias if deterministic else None,
+                                   bias_hbll=bias_hbll)
         x = x + nn.Dropout(self.dropout_rate)(h, deterministic=deterministic)
         h = RMSNorm(eps=self.eps, dtype=self.dtype, name="ln_ff")(x)
         h = FeedForward(self.d_model, self.d_ff, self.ff_proj, self.dtype,
@@ -234,17 +239,18 @@ class Encoder(nn.Module):
     flash: bool = False
 
     @nn.compact
-    def __call__(self, x, bias, relbias=None, deterministic: bool = True):
+    def __call__(self, x, bias, relbias=None, deterministic: bool = True,
+                 bias_hbll: bool = False):
         x = nn.Dropout(self.dropout_rate)(x, deterministic=deterministic)
         layer_cls = EncoderLayer
         if self.remat:
-            layer_cls = nn.remat(EncoderLayer, static_argnums=(4,))
+            layer_cls = nn.remat(EncoderLayer, static_argnums=(4, 5))
         for i in range(self.num_layers):
             x = layer_cls(
                 self.d_model, self.num_heads, self.d_kv, self.d_ff,
                 self.ff_proj, self.eps, self.dtype, self.dropout_rate,
                 self.flash, name=f"layer_{i}",
-            )(x, bias, relbias, deterministic)
+            )(x, bias, relbias, deterministic, bias_hbll)
         x = RMSNorm(eps=self.eps, dtype=self.dtype, name="final_ln")(x)
         return nn.Dropout(self.dropout_rate)(x, deterministic=deterministic)
 
@@ -345,16 +351,16 @@ class DecoderLayer(nn.Module):
                     # int4 scales ride bf16: the kernel is DMA-bound and
                     # the [B,H,Kp] f32 scale planes are ~10% of the int4
                     # slab bytes; bf16 halves that at ~0.4% relative scale
-                    # error (gated end-to-end by test_learning.py)
+                    # error (gated end-to-end by test_learning.py).
+                    # k and v share ONE ring per kind (k in lanes [:hd/2] /
+                    # scale rows [:H]) so each decode step issues 2
+                    # dynamic_update_slices instead of 4 — the 96 per-step
+                    # ring writes measured 0.49 ms of the 6.9 ms step.
                     cache = {
-                        "self_k_q4": jnp.zeros((srows, max_len, hd // 2),
-                                               jnp.int8),
-                        "self_v_q4": jnp.zeros((srows, max_len, hd // 2),
-                                               jnp.int8),
-                        "self_k_s": jnp.zeros((srows, self.num_heads,
-                                               max_len), jnp.bfloat16),
-                        "self_v_s": jnp.zeros((srows, self.num_heads,
-                                               max_len), jnp.bfloat16),
+                        "self_kv_q4": jnp.zeros((srows, max_len, hd),
+                                                jnp.int8),
+                        "self_kv_s": jnp.zeros((srows, 2 * self.num_heads,
+                                                max_len), jnp.bfloat16),
                     }
                     for name, t in (("cross_k", ck), ("cross_v", cv)):
                         q, s = _quantize_kv4(t)        # [B,K,H,D], [B,K,H]
@@ -470,11 +476,12 @@ class DecoderLayer(nn.Module):
         q, k_new, v_new = self._fused_self_qkv(h, qw)   # [B, 1, H, Dk] each
         kern_kw = {}
         if row_map is not None:
-            ring = cache.get("self_k_q4", cache.get("self_k_q"))
+            ring = cache.get("self_kv_q4", cache.get("self_k_q"))
             kern_kw = dict(row_map=row_map,
                            block_k=ring.shape[1] // row_map.shape[1])
-        if "self_k_q4" in cache:
-            # int4-packed flat self ring (opt-in, rides the int4 kernel)
+        if "self_kv_q4" in cache:
+            # int4-packed COMBINED k||v self ring (rides the int4 kernel's
+            # combined mode: one values tensor, one scales tensor)
             from markushgrapher_tpu.ops.mxu_decode import (
                 cross_decode_mxu_int4, pack_int4)
 
@@ -482,25 +489,20 @@ class DecoderLayer(nn.Module):
             hd = self.num_heads * self.d_kv
             kq_new, ks_new = _quantize_kv4(k_new)       # [B,1,H,D], [B,1,H]
             vq_new, vs_new = _quantize_kv4(v_new)
-            k_q = jax.lax.dynamic_update_slice_in_dim(
-                cache["self_k_q4"], pack_int4(kq_new.reshape(batch, 1, hd)),
-                step, axis=1)
-            v_q = jax.lax.dynamic_update_slice_in_dim(
-                cache["self_v_q4"], pack_int4(vq_new.reshape(batch, 1, hd)),
-                step, axis=1)
-            k_s = jax.lax.dynamic_update_slice_in_dim(
-                cache["self_k_s"],
-                ks_new.transpose(0, 2, 1).astype(cache["self_k_s"].dtype),
-                step, axis=2)
-            v_s = jax.lax.dynamic_update_slice_in_dim(
-                cache["self_v_s"],
-                vs_new.transpose(0, 2, 1).astype(cache["self_v_s"].dtype),
+            kv_row = jnp.concatenate(
+                [pack_int4(kq_new.reshape(batch, 1, hd)),
+                 pack_int4(vq_new.reshape(batch, 1, hd))], axis=-1)
+            kv_q = jax.lax.dynamic_update_slice_in_dim(
+                cache["self_kv_q4"], kv_row, step, axis=1)
+            s_col = jnp.concatenate(
+                [ks_new, vs_new], axis=2).transpose(0, 2, 1)  # [B, 2H, 1]
+            kv_s = jax.lax.dynamic_update_slice_in_dim(
+                cache["self_kv_s"], s_col.astype(cache["self_kv_s"].dtype),
                 step, axis=2)
             bias = self_bias_row[:, :, 0, :].astype(jnp.float32)  # [1, H, S]
-            out = cross_decode_mxu_int4(q[:, 0], k_q, k_s, v_q, v_s, bias,
-                                        **kern_kw)
-            new = dict(cache, self_k_q4=k_q, self_v_q4=v_q, self_k_s=k_s,
-                       self_v_s=v_s)
+            out = cross_decode_mxu_int4(q[:, 0], kv_q, kv_s, kv_q, kv_s,
+                                        bias, combined=True, **kern_kw)
+            new = dict(cache, self_kv_q4=kv_q, self_kv_s=kv_s)
             return self._proj_o(out[:, None], qw, "self_o", attn), new
         if cache["self_k_q"].ndim == 3:
             # MXU kernel layout: flat [B, S, H*D] int8 values + [B, H, S]
@@ -666,7 +668,7 @@ class DecoderLayer(nn.Module):
         row_map: Optional[jnp.ndarray] = None,  # int32 [B, n_seg] beam COW map
     ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
         h = self.ln_self(x)
-        if "self_k_q" in cache or "self_k_q4" in cache:
+        if "self_k_q" in cache or "self_kv_q4" in cache:
             h, cache = self._self_attend_quant(h, cache, step, self_bias_row,
                                                qw, row_map)
         else:

@@ -274,16 +274,23 @@ class LMLayer(nn.Module):
 
             k_q, k_s = _quantize_kv4(k)
             v_q, v_s = _quantize_kv4(v)
-            # bf16 scales: ~10% of the int4 ring bytes at ~0.4% scale error
+            # COMBINED k||v ring (kernel combined mode): one values tensor
+            # [b, S, G*d] (k packed in lanes [:G*d/2], v in [G*d/2:]) and
+            # one bf16 scales tensor [b, 2H, S] — scales stored REPEATED to
+            # the H query heads so the decode step neither re-repeats the
+            # whole ring per step nor issues 4 dynamic_update_slices
+            rep = self.cfg.num_heads // hkv
             cache = {
-                "k_q4": pack_int4(
-                    jnp.pad(k_q, pad).reshape(b, max_len, hkv * d)),
-                "v_q4": pack_int4(
-                    jnp.pad(v_q, pad).reshape(b, max_len, hkv * d)),
-                "k_s": jnp.pad(k_s, spad).transpose(0, 2, 1
-                                                    ).astype(jnp.bfloat16),
-                "v_s": jnp.pad(v_s, spad).transpose(0, 2, 1
-                                                    ).astype(jnp.bfloat16),
+                "kv_q4": jnp.concatenate([
+                    pack_int4(jnp.pad(k_q, pad).reshape(b, max_len,
+                                                        hkv * d)),
+                    pack_int4(jnp.pad(v_q, pad).reshape(b, max_len,
+                                                        hkv * d))], axis=-1),
+                "kv_s": jnp.concatenate([
+                    jnp.repeat(jnp.pad(k_s, spad).transpose(0, 2, 1), rep,
+                               axis=1),
+                    jnp.repeat(jnp.pad(v_s, spad).transpose(0, 2, 1), rep,
+                               axis=1)], axis=1).astype(jnp.bfloat16),
             }
         elif quant_kv:
             k_q, k_s = _quantize_kv(k)
@@ -335,37 +342,34 @@ class LMLayer(nn.Module):
                                qkv[:, :, nh + nkv:])
         q = apply_rope(q, rope, position)
         k_new = apply_rope(k_new, rope, position)
-        if "k_q4" in cache:                       # int4-packed ring cache
+        if "kv_q4" in cache:                      # int4-packed combined ring
             from markushgrapher_tpu.models.t5 import _quantize_kv4
             from markushgrapher_tpu.ops.mxu_decode import (
                 cross_decode_mxu_int4, pack_int4)
 
             b = x.shape[0]
             nkv, d = cfg.num_kv_heads, cfg.d_model // cfg.num_heads
+            rep = cfg.num_heads // nkv
             kq_new, ks_new = _quantize_kv4(k_new)
             vq_new, vs_new = _quantize_kv4(v_new)
+            kv_row = jnp.concatenate(
+                [pack_int4(kq_new.reshape(b, 1, nkv * d)),
+                 pack_int4(vq_new.reshape(b, 1, nkv * d))], axis=-1)
+            s_col = jnp.repeat(
+                jnp.concatenate([ks_new, vs_new], axis=2).transpose(0, 2, 1),
+                rep, axis=1)                      # [B, 2H, 1]
             cache = dict(
                 cache,
-                k_q4=jax.lax.dynamic_update_slice_in_dim(
-                    cache["k_q4"], pack_int4(kq_new.reshape(b, 1, nkv * d)),
-                    step, axis=1),
-                k_s=jax.lax.dynamic_update_slice_in_dim(
-                    cache["k_s"],
-                    ks_new.transpose(0, 2, 1).astype(cache["k_s"].dtype),
-                    step, axis=2),
-                v_q4=jax.lax.dynamic_update_slice_in_dim(
-                    cache["v_q4"], pack_int4(vq_new.reshape(b, 1, nkv * d)),
-                    step, axis=1),
-                v_s=jax.lax.dynamic_update_slice_in_dim(
-                    cache["v_s"],
-                    vs_new.transpose(0, 2, 1).astype(cache["v_s"].dtype),
+                kv_q4=jax.lax.dynamic_update_slice_in_dim(
+                    cache["kv_q4"], kv_row, step, axis=1),
+                kv_s=jax.lax.dynamic_update_slice_in_dim(
+                    cache["kv_s"], s_col.astype(cache["kv_s"].dtype),
                     step, axis=2))
-            rep = cfg.num_heads // nkv
             attn_out = cross_decode_mxu_int4(
                 q[:, 0] * (d ** -0.5),
-                cache["k_q4"], jnp.repeat(cache["k_s"], rep, axis=1),
-                cache["v_q4"], jnp.repeat(cache["v_s"], rep, axis=1),
-                kv_mask[:, 0])[:, None]           # [B, 1, H, D]
+                cache["kv_q4"], cache["kv_s"],
+                cache["kv_q4"], cache["kv_s"],
+                kv_mask[:, 0], combined=True)[:, None]   # [B, 1, H, D]
             if qw is None:
                 y = self.o(attn_out)
             else:
@@ -537,7 +541,8 @@ class ChemicalOCRModel(nn.Module):
         pos = jnp.full((b, 1), prefix_len + step, jnp.int32)
         x = self.embed[token_ids].astype(self.dtype)
         c0 = caches[0]
-        total = next(c0[k] for k in ("k", "k_q", "k_q4") if k in c0).shape[1]
+        total = next(c0[k] for k in ("k", "k_q", "kv_q4")
+             if k in c0).shape[1]
         neg = jnp.finfo(jnp.float32).min
         idx = jnp.arange(total)
         kv_mask = jnp.where(idx[None, None, None, :] <= prefix_len + step,

@@ -177,7 +177,7 @@ def _block_consts(head_map, heads: int, groups: int, d: int):
 
 
 def _decode_specs(heads, hd_q, hd_kv, hd_acc, block_k, bias_b, bias_h,
-                  row_mapped):
+                  row_mapped, combined=False):
     """Block specs for the decode kernels' operands (q, kq, ks, vq, vs,
     bias, mask, rep) + the output spec. hd_q is the q/out minor dim (D —
     block expansion/extraction happens in-kernel); hd_kv the KV minor dim
@@ -189,24 +189,34 @@ def _decode_specs(heads, hd_q, hd_kv, hd_acc, block_k, bias_b, bias_h,
     copy-on-write self rings read each beam's history segments from
     whatever row holds them instead of physically gathering the whole ring
     every step (decode/generate.py beam_generate)."""
+    # combined=True: k and v ride ONE array per kind — values [B, K, 2*hd_kv]
+    # (k in lane-block 0, v in block 1) and scales [B, 2*sc_rows, K] (k rows
+    # then v rows). Callers pass the same array for the k and v operands;
+    # the v specs read the second block. Beam/greedy ring UPDATES then cost
+    # 2 dynamic_update_slices per layer instead of 4 (~0.24 ms/step at b48).
+    vb = 1 if combined else 0
     if not row_mapped:
         kv = lambda b, i: (b, i, 0)
+        vv = lambda b, i: (b, i, vb)
         sc = lambda b, i: (b, 0, i)
+        vs_ = lambda b, i: (b, vb, i)
         qo = lambda b, i: (b, 0, 0)
         bi = lambda b, i: (b if bias_b > 1 else 0, 0, i)
+        cn = lambda b, i: (0, 0)
     else:
         kv = lambda b, i, rm: (rm[b, i], i, 0)
+        vv = lambda b, i, rm: (rm[b, i], i, vb)
         sc = lambda b, i, rm: (rm[b, i], 0, i)
+        vs_ = lambda b, i, rm: (rm[b, i], vb, i)
         qo = lambda b, i, rm: (b, 0, 0)
         bi = lambda b, i, rm: (b if bias_b > 1 else 0, 0, i)
-    cn = (lambda b, i: (0, 0)) if not row_mapped else (
-        lambda b, i, rm: (0, 0))
+        cn = lambda b, i, rm: (0, 0)
     in_specs = [
         pl.BlockSpec((1, heads, hd_q), qo),
         pl.BlockSpec((1, block_k, hd_kv), kv),
         pl.BlockSpec((1, heads, block_k), sc),
-        pl.BlockSpec((1, block_k, hd_kv), kv),
-        pl.BlockSpec((1, heads, block_k), sc),
+        pl.BlockSpec((1, block_k, hd_kv), vv),
+        pl.BlockSpec((1, heads, block_k), vs_),
         pl.BlockSpec((1, bias_h, block_k), bi),
         pl.BlockSpec((heads, hd_acc), cn),     # mask  [H, HD]
         pl.BlockSpec((hd_q, hd_acc), cn),      # rep_t [D, HD]
@@ -218,10 +228,12 @@ def _decode_specs(heads, hd_q, hd_kv, hd_acc, block_k, bias_b, bias_h,
 def _call_decode_kernel(kernel_fn, q, kq, ks, vq, vs, bias, mask, rep_t,
                         rep, *,
                         heads, d, hd_acc, hd_kv, block_k, n_k, bias_b,
-                        bias_h, out_dtype, interpret, row_map):
+                        bias_h, out_dtype, interpret, row_map,
+                        combined=False):
     batch = q.shape[0]
     in_specs, out_spec = _decode_specs(heads, d, hd_kv, hd_acc, block_k,
-                                       bias_b, bias_h, row_map is not None)
+                                       bias_b, bias_h, row_map is not None,
+                                       combined)
     scratch = [pltpu.VMEM((heads, 128), jnp.float32),
                pltpu.VMEM((heads, 128), jnp.float32),
                pltpu.VMEM((heads, hd_acc), jnp.float32)]
@@ -392,7 +404,8 @@ def _kernel_i4(q_ref, kq_ref, ks_ref, vq_ref, vs_ref, bias_ref, mask_ref,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("block_k", "interpret", "head_map"))
+                   static_argnames=("block_k", "interpret", "head_map",
+                                    "combined"))
 def cross_decode_mxu_int4(
     q: jnp.ndarray,        # [B, H, D] float
     kq_pack: jnp.ndarray,  # [B, K, HD/2] packed int8 (pack_int4 layout)
@@ -404,13 +417,23 @@ def cross_decode_mxu_int4(
     interpret: bool | None = None,
     head_map: tuple | None = None,
     row_map: jnp.ndarray | None = None,  # int32 [B, K // block_k]
+    combined: bool = False,
 ) -> jnp.ndarray:
     """int4 KV variant of cross_decode_mxu: half the slab HBM traffic (the
     kernel is DMA-bound — load-only probe 3.57 of 3.93 ms), extra VPU
     nibble math rides the DMA shadow. Returns [B, H, D] in q.dtype.
-    row_map as in cross_decode_mxu."""
-    batch, kv_len, half = kq_pack.shape
-    hd = half * 2
+    row_map as in cross_decode_mxu.
+
+    combined=True: kq_pack/vq_pack are the SAME [B, K, HD] array (k packed
+    in lanes [:HD/2], v in [HD/2:]) and ks/vs the same [B, 2H, K] array (k
+    scale rows then v rows) — one self-ring tensor per kind means half the
+    per-step dynamic_update_slices and beam gathers."""
+    if combined:
+        batch, kv_len, hd = kq_pack.shape
+        half = hd // 2
+    else:
+        batch, kv_len, half = kq_pack.shape
+        hd = half * 2
     heads = q.shape[1]
     d = q.shape[2]
     groups = hd // d
@@ -429,7 +452,7 @@ def cross_decode_mxu_int4(
         heads=heads, d=d, hd_acc=hd, hd_kv=half, block_k=block_k,
         n_k=n_k, bias_b=bias_b, bias_h=bias_h, out_dtype=q.dtype,
         interpret=_default_interpret() if interpret is None else interpret,
-        row_map=row_map)
+        row_map=row_map, combined=combined)
 
 
 def cross_decode_reference(q, kq_flat, ks, vq_flat, vs, bias):

@@ -136,7 +136,7 @@ class TestVLM:
         _, qcaches, _ = model.apply(
             params, pix, prompt, method=ChemicalOCRModel.prefill, max_len=4,
             quant_kv=True, int4=True)
-        assert "k_q4" in qcaches[0]
+        assert "kv_q4" in qcaches[0]
         tok = jnp.asarray([[7], [13]], jnp.int32)
         ref, _ = model.apply(params, tok, caches, jnp.int32(0), pl_,
                              method=ChemicalOCRModel.decode_step)
