@@ -210,21 +210,20 @@ class MarkushGrapherModel(nn.Module):
                 e2 = self.encoder(embeds, None, rb, deterministic)
             elif use_flash:
                 # build the (masked) bias ONCE in bf16 via the chunked
-                # builder in its gather-natural [H, B, L, L] order (the
-                # [B, H, ...] moveaxis lane-pads the 16-wide head dim 8x —
-                # 210 ms/batch at b48), then every layer's flash kernel
-                # streams tiles indexed (h, b, q). In-kernel bias recompute
-                # x24 layers measured SLOWER (5.69 vs 8.72 img/s): the
-                # per-(head, tile) bucket math is ~3 s/batch of VPU work.
+                # builder, then every layer's flash kernel streams its
+                # tiles. Measured dead ends (device traces, b48): in-kernel
+                # bias recompute x24 layers 5.69 vs 8.72 img/s (per-(head,
+                # tile) bucket math is ~3 s/batch of VPU work); [H,B,L,L]
+                # "hbll" accumulation +64 ms (the gather's collected head
+                # slice lands minormost either way, the transposes just
+                # move); per-head scalar gathers 12.8 s/batch.
                 pos_bias = relbias.encoder_position_bias_chunked(
                     self.enc_bias_1d, self.enc_bias_h, self.enc_bias_v,
                     full_bbox.astype(jnp.float32), full_mask, seq_len,
                     vtl.relative_attention_num_buckets,
                     vtl.relative_attention_max_distance,
-                    vtl.rel2d_scaling_factor, vtl.rel2d_max_distance,
-                    layout="hbll")
-                e2 = self.encoder(embeds, pos_bias, None, deterministic,
-                                  bias_hbll=True)
+                    vtl.rel2d_scaling_factor, vtl.rel2d_max_distance)
+                e2 = self.encoder(embeds, pos_bias, None, deterministic)
             else:
                 pos_bias = relbias.encoder_position_bias(
                     self.enc_bias_1d, self.enc_bias_h, self.enc_bias_v,

@@ -196,6 +196,11 @@ def encoder_position_bias_chunked(
         if combined:
             c = (b1[None] + num_buckets * bh
                  + (num_buckets ** 2) * bv)            # [B, chunk, L]
+            # vector gather: collected 16-wide head slice lands minormost
+            # (8x lane-padded, ~210 ms/batch at b48) but measured
+            # alternatives are worse — per-head SCALAR gathers lower to a
+            # 12.8 s/batch serialized form, and [H,B,L,L] accumulation
+            # just moves the transpose cost (+64 ms). See PERF notes.
             full = jnp.take(tc, c, axis=1)             # [H, B, chunk, L]
         else:
             full = (jnp.take(t1, b1, axis=1)[:, None]
