@@ -54,6 +54,9 @@ def main() -> None:
         cfg, dtype=jnp.bfloat16,
         flash_attention=os.environ.get("BENCH_FLASH", "1") == "1",
         inkernel_bias=os.environ.get("BENCH_INKERNEL_BIAS", "0") == "1",
+        # int8 encoder bias slab (opt-in until measured): halves the bias
+        # build writes + 24 layers of flash tile reads
+        bias_int8=os.environ.get("BENCH_BIAS_I8", "0") == "1",
         # int4 KV (cross slabs + self rings): halves the dominant slab
         # traffic vs int8; DEFAULT since the CXSMILES exact-match gate
         # (test_learning.py) cleared it

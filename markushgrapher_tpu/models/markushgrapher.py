@@ -96,6 +96,10 @@ class MarkushGrapherModel(nn.Module):
     # x24 layers is slower at batch<=32 but removes the 75MB/sample bias
     # buffer — required headroom for batch-64 serving)
     inkernel_bias: bool = False
+    # quantize the shared encoder bias slab to int8 (one symmetric scale per
+    # head over the combined 1d+h+v table; error <= scale/2): halves both the
+    # builder's gather writes and the 24 layers of flash tile reads
+    bias_int8: bool = False
     # MXU-dot fused int8 cross-attention (ops.mxu_decode), default for
     # quant_cross_kv decode: 1.55x over the XLA int8 fusions at serving
     # shapes (scripts/microbench_cross.py)
@@ -208,6 +212,17 @@ class MarkushGrapherModel(nn.Module):
                     max_dist_2d=vtl.rel2d_max_distance,
                     scaling_2d=vtl.rel2d_scaling_factor)
                 e2 = self.encoder(embeds, None, rb, deterministic)
+            elif use_flash and self.bias_int8:
+                # int8 bias slab (per-head scales, mask applied in-kernel):
+                # halves the dominant encoder bias traffic vs bf16
+                bias_i8, scales = relbias.encoder_position_bias_chunked_i8(
+                    self.enc_bias_1d, self.enc_bias_h, self.enc_bias_v,
+                    full_bbox.astype(jnp.float32), full_mask, seq_len,
+                    vtl.relative_attention_num_buckets,
+                    vtl.relative_attention_max_distance,
+                    vtl.rel2d_scaling_factor, vtl.rel2d_max_distance)
+                e2 = self.encoder(embeds, (bias_i8, scales, full_mask),
+                                  None, deterministic)
             elif use_flash:
                 # build the (masked) bias ONCE in bf16 via the chunked
                 # builder, then every layer's flash kernel streams its

@@ -137,7 +137,9 @@ class Attention(nn.Module):
         self,
         x: jnp.ndarray,                       # [B, Q, D]
         kv: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,  # ([B,K,H,Dk], [B,K,H,Dk])
-        bias: Optional[jnp.ndarray] = None,   # [B or 1, H, Q, K] additive
+        bias: Optional[jnp.ndarray] = None,   # [B or 1, H, Q, K] additive, or
+        #   a 3-tuple (bias_i8 [B,H,Q,K] int8, scales [H], key_mask [B,K])
+        #   from relbias.encoder_position_bias_chunked_i8
         use_flash: bool = False,
         relbias: Optional[dict] = None,  # in-kernel bias inputs (flash only)
         bias_hbll: bool = False,   # bias is [H, B, Q, K] (chunked-builder order)
@@ -146,17 +148,30 @@ class Attention(nn.Module):
         if kv is None:
             kv = self.compute_kv(x)
         k, v = kv
+        bias_quantized = isinstance(bias, tuple)
         if use_flash and relbias is not None:
             from markushgrapher_tpu.ops.flash_relbias import (
                 flash_attention_relbias)
 
             out = flash_attention_relbias(q, k, v, **relbias)
-        elif use_flash and bias is not None and _flash_ok(q, k):
+        elif use_flash and bias_quantized and _flash_ok(q, k):
+            from markushgrapher_tpu.ops.flash_attention import (
+                flash_attention_bias_i8)
+
+            out = flash_attention_bias_i8(q, k, v, *bias)
+        elif use_flash and bias is not None and not bias_quantized \
+                and _flash_ok(q, k):
             from markushgrapher_tpu.ops.flash_attention import (
                 flash_attention_bias)
 
             out = flash_attention_bias(q, k, v, bias, bias_hbll=bias_hbll)
         else:
+            if bias_quantized:
+                from markushgrapher_tpu.ops.relbias import mask_bias
+
+                bias_i8, scales, key_mask = bias
+                bias = (bias_i8.astype(jnp.float32)
+                        * scales[None, :, None, None] + mask_bias(key_mask))
             scores = jnp.einsum(
                 "bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32
             )

@@ -219,6 +219,84 @@ def encoder_position_bias_chunked(
     return out
 
 
+def encoder_position_bias_chunked_i8(
+    bias_1d_table: jnp.ndarray,
+    bias_h_table: jnp.ndarray,
+    bias_v_table: jnp.ndarray,
+    bbox: jnp.ndarray,            # [B, L, 4]
+    attention_mask: jnp.ndarray,  # [B, L] (unused: mask stays OUT of the
+    seq_len: int,                 # int8 bias; the flash int8 kernel applies
+    num_buckets: int,             # it from a separate [B, L] input)
+    max_distance_1d: int,
+    rel2d_scaling: int,
+    max_distance_2d: int,
+    chunk: int = 0,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """int8 variant of the chunked builder: quantizes the COMBINED table
+    tc[h, b1 + nb*bh + nb^2*bv] once with a symmetric per-head scale
+    (max|tc[h]|/127, error <= scale/2 — bf16-level at the learned tables'
+    magnitudes) and gathers int8 directly, so the [B,H,L,L] bias slab the
+    24 flash layers stream is HALF the bf16 bytes and the builder's gather
+    writes shrink 2x too. Returns (bias_i8 [B,H,L,L], scales [H] f32).
+
+    The padding mask is NOT baked in (no -1e9 in int8): consume with
+    ops.flash_attention.flash_attention_bias(..., bias_scales, key_mask).
+    Requires num_buckets**3 <= 65536 (the combined-table condition; 32^3
+    holds for every UDOP config)."""
+    if num_buckets ** 3 > 65536:
+        raise ValueError("int8 bias needs the combined table "
+                         f"(num_buckets^3 <= 65536, got {num_buckets})")
+    if chunk <= 0:
+        chunk = 256 if bbox.shape[0] <= 16 else 64
+    if seq_len % chunk:
+        chunk = seq_len
+    n_chunks = seq_len // chunk
+    positions = jnp.arange(seq_len, dtype=jnp.int32)
+    hx = (bbox[..., 0] + bbox[..., 2]) / 2.0   # [B, L]
+    vy = (bbox[..., 1] + bbox[..., 3]) / 2.0
+
+    pos_chunks = positions.reshape(n_chunks, chunk)
+    hx_chunks = jnp.moveaxis(hx.reshape(-1, n_chunks, chunk), 1, 0)
+    vy_chunks = jnp.moveaxis(vy.reshape(-1, n_chunks, chunk), 1, 0)
+
+    batch = bbox.shape[0]
+    num_heads = bias_1d_table.shape[-1]
+    acc0 = jnp.zeros((batch, num_heads, seq_len, seq_len), jnp.int8)
+
+    t1 = bias_1d_table.T        # [H, num_buckets]
+    th = bias_h_table.T
+    tv = bias_v_table.T
+    ci = jnp.arange(num_buckets ** 3, dtype=jnp.int32)
+    tc = (t1[:, ci % num_buckets]
+          + th[:, (ci // num_buckets) % num_buckets]
+          + tv[:, ci // (num_buckets ** 2)])           # [H, nb^3] f32
+    scales = jnp.max(jnp.abs(tc), axis=1) / 127.0 + 1e-12   # [H]
+    tc_i8 = jnp.round(tc / scales[:, None]).astype(jnp.int8)
+
+    def one_chunk(acc, xs):
+        idx, pos_q, hx_q, vy_q = xs
+        rel = positions[None, :] - pos_q[:, None]
+        b1 = relative_position_bucket(rel, True, num_buckets, max_distance_1d)
+        relh = ((hx[:, None, :] - hx_q[:, :, None]) * rel2d_scaling
+                ).astype(jnp.int32)
+        bh = relative_position_bucket(relh, True, num_buckets, max_distance_2d)
+        relv = ((vy[:, None, :] - vy_q[:, :, None]) * rel2d_scaling
+                ).astype(jnp.int32)
+        bv = relative_position_bucket(relv, True, num_buckets, max_distance_2d)
+        c = (b1[None] + num_buckets * bh
+             + (num_buckets ** 2) * bv)                # [B, chunk, L]
+        full = jnp.take(tc_i8, c, axis=1)              # [H, B, chunk, L] i8
+        acc = jax.lax.dynamic_update_slice(
+            acc, jnp.moveaxis(full, 0, 1), (0, 0, idx * chunk, 0))
+        return acc, None
+
+    out, _ = jax.lax.scan(
+        one_chunk, acc0,
+        (jnp.arange(n_chunks, dtype=jnp.int32), pos_chunks, hx_chunks,
+         vy_chunks))
+    return out, scales
+
+
 def decoder_position_bias(
     bias_table: jnp.ndarray,  # [num_buckets, H]
     seq_len: int,

@@ -1,0 +1,116 @@
+"""int8 encoder bias: quantized combined-table builder + flash plumbing.
+
+The serving encoder's bias pipeline (build + 24 layers of flash tile reads)
+is bandwidth-bound on the bf16 [B,H,L,L] slab; int8 halves it. One symmetric
+scale per head over the combined table keeps error <= scale/2 (~bf16-level
+at the learned tables' magnitudes). These tests pin: (a) the builder's
+values dequantize to the f32 builder within one quantization step, (b) the
+flash int8 path equals the f32 flash on the dequantized bias, (c) model
+encode with bias_int8 stays close to the f32-bias encode."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from markushgrapher_tpu.ops.flash_attention import (
+    attention_reference,
+    flash_attention_bias_i8,
+)
+from markushgrapher_tpu.ops.relbias import (
+    encoder_position_bias,
+    encoder_position_bias_chunked_i8,
+    mask_bias,
+)
+
+
+class TestInt8BiasBuilder:
+    def test_dequantizes_to_f32_builder(self):
+        rng = np.random.RandomState(0)
+        B, L, H, NB = 2, 256, 4, 32
+        bbox = jnp.asarray(rng.rand(B, L, 4).astype(np.float32))
+        mask = jnp.ones((B, L), jnp.int32)
+        t1 = jnp.asarray(rng.randn(NB, H).astype(np.float32))
+        th = jnp.asarray(rng.randn(NB, H).astype(np.float32))
+        tv = jnp.asarray(rng.randn(NB, H).astype(np.float32))
+        ref = encoder_position_bias(t1, th, tv, bbox, L, NB, 128, 100, 100)
+        bias_i8, scales = encoder_position_bias_chunked_i8(
+            t1, th, tv, bbox, mask, L, NB, 128, 100, 100, chunk=64)
+        assert bias_i8.dtype == jnp.int8 and bias_i8.shape == ref.shape
+        deq = np.asarray(bias_i8, np.float32) * np.asarray(scales)[None, :,
+                                                                   None, None]
+        err = np.abs(deq - np.asarray(ref))
+        # one quantization step per head
+        assert (err <= np.asarray(scales)[None, :, None, None] * 0.5 + 1e-6
+                ).all(), err.max()
+
+
+class TestFlashInt8:
+    def test_matches_dequantized_reference(self):
+        rng = np.random.RandomState(1)
+        B, L, H, D = 2, 256, 4, 64
+        q = jnp.asarray(rng.randn(B, L, H, D).astype(np.float32)) * 0.3
+        k = jnp.asarray(rng.randn(B, L, H, D).astype(np.float32)) * 0.3
+        v = jnp.asarray(rng.randn(B, L, H, D).astype(np.float32))
+        bias_i8 = jnp.asarray(rng.randint(-127, 128, (B, H, L, L)), jnp.int8)
+        scales = jnp.asarray(rng.rand(H).astype(np.float32) * 0.05)
+        mask = np.ones((B, L), np.int32)
+        mask[:, -9:] = 0
+        mask = jnp.asarray(mask)
+        got = flash_attention_bias_i8(q, k, v, bias_i8, scales, mask,
+                                      block_q=128, block_k=128)
+        deq = (bias_i8.astype(jnp.float32) * scales[None, :, None, None]
+               + mask_bias(mask))
+        ref = attention_reference(q, k, v, deq)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=3e-5, rtol=1e-4)
+
+
+class TestModelInt8Bias:
+    @pytest.fixture(scope="class")
+    def setup(self):
+        from markushgrapher_tpu.config import (MarkushGrapherConfig,
+                                               SwinConfig, VTLConfig)
+        from markushgrapher_tpu.models.markushgrapher import (
+            MarkushGrapherModel)
+
+        # flash engages only when the combined text+image length divides
+        # the flash blocks: 496 text + 16 image patches = 512
+        cfg = MarkushGrapherConfig(
+            vtl=VTLConfig(vocab_size=128, d_model=32, d_kv=8, d_ff=64,
+                          num_layers=1, num_decoder_layers=1, num_heads=4,
+                          image_size=64, patch_size=16, dropout_rate=0.0),
+            swin=SwinConfig(image_size=16, patch_size=2, embed_dim=8,
+                            depths=(1,), num_heads=(2,), window_size=4),
+            architecture_variant="none",
+            max_seq_length=496, max_seq_length_decoder=8)
+        rng = np.random.RandomState(2)
+        batch = dict(
+            input_ids=jnp.asarray(rng.randint(3, 120, size=(2, 496))),
+            bbox=jnp.asarray(rng.rand(2, 496, 4).astype(np.float32)),
+            attention_mask=jnp.ones((2, 496), jnp.int32),
+            labels=jnp.asarray(rng.randint(3, 120, size=(2, 8))),
+            pixel_values=jnp.asarray(rng.rand(2, 64, 64, 3).astype(np.float32)),
+        )
+        model_f32 = MarkushGrapherModel(cfg, dtype=jnp.float32,
+                                        flash_attention=True)
+        params = model_f32.init(jax.random.PRNGKey(0), **batch)
+        return cfg, params, batch, model_f32
+
+    def test_encode_close_and_flash_engaged(self, setup):
+        from markushgrapher_tpu.models.markushgrapher import (
+            MarkushGrapherModel)
+
+        cfg, params, batch, model_f32 = setup
+        model_i8 = MarkushGrapherModel(cfg, dtype=jnp.float32,
+                                       flash_attention=True, bias_int8=True)
+        args = (batch["input_ids"], batch["bbox"], batch["attention_mask"],
+                batch["pixel_values"], None)
+        enc_f, _ = model_f32.apply(params, *args,
+                                   method=MarkushGrapherModel.encode)
+        enc_q, _ = model_i8.apply(params, *args,
+                                  method=MarkushGrapherModel.encode)
+        scale = float(jnp.std(enc_f))
+        err = float(jnp.max(jnp.abs(enc_f - enc_q)))
+        assert err / scale < 0.12, (err, scale)
