@@ -114,3 +114,26 @@ class TestModelInt8Bias:
         scale = float(jnp.std(enc_f))
         err = float(jnp.max(jnp.abs(enc_f - enc_q)))
         assert err / scale < 0.12, (err, scale)
+
+    def test_greedy_sequences_identical(self, setup):
+        """Serving gate: greedy decode from the int8-bias encode must emit
+        the SAME token sequences as the f32-bias flash encode (the end-task
+        CXSMILES gate for decode quantization lives in test_learning.py; its
+        tiny overfit shapes can't engage flash, so the bias gate bounds at
+        the sequence level on flash-engaged shapes instead)."""
+        from markushgrapher_tpu.decode.generate import greedy_generate
+        from markushgrapher_tpu.models.markushgrapher import (
+            MarkushGrapherModel)
+
+        cfg, params, batch, model_f32 = setup
+        model_i8 = MarkushGrapherModel(cfg, dtype=jnp.float32,
+                                       flash_attention=True, bias_int8=True)
+        args = (batch["input_ids"], batch["bbox"], batch["attention_mask"],
+                batch["pixel_values"], None)
+        enc_f, mask = model_f32.apply(params, *args,
+                                      method=MarkushGrapherModel.encode)
+        enc_q, _ = model_i8.apply(params, *args,
+                                  method=MarkushGrapherModel.encode)
+        out_f = greedy_generate(model_f32, params, enc_f, mask, 8, eos_id=1)
+        out_q = greedy_generate(model_i8, params, enc_q, mask, 8, eos_id=1)
+        assert (np.asarray(out_f) == np.asarray(out_q)).all()
