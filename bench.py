@@ -60,7 +60,10 @@ def main() -> None:
         # int4 KV (cross slabs + self rings): halves the dominant slab
         # traffic vs int8; DEFAULT since the CXSMILES exact-match gate
         # (test_learning.py) cleared it
-        int4_cross=os.environ.get("BENCH_INT4", "1") == "1")
+        int4_cross=os.environ.get("BENCH_INT4", "1") == "1",
+        # valid-prefix self-ring reads (opt-in until measured): tail-block
+        # DMAs elided, ring traffic scales with decoded length
+        block_skip=os.environ.get("BENCH_BLOCK_SKIP", "0") == "1")
 
     # Realistic inputs: synthetic Markush pages through the REAL data
     # pipeline (cells -> words/boxes -> tokenize -> collate), so the relbias

@@ -107,6 +107,9 @@ class MarkushGrapherModel(nn.Module):
     # opt-in int4 cross K/V: halves the dominant slab traffic (DMA-bound
     # kernel); coarser quantization than the int8 default
     int4_cross: bool = False
+    # valid-prefix self-ring reads (ops.mxu_decode block_map): the decode
+    # step reads only the ring blocks the sequence has actually written
+    block_skip: bool = False
 
     def setup(self):
         vtl = self.cfg.vtl
@@ -150,7 +153,8 @@ class MarkushGrapherModel(nn.Module):
             num_heads=vtl.num_heads, d_kv=vtl.d_kv, d_ff=vtl.d_ff,
             ff_proj=vtl.feed_forward_proj, eps=vtl.layer_norm_epsilon,
             dtype=self.dtype, dropout_rate=vtl.dropout_rate, remat=self.remat,
-            mxu_decode=self.mxu_decode, int4_cross=self.int4_cross)
+            mxu_decode=self.mxu_decode, int4_cross=self.int4_cross,
+            block_skip=self.block_skip)
         self.lm_head = nn.DenseGeneral(
             features=vtl.vocab_size, use_bias=False, dtype=jnp.float32,
             param_dtype=jnp.float32,

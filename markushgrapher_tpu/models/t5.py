@@ -289,6 +289,10 @@ class DecoderLayer(nn.Module):
     # dominant slab traffic (the kernel is DMA-bound). OPT-IN — coarser
     # quantization than the int8 default; self caches stay int8.
     int4_cross: bool = False
+    # valid-prefix self-ring reads: redirect unwritten tail blocks' index
+    # maps so the pipeliner elides their DMAs (ops.mxu_decode block_map) —
+    # ring traffic scales with decoded length instead of max_len
+    block_skip: bool = False
 
     def setup(self):
         self.ln_self = RMSNorm(eps=self.eps, dtype=self.dtype)
@@ -490,10 +494,22 @@ class DecoderLayer(nn.Module):
         attn = self.self_attn
         q, k_new, v_new = self._fused_self_qkv(h, qw)   # [B, 1, H, Dk] each
         kern_kw = {}
+        ring = cache.get("self_kv_q4", cache.get("self_k_q"))
+        ring_len = ring.shape[1] if ring is not None and ring.ndim == 3 else 0
         if row_map is not None:
-            ring = cache.get("self_kv_q4", cache.get("self_k_q"))
             kern_kw = dict(row_map=row_map,
-                           block_k=ring.shape[1] // row_map.shape[1])
+                           block_k=ring_len // row_map.shape[1])
+        elif self.block_skip and ring_len > 128 and ring_len % 128 == 0:
+            kern_kw = dict(block_k=128)
+        if (self.block_skip and kern_kw.get("block_k", 0)
+                and ring_len // kern_kw["block_k"] > 1):
+            # tail blocks past the decoded prefix repeat the last valid
+            # block: their DMAs are elided, and the causal bias row (-1e9
+            # on k > step) zeroes the repeated data's contribution
+            bk = kern_kw["block_k"]
+            kern_kw["block_map"] = jnp.minimum(
+                jnp.arange(ring_len // bk, dtype=jnp.int32),
+                jnp.asarray(step // bk, jnp.int32))
         if "self_kv_q4" in cache:
             # int4-packed COMBINED k||v self ring (rides the int4 kernel's
             # combined mode: one values tensor, one scales tensor)
@@ -725,6 +741,7 @@ class Decoder(nn.Module):
     remat: bool = False
     mxu_decode: bool = True
     int4_cross: bool = False
+    block_skip: bool = False
 
     def setup(self):
         layer_cls = DecoderLayer
@@ -734,7 +751,7 @@ class Decoder(nn.Module):
         self.layers = [
             layer_cls(self.d_model, self.num_heads, self.d_kv, self.d_ff,
                       self.ff_proj, self.eps, self.dtype, self.dropout_rate,
-                      self.mxu_decode, self.int4_cross,
+                      self.mxu_decode, self.int4_cross, self.block_skip,
                       name=f"layer_{i}")
             for i in range(self.num_layers)
         ]

@@ -177,7 +177,7 @@ def _block_consts(head_map, heads: int, groups: int, d: int):
 
 
 def _decode_specs(heads, hd_q, hd_kv, hd_acc, block_k, bias_b, bias_h,
-                  row_mapped, combined=False):
+                  row_mapped, combined=False, block_mapped=False):
     """Block specs for the decode kernels' operands (q, kq, ks, vq, vs,
     bias, mask, rep) + the output spec. hd_q is the q/out minor dim (D —
     block expansion/extraction happens in-kernel); hd_kv the KV minor dim
@@ -188,14 +188,23 @@ def _decode_specs(heads, hd_q, hd_kv, hd_acc, block_k, bias_b, bias_h,
     reads to physical row row_map[b, i] — beam search's segment-wise
     copy-on-write self rings read each beam's history segments from
     whatever row holds them instead of physically gathering the whole ring
-    every step (decode/generate.py beam_generate)."""
+    every step (decode/generate.py beam_generate).
+
+    With block_mapped=True a second scalar-prefetched [n_k] map redirects
+    the K-BLOCK index of the KV/scale reads: at decode step t a self ring
+    holds real data only in the first ceil((t+1)/block_k) blocks, so the
+    caller passes bm[i] = min(i, t // block_k) and the pipeliner's
+    changed-index predicate ELIDES the DMAs for the repeated tail blocks
+    (jax pallas/mosaic/pipeline.py `block_changed`). The BIAS read keeps
+    the true block index: its -1e9 causal tail zeroes the repeated data's
+    contribution, which is what makes the redirect correct."""
     # combined=True: k and v ride ONE array per kind — values [B, K, 2*hd_kv]
     # (k in lane-block 0, v in block 1) and scales [B, 2*sc_rows, K] (k rows
     # then v rows). Callers pass the same array for the k and v operands;
     # the v specs read the second block. Beam/greedy ring UPDATES then cost
     # 2 dynamic_update_slices per layer instead of 4 (~0.24 ms/step at b48).
     vb = 1 if combined else 0
-    if not row_mapped:
+    if not row_mapped and not block_mapped:
         kv = lambda b, i: (b, i, 0)
         vv = lambda b, i: (b, i, vb)
         sc = lambda b, i: (b, 0, i)
@@ -203,7 +212,7 @@ def _decode_specs(heads, hd_q, hd_kv, hd_acc, block_k, bias_b, bias_h,
         qo = lambda b, i: (b, 0, 0)
         bi = lambda b, i: (b if bias_b > 1 else 0, 0, i)
         cn = lambda b, i: (0, 0)
-    else:
+    elif row_mapped and not block_mapped:
         kv = lambda b, i, rm: (rm[b, i], i, 0)
         vv = lambda b, i, rm: (rm[b, i], i, vb)
         sc = lambda b, i, rm: (rm[b, i], 0, i)
@@ -211,6 +220,24 @@ def _decode_specs(heads, hd_q, hd_kv, hd_acc, block_k, bias_b, bias_h,
         qo = lambda b, i, rm: (b, 0, 0)
         bi = lambda b, i, rm: (b if bias_b > 1 else 0, 0, i)
         cn = lambda b, i, rm: (0, 0)
+    elif block_mapped and not row_mapped:
+        kv = lambda b, i, bm: (b, bm[i], 0)
+        vv = lambda b, i, bm: (b, bm[i], vb)
+        sc = lambda b, i, bm: (b, 0, bm[i])
+        vs_ = lambda b, i, bm: (b, vb, bm[i])
+        qo = lambda b, i, bm: (b, 0, 0)
+        bi = lambda b, i, bm: (b if bias_b > 1 else 0, 0, i)
+        cn = lambda b, i, bm: (0, 0)
+    else:
+        # both: ring segment s of output row b lives at physical row
+        # rm[b, s]; reading redirected segment bm[i] means row rm[b, bm[i]]
+        kv = lambda b, i, rm, bm: (rm[b, bm[i]], bm[i], 0)
+        vv = lambda b, i, rm, bm: (rm[b, bm[i]], bm[i], vb)
+        sc = lambda b, i, rm, bm: (rm[b, bm[i]], 0, bm[i])
+        vs_ = lambda b, i, rm, bm: (rm[b, bm[i]], vb, bm[i])
+        qo = lambda b, i, rm, bm: (b, 0, 0)
+        bi = lambda b, i, rm, bm: (b if bias_b > 1 else 0, 0, i)
+        cn = lambda b, i, rm, bm: (0, 0)
     in_specs = [
         pl.BlockSpec((1, heads, hd_q), qo),
         pl.BlockSpec((1, block_k, hd_kv), kv),
@@ -229,11 +256,11 @@ def _call_decode_kernel(kernel_fn, q, kq, ks, vq, vs, bias, mask, rep_t,
                         rep, *,
                         heads, d, hd_acc, hd_kv, block_k, n_k, bias_b,
                         bias_h, out_dtype, interpret, row_map,
-                        combined=False):
+                        combined=False, block_map=None):
     batch = q.shape[0]
     in_specs, out_spec = _decode_specs(heads, d, hd_kv, hd_acc, block_k,
                                        bias_b, bias_h, row_map is not None,
-                                       combined)
+                                       combined, block_map is not None)
     scratch = [pltpu.VMEM((heads, 128), jnp.float32),
                pltpu.VMEM((heads, 128), jnp.float32),
                pltpu.VMEM((heads, hd_acc), jnp.float32)]
@@ -241,28 +268,33 @@ def _call_decode_kernel(kernel_fn, q, kq, ks, vq, vs, bias, mask, rep_t,
         dimension_semantics=("parallel", "arbitrary"),
         vmem_limit_bytes=64 * 1024 * 1024)
     out_shape = jax.ShapeDtypeStruct((batch, heads, d), out_dtype)
-    if row_map is None:
+    if row_map is None and block_map is None:
         return pl.pallas_call(
             kernel_fn, grid=(batch, n_k), in_specs=in_specs,
             out_specs=out_spec, out_shape=out_shape, scratch_shapes=scratch,
             compiler_params=params, interpret=interpret,
         )(q, kq, ks, vq, vs, bias, mask, rep_t, rep)
-    if row_map.shape != (batch, n_k):
+    if row_map is not None and row_map.shape != (batch, n_k):
         raise ValueError(
             f"row_map shape {row_map.shape} != (batch, n_k)=({batch}, {n_k})"
             f" — its segment count must match kv_len // block_k")
+    if block_map is not None and block_map.shape != (n_k,):
+        raise ValueError(
+            f"block_map shape {block_map.shape} != (n_k,)=({n_k},)")
 
-    def kernel_rm(rm_ref, *args):
-        kernel_fn(*args)
+    prefetch = [m.astype(jnp.int32) for m in (row_map, block_map)
+                if m is not None]
+
+    def kernel_pf(*args):
+        kernel_fn(*args[len(prefetch):])
 
     return pl.pallas_call(
-        kernel_rm,
+        kernel_pf,
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1, grid=(batch, n_k), in_specs=in_specs,
-            out_specs=out_spec, scratch_shapes=scratch),
+            num_scalar_prefetch=len(prefetch), grid=(batch, n_k),
+            in_specs=in_specs, out_specs=out_spec, scratch_shapes=scratch),
         out_shape=out_shape, compiler_params=params, interpret=interpret,
-    )(row_map.astype(jnp.int32), q, kq, ks, vq, vs, bias, mask,
-      rep_t, rep)
+    )(*prefetch, q, kq, ks, vq, vs, bias, mask, rep_t, rep)
 
 
 @functools.partial(jax.jit,
@@ -278,6 +310,7 @@ def cross_decode_mxu(
     interpret: bool | None = None,
     head_map: tuple | None = None,
     row_map: jnp.ndarray | None = None,  # int32 [B, K // block_k]
+    block_map: jnp.ndarray | None = None,  # int32 [K // block_k]
 ) -> jnp.ndarray:
     """Returns attention output [B, H, D] in q.dtype.
 
@@ -290,7 +323,14 @@ def cross_decode_mxu(
     row_map (traced int32 [B, K // block_k]) redirects each KV block read
     to a physical row: output row b's i-th K-segment is read from
     kq_flat[row_map[b, i]]. Beam search's copy-on-write self rings use it
-    to avoid gathering ring history on beam reorder."""
+    to avoid gathering ring history on beam reorder.
+
+    block_map (traced int32 [K // block_k]) redirects KV/scale block READS
+    (bias reads keep the true index): self-ring callers pass
+    min(i, step // block_k) so the unwritten tail's DMAs are elided by the
+    pipeliner's changed-index predicate — ring traffic scales with the
+    VALID prefix instead of the full ring. The bias row's -1e9 causal tail
+    zeroes the repeated blocks' contribution."""
     batch, kv_len, hd = kq_flat.shape
     heads = q.shape[1]
     d = q.shape[2]
@@ -319,7 +359,7 @@ def cross_decode_mxu(
         heads=heads, d=d, hd_acc=hd, hd_kv=hd, block_k=block_k,
         n_k=n_k, bias_b=bias_b, bias_h=bias_h, out_dtype=q.dtype,
         interpret=_default_interpret() if interpret is None else interpret,
-        row_map=row_map)
+        row_map=row_map, block_map=block_map)
 
 
 # ---------------------------------------------------------------------------
@@ -418,11 +458,12 @@ def cross_decode_mxu_int4(
     head_map: tuple | None = None,
     row_map: jnp.ndarray | None = None,  # int32 [B, K // block_k]
     combined: bool = False,
+    block_map: jnp.ndarray | None = None,  # int32 [K // block_k]
 ) -> jnp.ndarray:
     """int4 KV variant of cross_decode_mxu: half the slab HBM traffic (the
     kernel is DMA-bound — load-only probe 3.57 of 3.93 ms), extra VPU
     nibble math rides the DMA shadow. Returns [B, H, D] in q.dtype.
-    row_map as in cross_decode_mxu.
+    row_map / block_map as in cross_decode_mxu.
 
     combined=True: kq_pack/vq_pack are the SAME [B, K, HD] array (k packed
     in lanes [:HD/2], v in [HD/2:]) and ks/vs the same [B, 2H, K] array (k
@@ -452,7 +493,7 @@ def cross_decode_mxu_int4(
         heads=heads, d=d, hd_acc=hd, hd_kv=half, block_k=block_k,
         n_k=n_k, bias_b=bias_b, bias_h=bias_h, out_dtype=q.dtype,
         interpret=_default_interpret() if interpret is None else interpret,
-        row_map=row_map, combined=combined)
+        row_map=row_map, combined=combined, block_map=block_map)
 
 
 def cross_decode_reference(q, kq_flat, ks, vq_flat, vs, bias):

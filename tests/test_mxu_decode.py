@@ -96,6 +96,56 @@ class TestKernelMath:
                                    atol=1e-4)
 
 
+    @pytest.mark.parametrize("int4", [False, True])
+    def test_block_map_tail_redirect_is_exact(self, int4):
+        """Valid-prefix block_map (self-ring tail DMA elision): redirecting
+        unwritten tail blocks to the last valid block must be EXACT vs the
+        unredirected read when the bias row masks k > step with -1e9."""
+        from markushgrapher_tpu.ops.mxu_decode import (
+            cross_decode_mxu_int4, pack_int4)
+
+        rng = np.random.RandomState(3)
+        BK = 64
+        q, kq, ks, vq, vs, bias = _rand_case(rng, K=256)
+        if int4:
+            kq = jnp.clip(kq, -7, 7)
+            vq = jnp.clip(vq, -7, 7)
+        step = 100                              # valid prefix = 0..step
+        bias = jnp.broadcast_to(bias, bias.shape).at[:, :, step + 1:].set(-1e9)
+        n_k = kq.shape[1] // BK
+        bm = jnp.minimum(jnp.arange(n_k, dtype=jnp.int32), step // BK)
+        if int4:
+            ref = cross_decode_mxu_int4(q, pack_int4(kq), ks, pack_int4(vq),
+                                        vs, bias, block_k=BK)
+            got = cross_decode_mxu_int4(q, pack_int4(kq), ks, pack_int4(vq),
+                                        vs, bias, block_k=BK, block_map=bm)
+        else:
+            ref = cross_decode_mxu(q, kq, ks, vq, vs, bias, block_k=BK)
+            got = cross_decode_mxu(q, kq, ks, vq, vs, bias, block_k=BK,
+                                   block_map=bm)
+        np.testing.assert_array_equal(np.asarray(got, np.float32),
+                                      np.asarray(ref, np.float32))
+
+    def test_block_map_with_row_map_composes(self):
+        """block_map composes with beam COW row_map: reading redirected
+        segment bm[i] from row rm[b, bm[i]] equals the physical gather of
+        the valid prefix."""
+        rng = np.random.RandomState(4)
+        B, SEG = 4, 64
+        q, kq, ks, vq, vs, bias = _rand_case(rng, B=B, K=256)
+        step = 130
+        bias = jnp.broadcast_to(bias, bias.shape).at[:, :, step + 1:].set(-1e9)
+        n_seg = kq.shape[1] // SEG
+        rm = jnp.asarray(rng.randint(0, B, (B, n_seg)), jnp.int32)
+        bm = jnp.minimum(jnp.arange(n_seg, dtype=jnp.int32), step // SEG)
+        got = cross_decode_mxu(q, kq, ks, vq, vs, bias, block_k=SEG,
+                               row_map=rm, block_map=bm)
+        ref = cross_decode_mxu(q, kq, ks, vq, vs, bias, block_k=SEG,
+                               row_map=rm)
+        np.testing.assert_array_equal(np.asarray(got, np.float32),
+                                      np.asarray(ref, np.float32))
+
+
 class TestModelIntegration:
     def test_cache_layout_and_greedy_match_xla_int8(self):
         """mxu_decode=True and mxu_decode=False (XLA int8 fusions) must
@@ -133,6 +183,46 @@ class TestModelIntegration:
                 assert caches[0]["cross_k_s"].shape[1] == cfg.vtl.num_heads
             outs[mxu] = np.asarray(greedy_generate(
                 model, params, enc, enc_mask, 8, eos_id=1,
+                quant_cross_kv=True))
+        np.testing.assert_array_equal(outs[True], outs[False])
+
+
+    def test_block_skip_greedy_identical(self):
+        """block_skip=True (valid-prefix ring reads) must decode the SAME
+        tokens as the default full-ring read — the redirect is masked by
+        the causal bias, so any drift is a wiring bug. Decode length 256
+        so the 128-block skipping actually engages."""
+        import os
+        import sys
+
+        sys.path.insert(0, os.path.dirname(__file__))
+        from test_generate import tiny_cfg
+
+        from markushgrapher_tpu.decode.generate import greedy_generate
+        from markushgrapher_tpu.models.markushgrapher import (
+            MarkushGrapherModel)
+
+        cfg = tiny_cfg()
+        rng = np.random.RandomState(5)
+        batch = dict(
+            input_ids=jnp.asarray(rng.randint(3, 30, size=(2, 4))),
+            bbox=jnp.asarray(rng.rand(2, 4, 4).astype(np.float32)),
+            attention_mask=jnp.ones((2, 4), jnp.int32),
+            labels=jnp.asarray(rng.randint(3, 30, size=(2, 8))),
+            pixel_values=jnp.asarray(
+                rng.rand(2, 32, 32, 3).astype(np.float32)),
+        )
+        outs = {}
+        for skip in (False, True):
+            model = MarkushGrapherModel(cfg, dtype=jnp.float32,
+                                        block_skip=skip)
+            params = model.init(jax.random.PRNGKey(0), **batch)
+            enc, enc_mask = model.apply(
+                params, batch["input_ids"], batch["bbox"],
+                batch["attention_mask"], batch["pixel_values"], None,
+                method=MarkushGrapherModel.encode)
+            outs[skip] = np.asarray(greedy_generate(
+                model, params, enc, enc_mask, 256, eos_id=-1,
                 quant_cross_kv=True))
         np.testing.assert_array_equal(outs[True], outs[False])
 
