@@ -93,6 +93,11 @@ def main() -> None:
     quant_kv = os.environ.get("BENCH_QUANT_KV", "1") == "1"
     quant_w = os.environ.get("BENCH_QUANT_W", "1") == "1"
     int4 = os.environ.get("BENCH_INT4", "1") == "1"
+    # valid-prefix ring reads: DMA-elide KV blocks past the decode write
+    # index (exact — tail blocks are masked; tests/test_ocr.py,
+    # tests/test_mxu_decode.py). Biggest for the OCR stage whose ring covers
+    # the full max_new_tokens from step 0.
+    block_skip = os.environ.get("BENCH_BLOCK_SKIP", "1") == "1"
     if mg_batch % ocr_batch:
         raise ValueError(f"BENCH_MG_BATCH {mg_batch} must be a multiple of "
                          f"BENCH_E2E_BATCH {ocr_batch}")
@@ -115,7 +120,8 @@ def main() -> None:
             pixel_shuffle_factor=2, max_new_tokens=ocr_tokens)
     else:
         ocr_cfg = OCRConfig(max_new_tokens=ocr_tokens)
-    ocr_model = ChemicalOCRModel(ocr_cfg, dtype=jnp.bfloat16)
+    ocr_model = ChemicalOCRModel(ocr_cfg, dtype=jnp.bfloat16,
+                                 block_skip=block_skip)
     mt = MarkushTokenizer()
     tok = mt.tokenizer
     prompt = jnp.asarray(tok.encode("Perform OCR on this chemical structure "
@@ -148,7 +154,8 @@ def main() -> None:
     else:
         cfg = MarkushGrapherConfig()
     model = MarkushGrapherModel(cfg, dtype=jnp.bfloat16, flash_attention=True,
-                                int4_cross=int4 and quant_kv)
+                                int4_cross=int4 and quant_kv,
+                                block_skip=block_skip)
     encoder = SampleEncoder(markush_tokenizer=mt,
                             max_seq_length=cfg.max_seq_length,
                             max_seq_length_decoder=decode_len)

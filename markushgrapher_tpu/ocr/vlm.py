@@ -199,6 +199,9 @@ class Connector(nn.Module):
 class LMLayer(nn.Module):
     cfg: OCRTextConfig
     dtype: Any = jnp.float32
+    # valid-prefix ring reads (ops.mxu_decode block_map): elide DMAs for
+    # ring blocks past the current write position (prefill + decoded)
+    block_skip: bool = False
 
     def setup(self):
         cfg = self.cfg
@@ -274,24 +277,42 @@ class LMLayer(nn.Module):
 
             k_q, k_s = _quantize_kv4(k)
             v_q, v_s = _quantize_kv4(v)
-            # COMBINED k||v ring (kernel combined mode): one values tensor
-            # [b, S, G*d] (k packed in lanes [:G*d/2], v in [G*d/2:]) and
-            # one bf16 scales tensor [b, 2H, S] — scales stored REPEATED to
-            # the H query heads so the decode step neither re-repeats the
-            # whole ring per step nor issues 4 dynamic_update_slices
             rep = self.cfg.num_heads // hkv
-            cache = {
-                "kv_q4": jnp.concatenate([
-                    pack_int4(jnp.pad(k_q, pad).reshape(b, max_len,
-                                                        hkv * d)),
-                    pack_int4(jnp.pad(v_q, pad).reshape(b, max_len,
-                                                        hkv * d))], axis=-1),
-                "kv_s": jnp.concatenate([
-                    jnp.repeat(jnp.pad(k_s, spad).transpose(0, 2, 1), rep,
-                               axis=1),
-                    jnp.repeat(jnp.pad(v_s, spad).transpose(0, 2, 1), rep,
-                               axis=1)], axis=1).astype(jnp.bfloat16),
-            }
+            # scales stored REPEATED to the H query heads so the decode step
+            # doesn't re-repeat the whole ring every step
+            ks_rep = jnp.repeat(jnp.pad(k_s, spad).transpose(0, 2, 1), rep,
+                                axis=1).astype(jnp.bfloat16)
+            vs_rep = jnp.repeat(jnp.pad(v_s, spad).transpose(0, 2, 1), rep,
+                                axis=1).astype(jnp.bfloat16)
+            if (hkv * d // 2) % 128 == 0 and (rep * hkv) % 8 == 0:
+                # COMBINED k||v ring (kernel combined mode): one values
+                # tensor [b, S, G*d] (k packed in lanes [:G*d/2], v in
+                # [G*d/2:]) and one bf16 scales tensor [b, 2H, S] — half the
+                # per-step dynamic_update_slices. Mosaic-legal only when the
+                # half-lane block (G*d/2) is 128-divisible and the H-row
+                # scale block is 8-divisible (blocks address half the array).
+                cache = {
+                    "kv_q4": jnp.concatenate([
+                        pack_int4(jnp.pad(k_q, pad).reshape(b, max_len,
+                                                            hkv * d)),
+                        pack_int4(jnp.pad(v_q, pad).reshape(b, max_len,
+                                                            hkv * d))],
+                        axis=-1),
+                    "kv_s": jnp.concatenate([ks_rep, vs_rep], axis=1),
+                }
+            else:
+                # SEPARATE packed rings: every kernel block then spans its
+                # array's full minor dim, which Mosaic always accepts (the
+                # OCR LM's Hkv*D=320 half-blocks of 160 lanes are not) —
+                # costs 4 dynamic_update_slices per step instead of 2.
+                cache = {
+                    "k_q4": pack_int4(jnp.pad(k_q, pad).reshape(
+                        b, max_len, hkv * d)),
+                    "v_q4": pack_int4(jnp.pad(v_q, pad).reshape(
+                        b, max_len, hkv * d)),
+                    "k_s4": ks_rep,
+                    "v_s4": vs_rep,
+                }
         elif quant_kv:
             k_q, k_s = _quantize_kv(k)
             v_q, v_s = _quantize_kv(v)
@@ -328,6 +349,20 @@ class LMLayer(nn.Module):
             self._kernel_of(self.down), (0,))
         return qw
 
+    def _skip_kw(self, ring_len, step):
+        """Valid-prefix ring reads: ring positions past the write index
+        `step` are masked by kv_mask (-inf), so redirecting their blocks to
+        the last valid block (block_map) elides the tail DMAs exactly."""
+        if not self.block_skip:
+            return {}
+        for bk in (128, 64):
+            if ring_len > bk and ring_len % bk == 0:
+                n_k = ring_len // bk
+                return dict(block_k=bk, block_map=jnp.minimum(
+                    jnp.arange(n_k, dtype=jnp.int32),
+                    jnp.asarray(step // bk, jnp.int32)))
+        return {}
+
     def decode_step(self, x, cache, rope, position, step, kv_mask, qw=None):
         cfg = self.cfg
         h = self.ln_attn(x)
@@ -342,7 +377,7 @@ class LMLayer(nn.Module):
                                qkv[:, :, nh + nkv:])
         q = apply_rope(q, rope, position)
         k_new = apply_rope(k_new, rope, position)
-        if "kv_q4" in cache:                      # int4-packed combined ring
+        if "kv_q4" in cache or "k_q4" in cache:   # int4-packed rings
             from markushgrapher_tpu.models.t5 import _quantize_kv4
             from markushgrapher_tpu.ops.mxu_decode import (
                 cross_decode_mxu_int4, pack_int4)
@@ -352,24 +387,53 @@ class LMLayer(nn.Module):
             rep = cfg.num_heads // nkv
             kq_new, ks_new = _quantize_kv4(k_new)
             vq_new, vs_new = _quantize_kv4(v_new)
-            kv_row = jnp.concatenate(
-                [pack_int4(kq_new.reshape(b, 1, nkv * d)),
-                 pack_int4(vq_new.reshape(b, 1, nkv * d))], axis=-1)
-            s_col = jnp.repeat(
-                jnp.concatenate([ks_new, vs_new], axis=2).transpose(0, 2, 1),
-                rep, axis=1)                      # [B, 2H, 1]
-            cache = dict(
-                cache,
-                kv_q4=jax.lax.dynamic_update_slice_in_dim(
-                    cache["kv_q4"], kv_row, step, axis=1),
-                kv_s=jax.lax.dynamic_update_slice_in_dim(
-                    cache["kv_s"], s_col.astype(cache["kv_s"].dtype),
-                    step, axis=2))
-            attn_out = cross_decode_mxu_int4(
-                q[:, 0] * (d ** -0.5),
-                cache["kv_q4"], cache["kv_s"],
-                cache["kv_q4"], cache["kv_s"],
-                kv_mask[:, 0], combined=True)[:, None]   # [B, 1, H, D]
+            if "kv_q4" in cache:                  # combined k||v layout
+                kv_row = jnp.concatenate(
+                    [pack_int4(kq_new.reshape(b, 1, nkv * d)),
+                     pack_int4(vq_new.reshape(b, 1, nkv * d))], axis=-1)
+                s_col = jnp.repeat(
+                    jnp.concatenate([ks_new, vs_new],
+                                    axis=2).transpose(0, 2, 1),
+                    rep, axis=1)                  # [B, 2H, 1]
+                cache = dict(
+                    cache,
+                    kv_q4=jax.lax.dynamic_update_slice_in_dim(
+                        cache["kv_q4"], kv_row, step, axis=1),
+                    kv_s=jax.lax.dynamic_update_slice_in_dim(
+                        cache["kv_s"], s_col.astype(cache["kv_s"].dtype),
+                        step, axis=2))
+                attn_out = cross_decode_mxu_int4(
+                    q[:, 0] * (d ** -0.5),
+                    cache["kv_q4"], cache["kv_s"],
+                    cache["kv_q4"], cache["kv_s"],
+                    kv_mask[:, 0], combined=True,
+                    **self._skip_kw(cache["kv_q4"].shape[1], step))[:, None]
+            else:                                 # separate packed rings
+                sdt = cache["k_s4"].dtype
+                cache = dict(
+                    cache,
+                    k_q4=jax.lax.dynamic_update_slice_in_dim(
+                        cache["k_q4"],
+                        pack_int4(kq_new.reshape(b, 1, nkv * d)),
+                        step, axis=1),
+                    v_q4=jax.lax.dynamic_update_slice_in_dim(
+                        cache["v_q4"],
+                        pack_int4(vq_new.reshape(b, 1, nkv * d)),
+                        step, axis=1),
+                    k_s4=jax.lax.dynamic_update_slice_in_dim(
+                        cache["k_s4"],
+                        jnp.repeat(ks_new.transpose(0, 2, 1), rep,
+                                   axis=1).astype(sdt), step, axis=2),
+                    v_s4=jax.lax.dynamic_update_slice_in_dim(
+                        cache["v_s4"],
+                        jnp.repeat(vs_new.transpose(0, 2, 1), rep,
+                                   axis=1).astype(sdt), step, axis=2))
+                attn_out = cross_decode_mxu_int4(
+                    q[:, 0] * (d ** -0.5),
+                    cache["k_q4"], cache["k_s4"],
+                    cache["v_q4"], cache["v_s4"],
+                    kv_mask[:, 0],
+                    **self._skip_kw(cache["k_q4"].shape[1], step))[:, None]
             if qw is None:
                 y = self.o(attn_out)
             else:
@@ -415,7 +479,8 @@ class LMLayer(nn.Module):
                 q[:, 0] * (d ** -0.5),
                 cache["k_q"], jnp.repeat(cache["k_s"], rep, axis=1),
                 cache["v_q"], jnp.repeat(cache["v_s"], rep, axis=1),
-                kv_mask[:, 0])[:, None]           # [B, 1, H, D]
+                kv_mask[:, 0],
+                **self._skip_kw(cache["k_q"].shape[1], step))[:, None]
             if qw is None:
                 y = self.o(attn_out)
             else:
@@ -469,6 +534,8 @@ class LMLayer(nn.Module):
 class ChemicalOCRModel(nn.Module):
     cfg: OCRConfig
     dtype: Any = jnp.bfloat16
+    # valid-prefix LM ring reads during decode (LMLayer.block_skip)
+    block_skip: bool = False
 
     def setup(self):
         t = self.cfg.text
@@ -478,7 +545,8 @@ class ChemicalOCRModel(nn.Module):
             "embed", param_with_axes(nn.initializers.normal(0.02),
                                      ("vocab", "embed")),
             (t.vocab_size, t.d_model), jnp.float32)
-        self.layers = [LMLayer(t, self.dtype, name=f"layer_{i}")
+        self.layers = [LMLayer(t, self.dtype, self.block_skip,
+                               name=f"layer_{i}")
                        for i in range(t.num_layers)]
         self.final_ln = RMSNorm(eps=t.rms_eps, dtype=self.dtype)
         self._rope = rope_frequencies(
@@ -517,7 +585,12 @@ class ChemicalOCRModel(nn.Module):
         neg = jnp.finfo(jnp.float32).min
         causal = jnp.where(jnp.tril(jnp.ones((L0, L0), bool)), 0.0, neg)
         caches = []
+        # Ring length rounded up to a 128-multiple: the MXU decode kernel
+        # block-pipelines the K dim (128-divisible blocks) and block_skip
+        # needs ring_len % block == 0; the padded tail is masked by kv_mask
+        # (decode_step) so it never contributes.
         total = L0 + max_len
+        total += -total % 128
         for layer in self.layers:
             x, cache = layer.prefill(x, self._rope, positions,
                                      causal[None, None], total,
@@ -541,7 +614,7 @@ class ChemicalOCRModel(nn.Module):
         pos = jnp.full((b, 1), prefix_len + step, jnp.int32)
         x = self.embed[token_ids].astype(self.dtype)
         c0 = caches[0]
-        total = next(c0[k] for k in ("k", "k_q", "kv_q4")
+        total = next(c0[k] for k in ("k", "k_q", "kv_q4", "k_q4")
              if k in c0).shape[1]
         neg = jnp.finfo(jnp.float32).min
         idx = jnp.arange(total)

@@ -58,7 +58,9 @@ def main(dataset_dir: str, output_dir: str,
     cfg, engine_cfg = build_ocr_configs(overrides)
     from markushgrapher_tpu.ocr.vlm import ChemicalOCRModel
 
-    model = ChemicalOCRModel(cfg, dtype=jnp.bfloat16)
+    # block_skip: valid-prefix ring reads — elides KV DMAs past the decode
+    # write index (exact; equivalence-tested in tests/test_ocr.py)
+    model = ChemicalOCRModel(cfg, dtype=jnp.bfloat16, block_skip=True)
     tokenizer = MGTokenizer()
     rng = jax.random.PRNGKey(0)
     pix = jnp.zeros((1, cfg.vision.image_size, cfg.vision.image_size, 3))

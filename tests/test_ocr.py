@@ -136,7 +136,10 @@ class TestVLM:
         _, qcaches, _ = model.apply(
             params, pix, prompt, method=ChemicalOCRModel.prefill, max_len=4,
             quant_kv=True, int4=True)
-        assert "kv_q4" in qcaches[0]
+        # tiny cfg's packed half (hkv*d/2 = 4 lanes) is not 128-divisible,
+        # so prefill picks the SEPARATE-ring layout (vlm.py chooses combined
+        # k||v only when the kernel's half-lane blocks are Mosaic-legal)
+        assert "k_q4" in qcaches[0] and "kv_q4" not in qcaches[0]
         tok = jnp.asarray([[7], [13]], jnp.int32)
         ref, _ = model.apply(params, tok, caches, jnp.int32(0), pl_,
                              method=ChemicalOCRModel.decode_step)
@@ -189,6 +192,26 @@ class TestEngine:
             want[finished, t] = engine.cfg.pad_id
             finished |= want[:, t] == engine.cfg.eos_id
         np.testing.assert_array_equal(got, want)
+
+    @pytest.mark.parametrize("int4", [False, True])
+    def test_block_skip_greedy_identical(self, vlm, int4):
+        """block_skip=True (valid-prefix ring reads; elides DMAs for ring
+        blocks past the write index) must generate the SAME tokens as the
+        full-ring read — the redirected tail blocks are masked by kv_mask,
+        so any drift is a wiring bug. The tiny ring pads to 128 so the
+        64-block map engages from step 0."""
+        cfg, _, params, pix, prompt = vlm
+        n_steps = 24
+        outs = {}
+        for skip in (False, True):
+            model = ChemicalOCRModel(cfg, dtype=jnp.float32, block_skip=skip)
+            engine = ChemicalOCR(
+                model, params, MGTokenizer(),
+                OCREngineConfig(max_new_tokens=n_steps, batch_size=2,
+                                eos_id=-1, quant_kv=True, int4_kv=int4))
+            engine._build()
+            outs[skip] = np.asarray(engine._generate(params, pix, prompt))
+        np.testing.assert_array_equal(outs[True], outs[False])
 
     def test_predict_cells(self, vlm):
         cfg, model, params, pix, prompt = vlm
