@@ -355,12 +355,15 @@ class LMLayer(nn.Module):
         the last valid block (block_map) elides the tail DMAs exactly."""
         if not self.block_skip:
             return {}
-        for bk in (128, 64):
-            if ring_len > bk and ring_len % bk == 0:
-                n_k = ring_len // bk
-                return dict(block_k=bk, block_map=jnp.minimum(
-                    jnp.arange(n_k, dtype=jnp.int32),
-                    jnp.asarray(step // bk, jnp.int32)))
+        # 128 only: smaller blocks put a sub-128 size in the scale/bias
+        # blocks' lane dim, which Mosaic refuses to lower on real TPU
+        # (interpret mode accepts it — see _check_mosaic_blocks).
+        bk = 128
+        if ring_len > bk and ring_len % bk == 0:
+            n_k = ring_len // bk
+            return dict(block_k=bk, block_map=jnp.minimum(
+                jnp.arange(n_k, dtype=jnp.int32),
+                jnp.asarray(step // bk, jnp.int32)))
         return {}
 
     def decode_step(self, x, cache, rope, position, step, kv_mask, qw=None):

@@ -252,12 +252,41 @@ def _decode_specs(heads, hd_q, hd_kv, hd_acc, block_k, bias_b, bias_h,
     return in_specs, pl.BlockSpec((1, heads, hd_q), qo)
 
 
+def _check_mosaic_blocks(named_blocks):
+    """Mosaic's block-mapping rule, enforced at trace time when lowering for
+    real TPU: the last two block dims must be divisible by (8, 128) or equal
+    the array's dims. Mosaic's own error at violation time is a cryptic
+    lowering failure deep in the compile (as the OCR LM's 160-lane
+    combined-int4 half blocks produced) — fail loudly with the fix instead.
+    Interpret mode intentionally skips the call: tiny-dim CI models are
+    legitimately sub-tile. Production block choices must be legal by
+    construction (pick_block_k returns 128-multiples; _skip_kw uses 128)."""
+    for name, block, shape in named_blocks:
+        (b2, b1), (s2, s1) = block[-2:], shape[-2:]
+        if not (b1 % 128 == 0 or b1 == s1) or not (b2 % 8 == 0 or b2 == s2):
+            raise ValueError(
+                f"mxu_decode: operand {name!r} block {block} over array "
+                f"{shape} is not Mosaic-lowerable (last two block dims must "
+                f"be divisible by (8, 128) or equal the array dims). Pad the "
+                f"ring/slab or choose a layout with full-width blocks.")
+
+
 def _call_decode_kernel(kernel_fn, q, kq, ks, vq, vs, bias, mask, rep_t,
                         rep, *,
                         heads, d, hd_acc, hd_kv, block_k, n_k, bias_b,
                         bias_h, out_dtype, interpret, row_map,
                         combined=False, block_map=None):
     batch = q.shape[0]
+    if not interpret:
+        _check_mosaic_blocks([
+        ("q", (1, heads, d), q.shape),
+        ("kq", (1, block_k, hd_kv), kq.shape),
+        ("ks", (1, heads, block_k), ks.shape),
+        ("vq", (1, block_k, hd_kv), vq.shape),
+        ("vs", (1, heads, block_k), vs.shape),
+        ("bias", (1, bias_h, block_k), bias.shape),
+        ("mask", (heads, hd_acc), mask.shape),
+        ])
     in_specs, out_spec = _decode_specs(heads, d, hd_kv, hd_acc, block_k,
                                        bias_b, bias_h, row_map is not None,
                                        combined, block_map is not None)

@@ -27,7 +27,7 @@ def _rand_case(rng, B=2, H=4, K=256, D=8):
 
 
 class TestKernelMath:
-    @pytest.mark.parametrize("block_k", [64, 128, 256])
+    @pytest.mark.parametrize("block_k", [128, 256])
     def test_matches_reference(self, block_k):
         rng = np.random.RandomState(0)
         q, kq, ks, vq, vs, bias = _rand_case(rng)
@@ -47,7 +47,7 @@ class TestKernelMath:
         ref = cross_decode_reference(
             q, kq[:, :real_k], ks[:, :, :real_k], vq[:, :real_k],
             vs[:, :, :real_k], bias[:, :, :real_k])
-        got = cross_decode_mxu(q, kq, ks, vq, vs, bias, block_k=64)
+        got = cross_decode_mxu(q, kq, ks, vq, vs, bias, block_k=128)
         err = float(jnp.max(jnp.abs(got.astype(jnp.float32)
                                     - ref.astype(jnp.float32))))
         scale = float(jnp.max(jnp.abs(ref.astype(jnp.float32))))
@@ -66,8 +66,8 @@ class TestKernelMath:
             cross_decode_mxu_int4, pack_int4)
 
         rng = np.random.RandomState(2)
-        B, SEG = 4, 64
-        q, kq, ks, vq, vs, bias = _rand_case(rng, B=B, K=256)
+        B, SEG = 4, 128
+        q, kq, ks, vq, vs, bias = _rand_case(rng, B=B, K=512)
         if int4:
             kq = jnp.clip(kq, -7, 7)
             vq = jnp.clip(vq, -7, 7)
@@ -105,8 +105,8 @@ class TestKernelMath:
             cross_decode_mxu_int4, pack_int4)
 
         rng = np.random.RandomState(3)
-        BK = 64
-        q, kq, ks, vq, vs, bias = _rand_case(rng, K=256)
+        BK = 128
+        q, kq, ks, vq, vs, bias = _rand_case(rng, K=512)
         if int4:
             kq = jnp.clip(kq, -7, 7)
             vq = jnp.clip(vq, -7, 7)
@@ -131,8 +131,8 @@ class TestKernelMath:
         segment bm[i] from row rm[b, bm[i]] equals the physical gather of
         the valid prefix."""
         rng = np.random.RandomState(4)
-        B, SEG = 4, 64
-        q, kq, ks, vq, vs, bias = _rand_case(rng, B=B, K=256)
+        B, SEG = 4, 128
+        q, kq, ks, vq, vs, bias = _rand_case(rng, B=B, K=512)
         step = 130
         bias = jnp.broadcast_to(bias, bias.shape).at[:, :, step + 1:].set(-1e9)
         n_seg = kq.shape[1] // SEG
@@ -249,7 +249,7 @@ class TestInt4Kernel:
         vs_hk = jnp.transpose(vs, (0, 2, 1))
         got = cross_decode_mxu_int4(
             q, pack_int4(kq.reshape(B, K, HD)), ks_hk,
-            pack_int4(vq.reshape(B, K, HD)), vs_hk, bias, block_k=64)
+            pack_int4(vq.reshape(B, K, HD)), vs_hk, bias, block_k=128)
 
         # exact reference on the dequantized int4 values
         kf = kq.astype(jnp.float32) * ks[..., None]
@@ -316,3 +316,31 @@ class TestInt4Kernel:
         assert outs[True].shape == outs[False].shape
         assert (outs[True] >= 0).all()
         assert np.mean(outs[True][:, 0] == outs[False][:, 0]) >= 0.5
+
+
+class TestMosaicLegality:
+    """_check_mosaic_blocks guards the TPU lowering path: illegal block
+    shapes must raise a clear trace-time error instead of Mosaic's cryptic
+    compile failure. Two historical bad cases are pinned."""
+
+    def test_block_64_scale_lane_rejected(self):
+        # block_k=64 puts 64 in the scale blocks' lane dim (the bug the
+        # _skip_kw 64-fallback would have hit on real TPU)
+        from markushgrapher_tpu.ops.mxu_decode import _check_mosaic_blocks
+        with pytest.raises(ValueError, match="not Mosaic-lowerable"):
+            _check_mosaic_blocks([("ks", (1, 16, 64), (48, 16, 1792))])
+
+    def test_sub128_combined_half_block_rejected(self):
+        # the OCR LM's 160-lane combined-int4 half blocks
+        from markushgrapher_tpu.ops.mxu_decode import _check_mosaic_blocks
+        with pytest.raises(ValueError, match="not Mosaic-lowerable"):
+            _check_mosaic_blocks([("kq", (1, 128, 160), (8, 512, 320))])
+
+    def test_serving_blocks_legal(self):
+        from markushgrapher_tpu.ops.mxu_decode import _check_mosaic_blocks
+        _check_mosaic_blocks([
+            ("q", (1, 16, 64), (48, 16, 64)),        # full dims
+            ("kq", (1, 1792, 1024), (48, 1792, 1024)),
+            ("ks", (1, 16, 128), (48, 16, 1792)),    # 128-lane blocks
+            ("bias", (1, 16, 128), (48, 16, 1792)),
+        ])

@@ -198,10 +198,18 @@ class TestEngine:
         """block_skip=True (valid-prefix ring reads; elides DMAs for ring
         blocks past the write index) must generate the SAME tokens as the
         full-ring read — the redirected tail blocks are masked by kv_mask,
-        so any drift is a wiring bug. The tiny ring pads to 128 so the
-        64-block map engages from step 0."""
+        so any drift is a wiring bug. The long prompt pushes the ring to
+        256 so the (Mosaic-legal, 128-only) block map actually engages:
+        the write index starts at 124, so step 0..3 elide block 1 and
+        later steps read the whole ring — both phases are covered."""
         cfg, _, params, pix, prompt = vlm
+        rng = np.random.RandomState(7)
+        prompt = jnp.asarray(rng.randint(3, 100, size=(2, 120)), jnp.int32)
         n_steps = 24
+        # non-vacuity: with this ring the 128-block map must engage
+        from markushgrapher_tpu.ocr.vlm import LMLayer
+        kw = LMLayer(cfg.text, jnp.float32, True)._skip_kw(256, 124)
+        assert kw and kw["block_k"] == 128 and kw["block_map"].shape == (2,)
         outs = {}
         for skip in (False, True):
             model = ChemicalOCRModel(cfg, dtype=jnp.float32, block_skip=skip)
