@@ -134,7 +134,7 @@ def _flash_kernel_i8(q_ref, k_ref, v_ref, bias_ref, scale_ref, mask_ref,
     tile — the HBM win is the halved bias slab reads across 24 layers."""
     q = q_ref[0].astype(jnp.float32)             # [BQ, D]
     bq, d = q.shape
-    scale = scale_ref[0, 0]
+    scale = scale_ref[0, 0, 0]
 
     def body(i, carry):
         m_prev, l_prev, acc = carry
@@ -144,7 +144,7 @@ def _flash_kernel_i8(q_ref, k_ref, v_ref, bias_ref, scale_ref, mask_ref,
         # unreliably; see mxu_decode int4 path)
         b = bias_ref[0, :, pl.ds(i * block_k, block_k)
                      ].astype(jnp.int32).astype(jnp.float32)
-        mk = mask_ref[0:1, pl.ds(i * block_k, block_k)]       # [1, BK]
+        mk = mask_ref[0, 0:1, pl.ds(i * block_k, block_k)]    # [1, BK]
         b = b * scale + jnp.where(mk > 0, 0.0, NEG_INF)
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())),
@@ -185,7 +185,11 @@ def flash_attention_bias_i8(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     kh = k.transpose(0, 2, 1, 3).reshape(batch * heads, kv_len, d)
     vh = v.transpose(0, 2, 1, 3).reshape(batch * heads, kv_len, d)
     bh = bias_i8.reshape(batch * heads, q_len, kv_len)
-    sc = jnp.broadcast_to(scales[:, None], (heads, 128)).astype(jnp.float32)
+    # 3D with a singleton sublane dim: a (1, 128) block over (heads, 128)
+    # is not Mosaic-lowerable (sublane 1 neither divisible by 8 nor equal
+    # to heads); (1, 1, 128) over (heads, 1, 128) is legal (dims equal)
+    sc = jnp.broadcast_to(scales[:, None, None],
+                          (heads, 1, 128)).astype(jnp.float32)
 
     out = pl.pallas_call(
         functools.partial(_flash_kernel_i8, block_k=block_k, kv_len=kv_len),
@@ -199,9 +203,9 @@ def flash_attention_bias_i8(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, block_q, kv_len), lambda i, j: (i, j, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 128), lambda i, j: (i % heads, 0),
+            pl.BlockSpec((1, 1, 128), lambda i, j: (i % heads, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, kv_len), lambda i, j: (i // heads, 0),
+            pl.BlockSpec((1, 1, kv_len), lambda i, j: (i // heads, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, block_q, d), lambda i, j: (i, j, 0),
@@ -209,7 +213,7 @@ def flash_attention_bias_i8(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
         out_shape=jax.ShapeDtypeStruct((batch * heads, q_len, d), q.dtype),
         interpret=(jax.default_backend() != "tpu") if interpret is None
         else interpret,
-    )(qh, kh, vh, bh, sc, key_mask.astype(jnp.int32))
+    )(qh, kh, vh, bh, sc, key_mask.astype(jnp.int32)[:, None, :])
     return out.reshape(batch, heads, q_len, d).transpose(0, 2, 1, 3)
 
 

@@ -67,6 +67,31 @@ class TestFlashInt8:
                                    atol=3e-5, rtol=1e-4)
 
 
+class TestMosaicLegalityI8:
+    def test_flagship_scale_blocks_legal(self):
+        """Regression: the original sc block (1, 128) over (heads, 128) and
+        mask block (1, kv_len) over (batch, kv_len) were not
+        Mosaic-lowerable at flagship scale (heads=16, batch=48) — interpret
+        mode hid it and the TPU bench crashed in the remote compile. The
+        3D singleton-sublane layouts used now must stay legal for every
+        operand at production shapes."""
+        from markushgrapher_tpu.ops.mxu_decode import _check_mosaic_blocks
+        import pytest as _pytest
+        B, H, L, D, BQ, BK = 48, 16, 1792, 64, 256, 512
+        _check_mosaic_blocks([
+            ("q", (1, BQ, D), (B * H, L, D)),
+            ("k", (1, L, D), (B * H, L, D)),
+            ("v", (1, L, D), (B * H, L, D)),
+            ("bias", (1, BQ, L), (B * H, L, L)),
+            ("sc", (1, 1, 128), (H, 1, 128)),
+            ("mask", (1, 1, L), (B, 1, L)),
+            ("o", (1, BQ, D), (B * H, L, D)),
+        ])
+        # the historical bad operand is rejected
+        with _pytest.raises(ValueError, match="not Mosaic-lowerable"):
+            _check_mosaic_blocks([("sc", (1, 128), (H, 128))])
+
+
 class TestModelInt8Bias:
     @pytest.fixture(scope="class")
     def setup(self):
