@@ -24,8 +24,10 @@ fills.
 
 Env: BENCH_E2E_BATCH (16), BENCH_MG_BATCH (48), BENCH_OCR_TOKENS (512),
 BENCH_DECODE_LEN (512), BENCH_REPEATS (2), BENCH_QUANT_KV (1),
-BENCH_QUANT_W (1), BENCH_INT4 (1, both stages), BENCH_PIPELINED (1),
-BENCH_PIPELINE_DEPTH (4).
+BENCH_QUANT_W (1), BENCH_INT4 (1, both stages; BENCH_OCR_INT4 overrides
+stage 1), BENCH_BLOCK_SKIP (0; BENCH_OCR_SKIP / BENCH_MG_SKIP override
+per stage), BENCH_PIPELINED (1), BENCH_PIPELINE_DEPTH (4), BENCH_DIAG (0:
+print per-stage standalone throughputs to stderr).
 """
 
 from __future__ import annotations
@@ -93,11 +95,23 @@ def main() -> None:
     quant_kv = os.environ.get("BENCH_QUANT_KV", "1") == "1"
     quant_w = os.environ.get("BENCH_QUANT_W", "1") == "1"
     int4 = os.environ.get("BENCH_INT4", "1") == "1"
+    # per-stage overrides: the two stages have different ring shapes and
+    # arithmetic intensity, so int4/skip tradeoffs differ — A/B them
+    # independently (BENCH_OCR_* for stage 1, BENCH_MG_* for stage 2)
+    ocr_int4 = os.environ.get("BENCH_OCR_INT4", "1" if int4 else "0") == "1"
     # valid-prefix ring reads: DMA-elide KV blocks past the decode write
     # index (exact — tail blocks are masked; tests/test_ocr.py,
     # tests/test_mxu_decode.py). Biggest for the OCR stage whose ring covers
-    # the full max_new_tokens from step 0.
-    block_skip = os.environ.get("BENCH_BLOCK_SKIP", "1") == "1"
+    # the full max_new_tokens from step 0; measured -19% on the MG driver
+    # bench at b48 (whole-slab tiles beat 128-blocked skip there).
+    block_skip = os.environ.get("BENCH_BLOCK_SKIP", "0") == "1"
+    ocr_skip = os.environ.get("BENCH_OCR_SKIP",
+                              "1" if block_skip else "0") == "1"
+    mg_skip = os.environ.get("BENCH_MG_SKIP",
+                             "1" if block_skip else "0") == "1"
+    # BENCH_DIAG=1: additionally measure each stage standalone (fenced) so a
+    # pipelined shortfall is attributable to a stage, not guessed at
+    diag = os.environ.get("BENCH_DIAG", "0") == "1"
     if mg_batch % ocr_batch:
         raise ValueError(f"BENCH_MG_BATCH {mg_batch} must be a multiple of "
                          f"BENCH_E2E_BATCH {ocr_batch}")
@@ -121,7 +135,7 @@ def main() -> None:
     else:
         ocr_cfg = OCRConfig(max_new_tokens=ocr_tokens)
     ocr_model = ChemicalOCRModel(ocr_cfg, dtype=jnp.bfloat16,
-                                 block_skip=block_skip)
+                                 block_skip=ocr_skip)
     mt = MarkushTokenizer()
     tok = mt.tokenizer
     prompt = jnp.asarray(tok.encode("Perform OCR on this chemical structure "
@@ -137,7 +151,7 @@ def main() -> None:
         ocr_model, ocr_params, tok,
         OCREngineConfig(max_new_tokens=ocr_tokens, batch_size=ocr_batch,
                         eos_id=-1, quant_kv=quant_kv,
-                        int4_kv=int4 and quant_kv,
+                        int4_kv=ocr_int4 and quant_kv,
                         quant_weights=quant_w))
 
     # ---- stage 2: MarkushGrapher ----
@@ -155,7 +169,7 @@ def main() -> None:
         cfg = MarkushGrapherConfig()
     model = MarkushGrapherModel(cfg, dtype=jnp.bfloat16, flash_attention=True,
                                 int4_cross=int4 and quant_kv,
-                                block_skip=block_skip)
+                                block_skip=mg_skip)
     encoder = SampleEncoder(markush_tokenizer=mt,
                             max_seq_length=cfg.max_seq_length,
                             max_seq_length_decoder=decode_len)
@@ -260,6 +274,31 @@ def main() -> None:
         return int(stage2(params, collate(buf)))
 
     pipeline()  # compile + warm both programs
+
+    if diag:
+        import sys
+
+        # OCR stage standalone: fenced by the host readback in decode_ids
+        t0 = time.perf_counter()
+        for _ in range(ratio):
+            engine.decode_ids(engine.generate_batch_async(prep_ocr()))
+        ocr_dt = time.perf_counter() - t0
+        # host encode standalone (pool) on one OCR batch of texts
+        texts = engine.decode_ids(engine.generate_batch_async(prep_ocr()))
+        t0 = time.perf_counter()
+        samples = host_encode_samples(texts) * ratio
+        enc_dt = time.perf_counter() - t0
+        # MG stage standalone
+        batch1 = collate(samples[:mg_batch])
+        t0 = time.perf_counter()
+        int(stage2(params, batch1))
+        mg_dt = time.perf_counter() - t0
+        print(json.dumps({
+            "diag": "per-stage img/s/chip",
+            "ocr": round(mg_batch / ocr_dt, 3),
+            "host_encode": round(mg_batch / (enc_dt * ratio), 3),
+            "mg": round(mg_batch / mg_dt, 3),
+        }), file=sys.stderr, flush=True)
 
     times = []
     for _ in range(repeats):
