@@ -127,6 +127,10 @@ def main() -> None:
     # 3.47 — dequant > saved reads while KV dominated) but +0.8-8% once the
     # MXU kernel shrank KV traffic; DEFAULT (gated by test_learning.py)
     quant_w = os.environ.get("BENCH_QUANT_W", "1") == "1"
+    # BENCH_W_INT4=1: native-int4 decode weights (lm_head stays int8) —
+    # halves the ~450 MB/step weight reads vs int8; gated by
+    # test_learning.py::TestQuantizationGate::test_int4_kv_int4_weights
+    weight_bits = 4 if os.environ.get("BENCH_W_INT4", "0") == "1" else 8
 
     num_beams = int(os.environ.get("BENCH_BEAMS", "1"))
 
@@ -140,11 +144,13 @@ def main() -> None:
             out, _ = beam_generate(model, params, enc, enc_mask, decode_len,
                                    num_beams=num_beams, eos_id=-1,
                                    quant_cross_kv=quant_kv,
-                                   quant_weights=quant_w)
+                                   quant_weights=quant_w,
+                                   weight_bits=weight_bits)
         else:
             out = greedy_generate(model, params, enc, enc_mask, decode_len,
                                   eos_id=-1, quant_cross_kv=quant_kv,
-                                  quant_weights=quant_w)
+                                  quant_weights=quant_w,
+                                  weight_bits=weight_bits)
         return jnp.sum(out).astype(jnp.int32)
 
     int(run(params, batch))  # compile + warmup, fenced by readback

@@ -288,8 +288,14 @@ def main() -> None:
         t0 = time.perf_counter()
         samples = host_encode_samples(texts) * ratio
         enc_dt = time.perf_counter() - t0
-        # MG stage standalone
+        # MG stage standalone. Two timed calls: the r3f TPU run measured a
+        # one-off 1067 s first diag call (vs ~5 s steady) — time both so a
+        # first-call anomaly (recompile/cache effect) is visible instead of
+        # poisoning the per-stage number.
         batch1 = collate(samples[:mg_batch])
+        t0 = time.perf_counter()
+        int(stage2(params, batch1))
+        mg_first = time.perf_counter() - t0
         t0 = time.perf_counter()
         int(stage2(params, batch1))
         mg_dt = time.perf_counter() - t0
@@ -298,6 +304,8 @@ def main() -> None:
             "ocr": round(mg_batch / ocr_dt, 3),
             "host_encode": round(mg_batch / (enc_dt * ratio), 3),
             "mg": round(mg_batch / mg_dt, 3),
+            "mg_first_call_s": round(mg_first, 2),
+            "stage2_compiles": stage2._cache_size(),
         }), file=sys.stderr, flush=True)
 
     times = []

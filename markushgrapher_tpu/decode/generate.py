@@ -63,17 +63,20 @@ def greedy_generate(
     start_id: int = 0,
     quant_cross_kv: bool = False,
     quant_weights: bool = False,
+    weight_bits: int = 8,
 ) -> jnp.ndarray:
     """Returns generated ids [B, max_length] (EOS-padded).
 
     quant_cross_kv stores the cross-attention cache int8 (the dominant
     decode HBM traffic); quant_weights additionally reads all decode-step
-    weights (decoder projections/FF + lm_head) as int8 with per-channel
-    scales. Outputs may differ from full precision on near-ties."""
+    weights (decoder projections/FF + lm_head) as int8 — or native int4
+    with weight_bits=4 — with per-channel scales. Outputs may differ from
+    full precision on near-ties."""
     batch = enc.shape[0]
     caches = model.apply(params, enc, max_length, quant_cross_kv,
                          method=type(model).init_cache)
-    qw = (model.apply(params, method=type(model).quantize_weights)
+    qw = (model.apply(params, weight_bits,
+                      method=type(model).quantize_weights)
           if quant_weights else None)
     bias_full = model.apply(params, max_length,
                             method=type(model).full_decoder_bias)
@@ -165,6 +168,7 @@ def beam_generate(
     early_stopping: bool = False,
     quant_cross_kv: bool = False,
     quant_weights: bool = False,
+    weight_bits: int = 8,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Fixed-shape beam search with HF `_beam_search` semantics
     (transformers/generation/utils.py:3113-3404): per step the top 2K of the
@@ -199,7 +203,8 @@ def beam_generate(
         caches = model.apply(params, enc_k, max_length, quant_cross_kv,
                              method=type(model).init_cache)
         cross_bias = mask_bias(mask_k)
-    qw = (model.apply(params, method=type(model).quantize_weights)
+    qw = (model.apply(params, weight_bits,
+                      method=type(model).quantize_weights)
           if quant_weights else None)
     bias_full = model.apply(params, max_length,
                             method=type(model).full_decoder_bias)
@@ -333,6 +338,7 @@ def generate(
     start_id: int = 0,
     quant_cross_kv: bool = False,
     quant_weights: bool = False,
+    weight_bits: int = 8,
 ) -> jnp.ndarray:
     """Encode + decode in one call (jit-friendly; model/static args frozen via
     closure). `batch` needs input_ids/bbox/attention_mask and the pixel
@@ -345,11 +351,13 @@ def generate(
         return greedy_generate(model, params, enc, enc_mask, max_length,
                                eos_id, pad_id, start_id,
                                quant_cross_kv=quant_cross_kv,
-                               quant_weights=quant_weights)
+                               quant_weights=quant_weights,
+                               weight_bits=weight_bits)
     ids, _ = beam_generate(model, params, enc, enc_mask, max_length,
                            num_beams, eos_id, pad_id, start_id,
                            quant_cross_kv=quant_cross_kv,
-                           quant_weights=quant_weights)
+                           quant_weights=quant_weights,
+                           weight_bits=weight_bits)
     return ids
 
 

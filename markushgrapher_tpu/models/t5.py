@@ -45,13 +45,19 @@ def _quantize_kv4(t: jnp.ndarray):
     return q, scale.astype(jnp.float32)[..., 0]
 
 
-def _quantize_w(w: jnp.ndarray, contract_axes: Tuple[int, ...]):
-    """Weight-only symmetric int8 quantization, one scale per OUTPUT channel
-    (per-channel scales commute with the contraction, so dequantization is a
-    cheap multiply on the [B, 1, out] result instead of on the full weight)."""
+def _quantize_w(w: jnp.ndarray, contract_axes: Tuple[int, ...],
+                bits: int = 8):
+    """Weight-only symmetric int8/int4 quantization, one scale per OUTPUT
+    channel (per-channel scales commute with the contraction, so
+    dequantization is a cheap multiply on the [B, 1, out] result instead of
+    on the full weight). bits=4 stores a native jnp.int4 array — XLA:TPU
+    reads it packed (half the HBM traffic of int8) and the convert fuses
+    into the consuming dot."""
     wf = w.astype(jnp.float32)
-    s = jnp.max(jnp.abs(wf), axis=contract_axes, keepdims=True) / 127.0 + 1e-12
-    q = jnp.round(wf / s).astype(jnp.int8)
+    lim = 7.0 if bits == 4 else 127.0
+    s = jnp.max(jnp.abs(wf), axis=contract_axes, keepdims=True) / lim + 1e-12
+    q = jnp.clip(jnp.round(wf / s), -lim, lim)
+    q = q.astype(jnp.int4 if bits == 4 else jnp.int8)
     return q, jnp.squeeze(s, contract_axes)
 
 
@@ -411,22 +417,23 @@ class DecoderLayer(nn.Module):
         k = mod.variables["params"]["kernel"]
         return k.value if hasattr(k, "value") else k
 
-    def quantize_weights(self) -> Dict[str, jnp.ndarray]:
-        """int8-quantize every weight the decode step reads (per-output-channel
-        scales). Decode is HBM-bound; after the int8 KV caches, the remaining
-        per-step traffic is these ~14M params/layer — int8 halves it vs bf16.
-        Built once per generate call, read by `decode_step(..., qw=...)`."""
+    def quantize_weights(self, bits: int = 8) -> Dict[str, jnp.ndarray]:
+        """Quantize every weight the decode step reads (per-output-channel
+        scales, int8 or native-int4). Decode is HBM-bound; after the int4 KV
+        caches, the remaining per-step traffic is these ~14M params/layer —
+        int8 halves it vs bf16 and int4 halves it again. Built once per
+        generate call, read by `decode_step(..., qw=...)`."""
         qw = {}
         w = jnp.stack([self._kernel_of(self.self_attn.q),
                        self._kernel_of(self.self_attn.k),
                        self._kernel_of(self.self_attn.v)], axis=1)  # [D,3,H,Dk]
-        qw["qkv_q"], qw["qkv_s"] = _quantize_w(w, (0,))
+        qw["qkv_q"], qw["qkv_s"] = _quantize_w(w, (0,), bits)
         qw["self_o_q"], qw["self_o_s"] = _quantize_w(
-            self._kernel_of(self.self_attn.o), (0, 1))
+            self._kernel_of(self.self_attn.o), (0, 1), bits)
         qw["cross_q_q"], qw["cross_q_s"] = _quantize_w(
-            self._kernel_of(self.cross_attn.q), (0,))
+            self._kernel_of(self.cross_attn.q), (0,), bits)
         qw["cross_o_q"], qw["cross_o_s"] = _quantize_w(
-            self._kernel_of(self.cross_attn.o), (0, 1))
+            self._kernel_of(self.cross_attn.o), (0, 1), bits)
         ff_params = self.ff.variables["params"]
 
         def ff_kernel(name):
@@ -434,11 +441,13 @@ class DecoderLayer(nn.Module):
             return k.value if hasattr(k, "value") else k
 
         if self.ff_proj == "gated-gelu":
-            qw["wi_0_q"], qw["wi_0_s"] = _quantize_w(ff_kernel("wi_0"), (0,))
-            qw["wi_1_q"], qw["wi_1_s"] = _quantize_w(ff_kernel("wi_1"), (0,))
+            qw["wi_0_q"], qw["wi_0_s"] = _quantize_w(
+                ff_kernel("wi_0"), (0,), bits)
+            qw["wi_1_q"], qw["wi_1_s"] = _quantize_w(
+                ff_kernel("wi_1"), (0,), bits)
         else:
-            qw["wi_q"], qw["wi_s"] = _quantize_w(ff_kernel("wi"), (0,))
-        qw["wo_q"], qw["wo_s"] = _quantize_w(ff_kernel("wo"), (0,))
+            qw["wi_q"], qw["wi_s"] = _quantize_w(ff_kernel("wi"), (0,), bits)
+        qw["wo_q"], qw["wo_s"] = _quantize_w(ff_kernel("wo"), (0,), bits)
         return qw
 
     def _fused_self_qkv(self, h, qw=None):
@@ -770,8 +779,8 @@ class Decoder(nn.Module):
         return [layer.init_cache(enc, max_len, quant_cross, self_rows)
                 for layer in self.layers]
 
-    def quantize_weights(self):
-        return [layer.quantize_weights() for layer in self.layers]
+    def quantize_weights(self, bits: int = 8):
+        return [layer.quantize_weights(bits) for layer in self.layers]
 
     def decode_step(self, x, caches, step, self_bias_row, cross_bias,
                     qw=None, row_map=None):
