@@ -131,6 +131,14 @@ def main() -> None:
     # halves the ~450 MB/step weight reads vs int8; gated by
     # test_learning.py::TestQuantizationGate::test_int4_kv_int4_weights
     weight_bits = 4 if os.environ.get("BENCH_W_INT4", "0") == "1" else 8
+    # BENCH_W_ACT8=1: W8A8 decode dots — native s8 x s8 MXU, activations
+    # quantized per row in-loop. The int8-weight convert path is
+    # CONVERSION-bound (227 GB/s effective, scripts/microbench_w4.py);
+    # this removes the convert. Gated by
+    # test_learning.py::TestQuantizationGate::test_int8_kv_w8a8
+    act_quant = os.environ.get("BENCH_W_ACT8", "0") == "1"
+    if act_quant:
+        weight_bits = 8
 
     num_beams = int(os.environ.get("BENCH_BEAMS", "1"))
 
@@ -145,12 +153,14 @@ def main() -> None:
                                    num_beams=num_beams, eos_id=-1,
                                    quant_cross_kv=quant_kv,
                                    quant_weights=quant_w,
-                                   weight_bits=weight_bits)
+                                   weight_bits=weight_bits,
+                                   act_quant=act_quant)
         else:
             out = greedy_generate(model, params, enc, enc_mask, decode_len,
                                   eos_id=-1, quant_cross_kv=quant_kv,
                                   quant_weights=quant_w,
-                                  weight_bits=weight_bits)
+                                  weight_bits=weight_bits,
+                                  act_quant=act_quant)
         return jnp.sum(out).astype(jnp.int32)
 
     int(run(params, batch))  # compile + warmup, fenced by readback

@@ -99,6 +99,10 @@ def main() -> None:
     # arithmetic intensity, so int4/skip tradeoffs differ — A/B them
     # independently (BENCH_OCR_* for stage 1, BENCH_MG_* for stage 2)
     ocr_int4 = os.environ.get("BENCH_OCR_INT4", "1" if int4 else "0") == "1"
+    # BENCH_W_INT4=1: native-int4 decode weights in BOTH stages (lm_heads
+    # stay int8); opt-in until measured (gate:
+    # test_learning.py::TestQuantizationGate::test_int4_kv_int4_weights)
+    weight_bits = 4 if os.environ.get("BENCH_W_INT4", "0") == "1" else 8
     # valid-prefix ring reads: DMA-elide KV blocks past the decode write
     # index (exact — tail blocks are masked; tests/test_ocr.py,
     # tests/test_mxu_decode.py). Biggest for the OCR stage whose ring covers
@@ -152,7 +156,7 @@ def main() -> None:
         OCREngineConfig(max_new_tokens=ocr_tokens, batch_size=ocr_batch,
                         eos_id=-1, quant_kv=quant_kv,
                         int4_kv=ocr_int4 and quant_kv,
-                        quant_weights=quant_w))
+                        quant_weights=quant_w, weight_bits=weight_bits))
 
     # ---- stage 2: MarkushGrapher ----
     if tiny:
@@ -200,7 +204,7 @@ def main() -> None:
             batch["ocsr_pixel_values"], method=MarkushGrapherModel.encode)
         out = greedy_generate(model, params, enc, enc_mask, decode_len,
                               eos_id=-1, quant_cross_kv=quant_kv,
-                              quant_weights=quant_w)
+                              quant_weights=quant_w, weight_bits=weight_bits)
         return jnp.sum(out).astype(jnp.int32)
 
     # synthetic fallback cells: random weights emit no valid loc grammar, but

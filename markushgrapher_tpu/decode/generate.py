@@ -64,6 +64,7 @@ def greedy_generate(
     quant_cross_kv: bool = False,
     quant_weights: bool = False,
     weight_bits: int = 8,
+    act_quant: bool = False,
 ) -> jnp.ndarray:
     """Returns generated ids [B, max_length] (EOS-padded).
 
@@ -75,7 +76,7 @@ def greedy_generate(
     batch = enc.shape[0]
     caches = model.apply(params, enc, max_length, quant_cross_kv,
                          method=type(model).init_cache)
-    qw = (model.apply(params, weight_bits,
+    qw = (model.apply(params, weight_bits, act_quant,
                       method=type(model).quantize_weights)
           if quant_weights else None)
     bias_full = model.apply(params, max_length,
@@ -169,6 +170,7 @@ def beam_generate(
     quant_cross_kv: bool = False,
     quant_weights: bool = False,
     weight_bits: int = 8,
+    act_quant: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Fixed-shape beam search with HF `_beam_search` semantics
     (transformers/generation/utils.py:3113-3404): per step the top 2K of the
@@ -203,7 +205,7 @@ def beam_generate(
         caches = model.apply(params, enc_k, max_length, quant_cross_kv,
                              method=type(model).init_cache)
         cross_bias = mask_bias(mask_k)
-    qw = (model.apply(params, weight_bits,
+    qw = (model.apply(params, weight_bits, act_quant,
                       method=type(model).quantize_weights)
           if quant_weights else None)
     bias_full = model.apply(params, max_length,
@@ -339,6 +341,7 @@ def generate(
     quant_cross_kv: bool = False,
     quant_weights: bool = False,
     weight_bits: int = 8,
+    act_quant: bool = False,
 ) -> jnp.ndarray:
     """Encode + decode in one call (jit-friendly; model/static args frozen via
     closure). `batch` needs input_ids/bbox/attention_mask and the pixel
@@ -352,12 +355,14 @@ def generate(
                                eos_id, pad_id, start_id,
                                quant_cross_kv=quant_cross_kv,
                                quant_weights=quant_weights,
-                               weight_bits=weight_bits)
+                               weight_bits=weight_bits,
+                               act_quant=act_quant)
     ids, _ = beam_generate(model, params, enc, enc_mask, max_length,
                            num_beams, eos_id, pad_id, start_id,
                            quant_cross_kv=quant_cross_kv,
                            quant_weights=quant_weights,
-                           weight_bits=weight_bits)
+                           weight_bits=weight_bits,
+                           act_quant=act_quant)
     return ids
 
 

@@ -314,16 +314,18 @@ class MarkushGrapherModel(nn.Module):
                    quant_cross: bool = False, self_rows=None):
         return self.decoder.init_cache(enc, max_len, quant_cross, self_rows)
 
-    def quantize_weights(self, bits: int = 8):
+    def quantize_weights(self, bits: int = 8, act: bool = False):
         """int8/int4 decode-step weights (decoder projections/FF + lm_head),
         built once per generate call outside the decode loop. See
         t5._quantize_w. The lm_head stays int8 even at bits=4: its argmax is
         the decode output and the most tie-sensitive dot, while its traffic
-        (34 MB/step) is a small share of the ~450 MB/step weight reads."""
+        (34 MB/step) is a small share of the ~450 MB/step weight reads.
+        act=True marks the layer dicts for W8A8 s8 x s8 MXU decode dots
+        (t5._dot8); the lm_head keeps the convert path either way."""
         k = self.lm_head.variables["params"]["kernel"]
         k = k.value if hasattr(k, "value") else k
         lm_q, lm_s = _quantize_w(k, (0,))
-        return {"layers": self.decoder.quantize_weights(bits),
+        return {"layers": self.decoder.quantize_weights(bits, act),
                 "lm_head": {"q": lm_q, "s": lm_s}}
 
     def decode_step(

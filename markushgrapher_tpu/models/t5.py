@@ -69,6 +69,30 @@ def _deq(q: jnp.ndarray, dtype) -> jnp.ndarray:
     return jax.lax.optimization_barrier(q).astype(dtype)
 
 
+def _act_q8(x: jnp.ndarray, axes=(-1,)):
+    """Per-row dynamic int8 activation quantization (W8A8 decode dots):
+    symmetric amax scale over the contraction axes. Scale keeps full f32;
+    [B, 1] rows are tiny."""
+    xf = x.astype(jnp.float32)
+    s = jnp.max(jnp.abs(xf), axis=axes, keepdims=True) / 127.0 + 1e-12
+    return jnp.round(xf / s).astype(jnp.int8), s
+
+
+def _dot8(x: jnp.ndarray, w_q: jnp.ndarray, dims, act_axes=(-1,)):
+    """Native s8 x s8 MXU dot: the decode weight matmuls against int8
+    weights with an in-loop bf16 convert are CONVERSION-bound (~227 GB/s
+    effective, microbenched vs the 455 GB/s DMA floor — scripts/
+    microbench_w4.py); quantizing the activation row dynamically and using
+    the TPU's native int8 MXU path removes the convert entirely. Returns
+    the f32 accumulator scaled by the activation scale (caller applies the
+    per-output-channel weight scale)."""
+    aq, s = _act_q8(x, act_axes)
+    y = jax.lax.dot_general(aq, jax.lax.optimization_barrier(w_q), dims,
+                            preferred_element_type=jnp.int32)
+    s = jnp.squeeze(s, axis=act_axes)   # -> x's batch dims
+    return y.astype(jnp.float32) * s.reshape(s.shape + (1,) * (y.ndim - s.ndim))
+
+
 FLASH_BLOCK_Q, FLASH_BLOCK_K = 256, 512
 
 
@@ -417,13 +441,21 @@ class DecoderLayer(nn.Module):
         k = mod.variables["params"]["kernel"]
         return k.value if hasattr(k, "value") else k
 
-    def quantize_weights(self, bits: int = 8) -> Dict[str, jnp.ndarray]:
+    def quantize_weights(self, bits: int = 8,
+                         act: bool = False) -> Dict[str, jnp.ndarray]:
         """Quantize every weight the decode step reads (per-output-channel
         scales, int8 or native-int4). Decode is HBM-bound; after the int4 KV
         caches, the remaining per-step traffic is these ~14M params/layer —
         int8 halves it vs bf16 and int4 halves it again. Built once per
-        generate call, read by `decode_step(..., qw=...)`."""
-        qw = {}
+        generate call, read by `decode_step(..., qw=...)`.
+
+        act=True marks the dict for W8A8 decode dots (native s8 x s8 MXU,
+        activations quantized per row in-loop — see _dot8); requires
+        bits=8 (the MXU int8 path needs both operands int8)."""
+        if act and bits != 8:
+            raise ValueError("act-quantized decode dots require int8 "
+                             f"weights (got bits={bits})")
+        qw = {"act_s8": ()} if act else {}
         w = jnp.stack([self._kernel_of(self.self_attn.q),
                        self._kernel_of(self.self_attn.k),
                        self._kernel_of(self.self_attn.v)], axis=1)  # [D,3,H,Dk]
@@ -454,6 +486,10 @@ class DecoderLayer(nn.Module):
         """One matmul for q,k,v in the decode step: the kernel concat is
         loop-invariant so XLA hoists it out of the while_loop, and the loop
         body runs 1 projection instead of 3 (decode is small-op bound)."""
+        if qw is not None and "act_s8" in qw:
+            y = _dot8(h, qw["qkv_q"], (((2,), (0,)), ((), ())))
+            qkv = (y * qw["qkv_s"][None, None]).astype(self.dtype)
+            return qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
         if qw is not None:
             qkv = jnp.einsum("bqd,dthk->bqthk", h, _deq(qw["qkv_q"], self.dtype))
             qkv = (qkv.astype(jnp.float32)
@@ -469,6 +505,10 @@ class DecoderLayer(nn.Module):
         """Output projection, optionally against int8 weights."""
         if qw is None:
             return attn.o(out)
+        if "act_s8" in qw:
+            y = _dot8(out, qw[key + "_q"], (((2, 3), (0, 1)), ((), ())),
+                      act_axes=(-2, -1))
+            return (y * qw[key + "_s"]).astype(self.dtype)
         y = jnp.einsum("bqhd,hdD->bqD", out, _deq(qw[key + "_q"], self.dtype))
         return (y.astype(jnp.float32) * qw[key + "_s"]).astype(self.dtype)
 
@@ -476,6 +516,22 @@ class DecoderLayer(nn.Module):
         """Decode-step feed-forward, optionally against int8 weights."""
         if qw is None:
             return self.ff(h, True)
+        if "act_s8" in qw:
+            aq, s = _act_q8(h)          # quantize h once for both wi dots
+            dg = lambda wq: (jax.lax.dot_general(  # noqa: E731
+                aq, jax.lax.optimization_barrier(wq),
+                (((2,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32).astype(jnp.float32) * s)
+            if self.ff_proj == "gated-gelu":
+                a = jax.nn.gelu((dg(qw["wi_0_q"])
+                                 * qw["wi_0_s"]).astype(self.dtype))
+                g = (dg(qw["wi_1_q"]) * qw["wi_1_s"]).astype(self.dtype)
+                mid = a * g
+            else:
+                mid = jax.nn.relu((dg(qw["wi_q"])
+                                   * qw["wi_s"]).astype(self.dtype))
+            y = _dot8(mid, qw["wo_q"], (((2,), (0,)), ((), ())))
+            return (y * qw["wo_s"]).astype(self.dtype)
         if self.ff_proj == "gated-gelu":
             a = jnp.einsum("bqd,df->bqf", h, _deq(qw["wi_0_q"], self.dtype))
             a = jax.nn.gelu((a.astype(jnp.float32)
@@ -596,6 +652,9 @@ class DecoderLayer(nn.Module):
     def _cross_q(self, h, qw):
         if qw is None:
             return self.cross_attn.q(h)
+        if "act_s8" in qw:
+            y = _dot8(h, qw["cross_q_q"], (((2,), (0,)), ((), ())))
+            return (y * qw["cross_q_s"][None, None]).astype(self.dtype)
         q = jnp.einsum("bqd,dhk->bqhk", h, _deq(qw["cross_q_q"], self.dtype))
         return (q.astype(jnp.float32)
                 * qw["cross_q_s"][None, None]).astype(self.dtype)
@@ -779,8 +838,8 @@ class Decoder(nn.Module):
         return [layer.init_cache(enc, max_len, quant_cross, self_rows)
                 for layer in self.layers]
 
-    def quantize_weights(self, bits: int = 8):
-        return [layer.quantize_weights(bits) for layer in self.layers]
+    def quantize_weights(self, bits: int = 8, act: bool = False):
+        return [layer.quantize_weights(bits, act) for layer in self.layers]
 
     def decode_step(self, x, caches, step, self_bias_row, cross_bias,
                     qw=None, row_map=None):

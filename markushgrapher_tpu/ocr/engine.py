@@ -37,6 +37,7 @@ class OCREngineConfig:
     quant_weights: bool = False     # int8 decode-step weights (serving mode)
     quant_kv: bool = False          # int8 KV caches (serving mode)
     int4_kv: bool = False           # pack the KV rings to int4 (needs quant_kv)
+    weight_bits: int = 8            # 4: native-int4 decode weights
 
 
 class ChemicalOCR:
@@ -62,7 +63,7 @@ class ChemicalOCR:
                 method=ChemicalOCRModel.prefill,
                 max_len=cfg.max_new_tokens, quant_kv=cfg.quant_kv,
                 int4=cfg.int4_kv)
-            qw = (model.apply(params,
+            qw = (model.apply(params, cfg.weight_bits,
                               method=ChemicalOCRModel.quantize_weights)
                   if cfg.quant_weights else None)
             batch = pixel_values.shape[0]

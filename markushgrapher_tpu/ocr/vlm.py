@@ -332,21 +332,22 @@ class LMLayer(nn.Module):
         k = mod.variables["params"]["kernel"]
         return k.value if hasattr(k, "value") else k
 
-    def quantize_weights(self):
-        """int8 decode-step weights with per-output-channel scales (same
+    def quantize_weights(self, bits: int = 8):
+        """int8/int4 decode-step weights with per-output-channel scales (same
         scheme as t5.DecoderLayer.quantize_weights — decode is HBM-bound on
         weight + KV reads). q/k/v stack along the head axis (GQA: q has
         num_heads, k/v num_kv_heads each); gate/up stack along a new axis."""
         qw = {}
         w = jnp.concatenate([self._kernel_of(self.q), self._kernel_of(self.k),
                              self._kernel_of(self.v)], axis=1)  # [D,H+2Hkv,d]
-        qw["qkv_q"], qw["qkv_s"] = _quantize_w(w, (0,))
-        qw["o_q"], qw["o_s"] = _quantize_w(self._kernel_of(self.o), (0, 1))
+        qw["qkv_q"], qw["qkv_s"] = _quantize_w(w, (0,), bits)
+        qw["o_q"], qw["o_s"] = _quantize_w(
+            self._kernel_of(self.o), (0, 1), bits)
         gu = jnp.stack([self._kernel_of(self.gate),
                         self._kernel_of(self.up)], axis=1)      # [D, 2, F]
-        qw["gu_q"], qw["gu_s"] = _quantize_w(gu, (0,))
+        qw["gu_q"], qw["gu_s"] = _quantize_w(gu, (0,), bits)
         qw["down_q"], qw["down_s"] = _quantize_w(
-            self._kernel_of(self.down), (0,))
+            self._kernel_of(self.down), (0,), bits)
         return qw
 
     def _skip_kw(self, ring_len, step):
@@ -603,12 +604,15 @@ class ChemicalOCRModel(nn.Module):
         logits = x[:, -1:] @ self.embed.T.astype(jnp.float32)
         return logits, caches, L0
 
-    def quantize_weights(self):
-        """int8 decode-step weights: every LM layer + the tied-embedding LM
-        head (per-vocab-row scales). Built once per generate, outside the
-        decode while_loop."""
+    def quantize_weights(self, bits: int = 8):
+        """int8/int4 decode-step weights: every LM layer + the tied-embedding
+        LM head (per-vocab-row scales; the head stays int8 even at bits=4 —
+        its argmax is the decode output and its 47 MB/step is a small share
+        of the ~315 MB/step layer-weight reads). Built once per generate,
+        outside the decode while_loop."""
         emb_q, emb_s = _quantize_w(self.embed, (1,))   # [V, D] i8, [V]
-        return {"layers": [layer.quantize_weights() for layer in self.layers],
+        return {"layers": [layer.quantize_weights(bits)
+                           for layer in self.layers],
                 "lm_head": {"q": emb_q, "s": emb_s}}
 
     def decode_step(self, token_ids, caches, step, prefix_len, qw=None):

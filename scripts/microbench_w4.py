@@ -70,12 +70,40 @@ def step(x, w):
     return jax.lax.fori_loop(0, LAYERS, layer, x)
 
 
-def bench(name, dtype):
+def _act_q(h):
+    """Per-row dynamic activation quantization to s8."""
+    s = jnp.max(jnp.abs(h.astype(jnp.float32)), -1, keepdims=True) / 127 + 1e-9
+    return jnp.round(h.astype(jnp.float32) / s).astype(jnp.int8), s
+
+
+def step_s8(x, w):
+    """Native s8 x s8 MXU dots: weights stay int8 end-to-end (no in-loop
+    convert — the microbenched int8 path above is CONVERSION-bound at
+    227 GB/s effective, not HBM-bound); activations are dynamically
+    quantized per row and the int32 accumulator is rescaled on the output."""
+    def dot8(h, wi):
+        aq, s = _act_q(h)
+        y = jax.lax.dot_general(
+            aq, jax.lax.optimization_barrier(wi), (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32)
+        return (y.astype(jnp.float32) * s).astype(jnp.bfloat16)
+
+    def layer(i, h):
+        qkv = dot8(h, w["qkv"][i])
+        a = dot8(qkv[:, :H * DK], w["o"][i])
+        a = a + dot8(qkv[:, :2 * H * DK], w["o2"][i])
+        g = dot8(h, w["wi"][i])
+        mid = jax.nn.gelu(g[:, :DFF]) * g[:, DFF:]
+        return (h + a + dot8(mid, w["wo"][i])).astype(jnp.bfloat16)
+    return jax.lax.fori_loop(0, LAYERS, layer, x)
+
+
+def bench(name, dtype, step_fn=step):
     @jax.jit
     def run(x, wf):
         w = quantize(wf, dtype)  # loop-invariant: hoisted, stored as dtype
         def body(_, h):
-            return step(h, w)
+            return step_fn(h, w)
         return jnp.sum(jax.lax.fori_loop(0, INNER, body, x)
                        .astype(jnp.float32)).astype(jnp.int32)
 
@@ -96,3 +124,4 @@ def bench(name, dtype):
 for name, dtype in (("int8", jnp.int8), ("int4", jnp.int4),
                     ("bf16", jnp.bfloat16)):
     bench(name, dtype)
+bench("s8xs8", jnp.int8, step_fn=step_s8)

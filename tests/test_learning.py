@@ -164,6 +164,19 @@ class TestQuantizationGate:
                               quant_cross_kv=True, quant_weights=True)
         assert _exact_matches(out, o["samples"], o["mt"]) >= f32_exact
 
+    def test_int4_kv_w8a8(self, overfit, f32_exact):
+        """int4 KV + W8A8 decode dots (int8 weights, per-row dynamically
+        quantized activations, native s8 x s8 MXU — t5._dot8). Gate: zero
+        lost CXSMILES exact matches."""
+        o = overfit
+        i4_model = MarkushGrapherModel(o["cfg"], dtype=jnp.float32,
+                                       int4_cross=True)
+        out = greedy_generate(i4_model, o["params"], o["enc"],
+                              o["enc_mask"], MAXDEC, eos_id=1,
+                              quant_cross_kv=True, quant_weights=True,
+                              act_quant=True)
+        assert _exact_matches(out, o["samples"], o["mt"]) >= f32_exact
+
     def test_int4_kv_int4_weights(self, overfit, f32_exact):
         """int4 KV + int4 decode weights (per-output-channel scales, native
         jnp.int4 storage; lm_head stays int8 — models/markushgrapher.py

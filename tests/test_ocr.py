@@ -163,6 +163,23 @@ class TestVLM:
         ref, got = np.asarray(ref), np.asarray(got)
         assert np.abs(ref - got).max() < 0.05 * np.abs(ref).max()
 
+    def test_int4_weight_decode_close(self, vlm):
+        """decode_step against native-int4 weights (per-channel scales,
+        lm_head int8) tracks full precision within int4 quantization error
+        (scale/2 per channel — a looser bound than int8's)."""
+        cfg, model, params, pix, prompt = vlm
+        _, caches, prefix_len = model.apply(
+            params, pix, prompt, method=ChemicalOCRModel.prefill, max_len=4)
+        qw = model.apply(params, 4, method=ChemicalOCRModel.quantize_weights)
+        assert qw["layers"][0]["qkv_q"].dtype == jnp.int4
+        tok = jnp.asarray([[7], [13]], jnp.int32)
+        ref, _ = model.apply(params, tok, caches, jnp.int32(0), prefix_len,
+                             method=ChemicalOCRModel.decode_step)
+        got, _ = model.apply(params, tok, caches, jnp.int32(0), prefix_len,
+                             qw, method=ChemicalOCRModel.decode_step)
+        ref, got = np.asarray(ref), np.asarray(got)
+        assert np.abs(ref - got).max() < 0.35 * np.abs(ref).max()
+
 
 class TestEngine:
     def test_generate_matches_teacher_forced_greedy(self, vlm):
