@@ -103,6 +103,10 @@ def main() -> None:
     # stay int8); opt-in until measured (gate:
     # test_learning.py::TestQuantizationGate::test_int4_kv_int4_weights)
     weight_bits = 4 if os.environ.get("BENCH_W_INT4", "0") == "1" else 8
+    # BENCH_W_ACT8=1: W8A8 s8 x s8 MXU decode dots in both stages
+    act_quant = os.environ.get("BENCH_W_ACT8", "0") == "1"
+    if act_quant:
+        weight_bits = 8
     # valid-prefix ring reads: DMA-elide KV blocks past the decode write
     # index (exact — tail blocks are masked; tests/test_ocr.py,
     # tests/test_mxu_decode.py). Biggest for the OCR stage whose ring covers
@@ -156,7 +160,8 @@ def main() -> None:
         OCREngineConfig(max_new_tokens=ocr_tokens, batch_size=ocr_batch,
                         eos_id=-1, quant_kv=quant_kv,
                         int4_kv=ocr_int4 and quant_kv,
-                        quant_weights=quant_w, weight_bits=weight_bits))
+                        quant_weights=quant_w, weight_bits=weight_bits,
+                        act_quant=act_quant))
 
     # ---- stage 2: MarkushGrapher ----
     if tiny:
@@ -204,7 +209,8 @@ def main() -> None:
             batch["ocsr_pixel_values"], method=MarkushGrapherModel.encode)
         out = greedy_generate(model, params, enc, enc_mask, decode_len,
                               eos_id=-1, quant_cross_kv=quant_kv,
-                              quant_weights=quant_w, weight_bits=weight_bits)
+                              quant_weights=quant_w, weight_bits=weight_bits,
+                              act_quant=act_quant)
         return jnp.sum(out).astype(jnp.int32)
 
     # synthetic fallback cells: random weights emit no valid loc grammar, but

@@ -38,6 +38,7 @@ class OCREngineConfig:
     quant_kv: bool = False          # int8 KV caches (serving mode)
     int4_kv: bool = False           # pack the KV rings to int4 (needs quant_kv)
     weight_bits: int = 8            # 4: native-int4 decode weights
+    act_quant: bool = False         # W8A8 s8 x s8 MXU decode dots
 
 
 class ChemicalOCR:
@@ -63,7 +64,7 @@ class ChemicalOCR:
                 method=ChemicalOCRModel.prefill,
                 max_len=cfg.max_new_tokens, quant_kv=cfg.quant_kv,
                 int4=cfg.int4_kv)
-            qw = (model.apply(params, cfg.weight_bits,
+            qw = (model.apply(params, cfg.weight_bits, cfg.act_quant,
                               method=ChemicalOCRModel.quantize_weights)
                   if cfg.quant_weights else None)
             batch = pixel_values.shape[0]

@@ -22,8 +22,9 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from markushgrapher_tpu.models.t5 import (RMSNorm, _deq, _quantize_kv,
-                                           _quantize_w, param_with_axes)
+from markushgrapher_tpu.models.t5 import (RMSNorm, _act_q8, _deq, _dot8,
+                                           _quantize_kv, _quantize_w,
+                                           param_with_axes)
 
 
 @dataclass(frozen=True)
@@ -332,12 +333,16 @@ class LMLayer(nn.Module):
         k = mod.variables["params"]["kernel"]
         return k.value if hasattr(k, "value") else k
 
-    def quantize_weights(self, bits: int = 8):
+    def quantize_weights(self, bits: int = 8, act: bool = False):
         """int8/int4 decode-step weights with per-output-channel scales (same
         scheme as t5.DecoderLayer.quantize_weights — decode is HBM-bound on
         weight + KV reads). q/k/v stack along the head axis (GQA: q has
-        num_heads, k/v num_kv_heads each); gate/up stack along a new axis."""
-        qw = {}
+        num_heads, k/v num_kv_heads each); gate/up stack along a new axis.
+        act=True marks the dict for W8A8 s8 x s8 MXU dots (t5._dot8)."""
+        if act and bits != 8:
+            raise ValueError("act-quantized decode dots require int8 "
+                             f"weights (got bits={bits})")
+        qw = {"act_s8": ()} if act else {}
         w = jnp.concatenate([self._kernel_of(self.q), self._kernel_of(self.k),
                              self._kernel_of(self.v)], axis=1)  # [D,H+2Hkv,d]
         qw["qkv_q"], qw["qkv_s"] = _quantize_w(w, (0,), bits)
@@ -349,6 +354,55 @@ class LMLayer(nn.Module):
         qw["down_q"], qw["down_s"] = _quantize_w(
             self._kernel_of(self.down), (0,), bits)
         return qw
+
+    def _qkv_decode(self, h, qw):
+        """Fused q/k/v projection for one decode step, optionally against
+        int8/int4 weights (or W8A8 s8 x s8 dots with the act_s8 marker)."""
+        if qw is None:
+            return self.q(h), self.k(h), self.v(h)
+        cfg = self.cfg
+        if "act_s8" in qw:
+            y = _dot8(h, qw["qkv_q"], (((2,), (0,)), ((), ())))
+            qkv = (y * qw["qkv_s"][None, None]).astype(self.dtype)
+        else:
+            qkv = jnp.einsum("bqd,dhk->bqhk", h,
+                             _deq(qw["qkv_q"], self.dtype))
+            qkv = (qkv.astype(jnp.float32)
+                   * qw["qkv_s"][None, None]).astype(self.dtype)
+        nh, nkv = cfg.num_heads, cfg.num_kv_heads
+        return (qkv[:, :, :nh], qkv[:, :, nh:nh + nkv],
+                qkv[:, :, nh + nkv:])
+
+    def _o_proj(self, attn_out, qw):
+        if qw is None:
+            return self.o(attn_out)
+        if "act_s8" in qw:
+            y = _dot8(attn_out, qw["o_q"], (((2, 3), (0, 1)), ((), ())),
+                      act_axes=(-2, -1))
+            return (y * qw["o_s"]).astype(self.dtype)
+        y = jnp.einsum("bqhd,hdD->bqD", attn_out, _deq(qw["o_q"], self.dtype))
+        return (y.astype(jnp.float32) * qw["o_s"]).astype(self.dtype)
+
+    def _mlp_decode(self, h, qw):
+        if qw is None:
+            return self.down(jax.nn.silu(self.gate(h)) * self.up(h))
+        if "act_s8" in qw:
+            aq, s = _act_q8(h)
+            gu = jax.lax.dot_general(
+                aq, jax.lax.optimization_barrier(qw["gu_q"]),
+                (((2,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32
+            ).astype(jnp.float32) * s[..., None]
+            gu = (gu * qw["gu_s"][None, None]).astype(self.dtype)
+            mid = jax.nn.silu(gu[:, :, 0]) * gu[:, :, 1]
+            y = _dot8(mid, qw["down_q"], (((2,), (0,)), ((), ())))
+            return (y * qw["down_s"]).astype(self.dtype)
+        gu = jnp.einsum("bqd,dtf->bqtf", h, _deq(qw["gu_q"], self.dtype))
+        gu = (gu.astype(jnp.float32)
+              * qw["gu_s"][None, None]).astype(self.dtype)
+        mid = jax.nn.silu(gu[:, :, 0]) * gu[:, :, 1]
+        y = jnp.einsum("bqf,fd->bqd", mid, _deq(qw["down_q"], self.dtype))
+        return (y.astype(jnp.float32) * qw["down_s"]).astype(self.dtype)
 
     def _skip_kw(self, ring_len, step):
         """Valid-prefix ring reads: ring positions past the write index
@@ -370,15 +424,7 @@ class LMLayer(nn.Module):
     def decode_step(self, x, cache, rope, position, step, kv_mask, qw=None):
         cfg = self.cfg
         h = self.ln_attn(x)
-        if qw is None:
-            q, k_new, v_new = self.q(h), self.k(h), self.v(h)
-        else:
-            qkv = jnp.einsum("bqd,dhk->bqhk", h, _deq(qw["qkv_q"], self.dtype))
-            qkv = (qkv.astype(jnp.float32)
-                   * qw["qkv_s"][None, None]).astype(self.dtype)
-            nh, nkv = cfg.num_heads, cfg.num_kv_heads
-            q, k_new, v_new = (qkv[:, :, :nh], qkv[:, :, nh:nh + nkv],
-                               qkv[:, :, nh + nkv:])
+        q, k_new, v_new = self._qkv_decode(h, qw)
         q = apply_rope(q, rope, position)
         k_new = apply_rope(k_new, rope, position)
         if "kv_q4" in cache or "k_q4" in cache:   # int4-packed rings
@@ -438,26 +484,8 @@ class LMLayer(nn.Module):
                     cache["v_q4"], cache["v_s4"],
                     kv_mask[:, 0],
                     **self._skip_kw(cache["k_q4"].shape[1], step))[:, None]
-            if qw is None:
-                y = self.o(attn_out)
-            else:
-                y = jnp.einsum("bqhd,hdD->bqD", attn_out,
-                               _deq(qw["o_q"], self.dtype))
-                y = (y.astype(jnp.float32) * qw["o_s"]).astype(self.dtype)
-            x = x + y
-            h = self.ln_mlp(x)
-            if qw is None:
-                x = x + self.down(jax.nn.silu(self.gate(h)) * self.up(h))
-            else:
-                gu = jnp.einsum("bqd,dtf->bqtf", h,
-                                _deq(qw["gu_q"], self.dtype))
-                gu = (gu.astype(jnp.float32)
-                      * qw["gu_s"][None, None]).astype(self.dtype)
-                mid = jax.nn.silu(gu[:, :, 0]) * gu[:, :, 1]
-                y = jnp.einsum("bqf,fd->bqd", mid,
-                               _deq(qw["down_q"], self.dtype))
-                x = x + (y.astype(jnp.float32)
-                         * qw["down_s"]).astype(self.dtype)
+            x = x + self._o_proj(attn_out, qw)
+            x = x + self._mlp_decode(self.ln_mlp(x), qw)
             return x, cache
         if "k_q" in cache:                        # int8 ring cache
             from markushgrapher_tpu.ops.mxu_decode import cross_decode_mxu
@@ -485,26 +513,8 @@ class LMLayer(nn.Module):
                 cache["v_q"], jnp.repeat(cache["v_s"], rep, axis=1),
                 kv_mask[:, 0],
                 **self._skip_kw(cache["k_q"].shape[1], step))[:, None]
-            if qw is None:
-                y = self.o(attn_out)
-            else:
-                y = jnp.einsum("bqhd,hdD->bqD", attn_out,
-                               _deq(qw["o_q"], self.dtype))
-                y = (y.astype(jnp.float32) * qw["o_s"]).astype(self.dtype)
-            x = x + y
-            h = self.ln_mlp(x)
-            if qw is None:
-                x = x + self.down(jax.nn.silu(self.gate(h)) * self.up(h))
-            else:
-                gu = jnp.einsum("bqd,dtf->bqtf", h,
-                                _deq(qw["gu_q"], self.dtype))
-                gu = (gu.astype(jnp.float32)
-                      * qw["gu_s"][None, None]).astype(self.dtype)
-                mid = jax.nn.silu(gu[:, :, 0]) * gu[:, :, 1]
-                y = jnp.einsum("bqf,fd->bqd", mid,
-                               _deq(qw["down_q"], self.dtype))
-                x = x + (y.astype(jnp.float32)
-                         * qw["down_s"]).astype(self.dtype)
+            x = x + self._o_proj(attn_out, qw)
+            x = x + self._mlp_decode(self.ln_mlp(x), qw)
             return x, cache
         k = jax.lax.dynamic_update_slice_in_dim(cache["k"], k_new, step, axis=1)
         v = jax.lax.dynamic_update_slice_in_dim(cache["v"], v_new, step, axis=1)
@@ -520,18 +530,8 @@ class LMLayer(nn.Module):
             probs = jax.nn.softmax(scores, -1).astype(self.dtype)
             out = jnp.einsum("bhqk,bkhd->bqhd", probs,
                              jnp.repeat(v, rep, axis=2))
-            y = jnp.einsum("bqhd,hdD->bqD", out, _deq(qw["o_q"], self.dtype))
-            x = x + (y.astype(jnp.float32) * qw["o_s"]).astype(self.dtype)
-        h = self.ln_mlp(x)
-        if qw is None:
-            x = x + self.down(jax.nn.silu(self.gate(h)) * self.up(h))
-        else:
-            gu = jnp.einsum("bqd,dtf->bqtf", h, _deq(qw["gu_q"], self.dtype))
-            gu = (gu.astype(jnp.float32)
-                  * qw["gu_s"][None, None]).astype(self.dtype)
-            mid = jax.nn.silu(gu[:, :, 0]) * gu[:, :, 1]
-            y = jnp.einsum("bqf,fd->bqd", mid, _deq(qw["down_q"], self.dtype))
-            x = x + (y.astype(jnp.float32) * qw["down_s"]).astype(self.dtype)
+            x = x + self._o_proj(out, qw)
+        x = x + self._mlp_decode(self.ln_mlp(x), qw)
         return x, {"k": k, "v": v}
 
 
@@ -604,14 +604,14 @@ class ChemicalOCRModel(nn.Module):
         logits = x[:, -1:] @ self.embed.T.astype(jnp.float32)
         return logits, caches, L0
 
-    def quantize_weights(self, bits: int = 8):
+    def quantize_weights(self, bits: int = 8, act: bool = False):
         """int8/int4 decode-step weights: every LM layer + the tied-embedding
         LM head (per-vocab-row scales; the head stays int8 even at bits=4 —
         its argmax is the decode output and its 47 MB/step is a small share
         of the ~315 MB/step layer-weight reads). Built once per generate,
         outside the decode while_loop."""
         emb_q, emb_s = _quantize_w(self.embed, (1,))   # [V, D] i8, [V]
-        return {"layers": [layer.quantize_weights(bits)
+        return {"layers": [layer.quantize_weights(bits, act)
                            for layer in self.layers],
                 "lm_head": {"q": emb_q, "s": emb_s}}
 

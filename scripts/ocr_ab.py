@@ -39,7 +39,7 @@ imgs = rng.rand(B, 512, 512, 3).astype(np.float32)
 params = None
 
 
-def run_cfg(name, quant_kv, int4_kv, quant_w=True, skip=SKIP):
+def run_cfg(name, quant_kv, int4_kv, quant_w=True, skip=SKIP, act=False):
     global params
     model = ChemicalOCRModel(ocr_cfg, dtype=jnp.bfloat16, block_skip=skip)
     if params is None:
@@ -54,7 +54,7 @@ def run_cfg(name, quant_kv, int4_kv, quant_w=True, skip=SKIP):
         model, params, tok,
         OCREngineConfig(max_new_tokens=STEPS, batch_size=B, eos_id=-1,
                         quant_kv=quant_kv, int4_kv=int4_kv,
-                        quant_weights=quant_w))
+                        quant_weights=quant_w, act_quant=act))
     t0 = time.time()
     s = int(jnp.sum(engine.generate_batch_async(imgs)))
     print(f"{name} warm: {s} {time.time()-t0:.1f}s", flush=True)
@@ -65,7 +65,11 @@ def run_cfg(name, quant_kv, int4_kv, quant_w=True, skip=SKIP):
           "ms/step)", flush=True)
 
 
-run_cfg("int4-mosaic", True, True)
-run_cfg("int8-mosaic", True, False)
-run_cfg("bf16-xla   ", False, False)
-run_cfg("bf16-xla-nw", False, False, quant_w=False)
+if os.environ.get("AB_W8A8_ONLY", "0") == "1":
+    run_cfg("int8-mosaic-w8a8", True, False, act=True)
+    run_cfg("int4-mosaic-w8a8", True, True, act=True)
+else:
+    run_cfg("int4-mosaic", True, True)
+    run_cfg("int8-mosaic", True, False)
+    run_cfg("bf16-xla   ", False, False)
+    run_cfg("bf16-xla-nw", False, False, quant_w=False)

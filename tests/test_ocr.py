@@ -180,6 +180,24 @@ class TestVLM:
         ref, got = np.asarray(ref), np.asarray(got)
         assert np.abs(ref - got).max() < 0.35 * np.abs(ref).max()
 
+    def test_w8a8_decode_close(self, vlm):
+        """decode_step with W8A8 dots (int8 weights + per-row dynamically
+        quantized activations, native s8 x s8 MXU — t5._dot8) tracks full
+        precision within combined int8 weight+activation error."""
+        cfg, model, params, pix, prompt = vlm
+        _, caches, prefix_len = model.apply(
+            params, pix, prompt, method=ChemicalOCRModel.prefill, max_len=4)
+        qw = model.apply(params, 8, True,
+                         method=ChemicalOCRModel.quantize_weights)
+        assert "act_s8" in qw["layers"][0]
+        tok = jnp.asarray([[7], [13]], jnp.int32)
+        ref, _ = model.apply(params, tok, caches, jnp.int32(0), prefix_len,
+                             method=ChemicalOCRModel.decode_step)
+        got, _ = model.apply(params, tok, caches, jnp.int32(0), prefix_len,
+                             qw, method=ChemicalOCRModel.decode_step)
+        ref, got = np.asarray(ref), np.asarray(got)
+        assert np.abs(ref - got).max() < 0.1 * np.abs(ref).max()
+
 
 class TestEngine:
     def test_generate_matches_teacher_forced_greedy(self, vlm):
