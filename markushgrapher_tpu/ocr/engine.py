@@ -59,6 +59,10 @@ class ChemicalOCR:
         model, cfg = self.model, self.cfg
 
         def gen(params, pixel_values, prompt_ids):
+            if pixel_values.dtype == jnp.uint8:
+                # uint8 device-resident pixels (4x less host->device traffic
+                # than f32; data/device_pixels.py) — normalize in-graph
+                pixel_values = pixel_values.astype(jnp.float32) / 255.0
             logits, caches, prefix_len = model.apply(
                 params, pixel_values, prompt_ids,
                 method=ChemicalOCRModel.prefill,
@@ -98,15 +102,23 @@ class ChemicalOCR:
 
         self._generate = jax.jit(gen)
 
-    def generate_batch_async(self, images: np.ndarray):
+    def generate_batch_async(self, images: np.ndarray,
+                             return_pixels: bool = False):
         """Dispatch OCR decode for a batch; returns the on-device id array
         WITHOUT blocking (JAX async dispatch) — lets callers pipeline the
-        next batch's device work behind host-side parsing of this one."""
+        next batch's device work behind host-side parsing of this one.
+
+        `images` may be f32 in [0,1] or uint8 (normalized in-graph; 4x less
+        transfer). With return_pixels=True also returns the device-resident
+        pixel array so a downstream stage can reuse it without re-uploading
+        (data/device_pixels.py)."""
         if self._generate is None:
             self._build()
         b = images.shape[0]
         prompt = jnp.tile(jnp.asarray(self.prompt_ids)[None], (b, 1))
-        return self._generate(self.params, jnp.asarray(images), prompt)
+        pix = jnp.asarray(images)
+        ids = self._generate(self.params, pix, prompt)
+        return (ids, pix) if return_pixels else ids
 
     def decode_ids(self, ids) -> List[str]:
         ids = np.asarray(jax.device_get(ids))
