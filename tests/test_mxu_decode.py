@@ -226,6 +226,47 @@ class TestModelIntegration:
                 quant_cross_kv=True))
         np.testing.assert_array_equal(outs[True], outs[False])
 
+    def test_block_skip_beam_identical(self):
+        """block_skip under BEAM search (valid-prefix reads COMPOSED with the
+        copy-on-write segment row map — mxu_decode._decode_specs' rm[b,bm[i]]
+        case) must produce the same sequences and scores as the full-ring
+        beam decode."""
+        import os
+        import sys
+
+        sys.path.insert(0, os.path.dirname(__file__))
+        from test_generate import tiny_cfg
+
+        from markushgrapher_tpu.decode.generate import beam_generate
+        from markushgrapher_tpu.models.markushgrapher import (
+            MarkushGrapherModel)
+
+        cfg = tiny_cfg()
+        rng = np.random.RandomState(7)
+        batch = dict(
+            input_ids=jnp.asarray(rng.randint(3, 30, size=(2, 4))),
+            bbox=jnp.asarray(rng.rand(2, 4, 4).astype(np.float32)),
+            attention_mask=jnp.ones((2, 4), jnp.int32),
+            labels=jnp.asarray(rng.randint(3, 30, size=(2, 8))),
+            pixel_values=jnp.asarray(
+                rng.rand(2, 32, 32, 3).astype(np.float32)),
+        )
+        outs = {}
+        for skip in (False, True):
+            model = MarkushGrapherModel(cfg, dtype=jnp.float32,
+                                        block_skip=skip)
+            params = model.init(jax.random.PRNGKey(0), **batch)
+            enc, enc_mask = model.apply(
+                params, batch["input_ids"], batch["bbox"],
+                batch["attention_mask"], batch["pixel_values"], None,
+                method=MarkushGrapherModel.encode)
+            ids, scores = beam_generate(
+                model, params, enc, enc_mask, 8, num_beams=3, eos_id=-1,
+                quant_cross_kv=True)
+            outs[skip] = (np.asarray(ids), np.asarray(scores))
+        np.testing.assert_array_equal(outs[True][0], outs[False][0])
+        np.testing.assert_allclose(outs[True][1], outs[False][1], atol=1e-5)
+
 
 class TestInt4Kernel:
     def test_matches_int4_reference(self):
