@@ -88,9 +88,9 @@ def main() -> None:
             image_size=cfg.vtl.image_size,
             ocsr_image_size=cfg.swin.image_size,
             max_seq_length=T, max_seq_length_decoder=8)
-        samples = [dict(ds[i % len(ds)], id=i) for i in range(batch_size)]
+        samples = [dict(ds[i % len(ds)]) for i in range(batch_size)]
         for s in samples:
-            s.pop("id", None)
+            s.pop("id", None)  # the collator stacks tensors only
         host = DataCollator(max_length=T, max_length_decoder=8)(samples)
         batch = {k: jnp.asarray(v) for k, v in host.items()
                  if k in ("input_ids", "bbox", "attention_mask")}

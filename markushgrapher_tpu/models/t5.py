@@ -558,23 +558,21 @@ class DecoderLayer(nn.Module):
         lands in the right row; the kernel resolves historical segments."""
         attn = self.self_attn
         q, k_new, v_new = self._fused_self_qkv(h, qw)   # [B, 1, H, Dk] each
+        from markushgrapher_tpu.ops.mxu_decode import valid_prefix_blocks
+
         kern_kw = {}
         ring = cache.get("self_kv_q4", cache.get("self_k_q"))
         ring_len = ring.shape[1] if ring is not None and ring.ndim == 3 else 0
         if row_map is not None:
+            # beam COW segments set the block size; the causal bias row
+            # (-1e9 on k > step) zeroes any skip-redirected tail data
             kern_kw = dict(row_map=row_map,
                            block_k=ring_len // row_map.shape[1])
-        elif self.block_skip and ring_len > 128 and ring_len % 128 == 0:
-            kern_kw = dict(block_k=128)
-        if (self.block_skip and kern_kw.get("block_k", 0)
-                and ring_len // kern_kw["block_k"] > 1):
-            # tail blocks past the decoded prefix repeat the last valid
-            # block: their DMAs are elided, and the causal bias row (-1e9
-            # on k > step) zeroes the repeated data's contribution
-            bk = kern_kw["block_k"]
-            kern_kw["block_map"] = jnp.minimum(
-                jnp.arange(ring_len // bk, dtype=jnp.int32),
-                jnp.asarray(step // bk, jnp.int32))
+            if self.block_skip:
+                kern_kw.update(valid_prefix_blocks(
+                    ring_len, step, kern_kw["block_k"]))
+        elif self.block_skip:
+            kern_kw = valid_prefix_blocks(ring_len, step, 128)
         if "self_kv_q4" in cache:
             # int4-packed COMBINED k||v self ring (rides the int4 kernel's
             # combined mode: one values tensor, one scales tensor)

@@ -40,6 +40,12 @@ class OCREngineConfig:
     weight_bits: int = 8            # 4: native-int4 decode weights
     act_quant: bool = False         # W8A8 s8 x s8 MXU decode dots
 
+    def __post_init__(self):
+        if self.int4_kv and not self.quant_kv:
+            raise ValueError(
+                "OCREngineConfig: int4_kv=True requires quant_kv=True — "
+                "prefill would silently build full bf16 caches otherwise")
+
 
 class ChemicalOCR:
     """Batched OCR inference engine."""
@@ -61,8 +67,10 @@ class ChemicalOCR:
         def gen(params, pixel_values, prompt_ids):
             if pixel_values.dtype == jnp.uint8:
                 # uint8 device-resident pixels (4x less host->device traffic
-                # than f32; data/device_pixels.py) — normalize in-graph
-                pixel_values = pixel_values.astype(jnp.float32) / 255.0
+                # than f32) — normalize in-graph per the shared contract
+                from markushgrapher_tpu.data.device_pixels import \
+                    ocr_from_uint8
+                pixel_values = ocr_from_uint8(pixel_values)
             logits, caches, prefix_len = model.apply(
                 params, pixel_values, prompt_ids,
                 method=ChemicalOCRModel.prefill,

@@ -405,21 +405,12 @@ class LMLayer(nn.Module):
         return (y.astype(jnp.float32) * qw["down_s"]).astype(self.dtype)
 
     def _skip_kw(self, ring_len, step):
-        """Valid-prefix ring reads: ring positions past the write index
-        `step` are masked by kv_mask (-inf), so redirecting their blocks to
-        the last valid block (block_map) elides the tail DMAs exactly."""
+        """Valid-prefix ring reads (ops/mxu_decode.valid_prefix_blocks);
+        here the tail positions are masked by kv_mask (-inf)."""
         if not self.block_skip:
             return {}
-        # 128 only: smaller blocks put a sub-128 size in the scale/bias
-        # blocks' lane dim, which Mosaic refuses to lower on real TPU
-        # (interpret mode accepts it — see _check_mosaic_blocks).
-        bk = 128
-        if ring_len > bk and ring_len % bk == 0:
-            n_k = ring_len // bk
-            return dict(block_k=bk, block_map=jnp.minimum(
-                jnp.arange(n_k, dtype=jnp.int32),
-                jnp.asarray(step // bk, jnp.int32)))
-        return {}
+        from markushgrapher_tpu.ops.mxu_decode import valid_prefix_blocks
+        return valid_prefix_blocks(ring_len, step, 128)
 
     def decode_step(self, x, cache, rope, position, step, kv_mask, qw=None):
         cfg = self.cfg

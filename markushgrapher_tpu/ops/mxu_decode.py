@@ -85,6 +85,26 @@ def pick_block_k(kv_len: int, hd: int,
         f"{vmem_budget >> 20}MB VMEM budget; pad kv_len to a 256-multiple")
 
 
+def valid_prefix_blocks(ring_len: int, step, block_k: int) -> dict:
+    """Kernel kwargs for valid-prefix ring reads: ring positions past the
+    decode write index `step` are masked (-1e9 causal bias / kv_mask), so
+    redirecting every tail block to the LAST VALID block via block_map
+    elides those DMAs exactly — the repeated data's contribution is zeroed
+    by the mask. Returns {} when the ring has <= 1 block (nothing to skip)
+    or block_k doesn't tile it.
+
+    block_k must stay 128 on real TPU for quantized rings: smaller blocks
+    put a sub-128 size in the scale/bias blocks' lane dim, which Mosaic
+    refuses to lower (interpret mode accepts it — see _check_mosaic_blocks).
+    Beam callers pass their COW segment size instead; the kernel composes
+    block_map with the row_map (models/t5._self_attend_quant)."""
+    if block_k <= 0 or ring_len % block_k or ring_len // block_k <= 1:
+        return {}
+    return dict(block_k=block_k, block_map=jnp.minimum(
+        jnp.arange(ring_len // block_k, dtype=jnp.int32),
+        jnp.asarray(step // block_k, jnp.int32)))
+
+
 def _expand_q(q_ref, mask, rep_t):
     """Block-diagonal Q built IN-KERNEL: q [H, D] -> [H, HD] where head h's
     query occupies its group's column block and off-blocks are zero.

@@ -103,6 +103,52 @@ def encoder_position_bias(
     return out
 
 
+def _bias_chunks(bbox: jnp.ndarray, seq_len: int, chunk: int):
+    """Shared scaffolding for the chunked builders: auto-size the query
+    chunk (256 up to batch 16 — fastest measured; 64 above, where the
+    gathers' lane-padded transients OOM 16 GB HBM with chunk 256) and split
+    positions / bbox centers into lax.scan inputs."""
+    if chunk <= 0:
+        chunk = 256 if bbox.shape[0] <= 16 else 64
+    if seq_len % chunk:
+        chunk = seq_len  # degenerate fallback
+    n_chunks = seq_len // chunk
+    positions = jnp.arange(seq_len, dtype=jnp.int32)
+    hx = (bbox[..., 0] + bbox[..., 2]) / 2.0   # [B, L]
+    vy = (bbox[..., 1] + bbox[..., 3]) / 2.0
+    pos_chunks = positions.reshape(n_chunks, chunk)
+    hx_chunks = jnp.moveaxis(hx.reshape(-1, n_chunks, chunk), 1, 0)
+    vy_chunks = jnp.moveaxis(vy.reshape(-1, n_chunks, chunk), 1, 0)
+    return (chunk, n_chunks, positions, hx, vy,
+            pos_chunks, hx_chunks, vy_chunks)
+
+
+def _chunk_buckets(positions, hx, vy, pos_q, hx_q, vy_q, *, num_buckets,
+                   max_distance_1d, rel2d_scaling, max_distance_2d):
+    """(b1, bh, bv) bucket indices for one query chunk — 1D sequence
+    distance plus horizontal/vertical bbox-center distance."""
+    rel = positions[None, :] - pos_q[:, None]
+    b1 = relative_position_bucket(rel, True, num_buckets, max_distance_1d)
+    relh = ((hx[:, None, :] - hx_q[:, :, None]) * rel2d_scaling
+            ).astype(jnp.int32)
+    bh = relative_position_bucket(relh, True, num_buckets, max_distance_2d)
+    relv = ((vy[:, None, :] - vy_q[:, :, None]) * rel2d_scaling
+            ).astype(jnp.int32)
+    bv = relative_position_bucket(relv, True, num_buckets, max_distance_2d)
+    return b1, bh, bv
+
+
+def _combined_table(t1, th, tv, num_buckets: int) -> jnp.ndarray:
+    """ONE combined table instead of three: tc[h, b1 + nb*bh + nb^2*bv]
+    pre-sums the three entries (same f32 add order as the per-table path,
+    so bit-identical), cutting the builders' dominant cost — the
+    [H, B, chunk, L] gather ops — 3x. nb=32 -> a 32768-entry table."""
+    ci = jnp.arange(num_buckets ** 3, dtype=jnp.int32)
+    return (t1[:, ci % num_buckets]
+            + th[:, (ci // num_buckets) % num_buckets]
+            + tv[:, ci // (num_buckets ** 2)])       # [H, nb^3]
+
+
 def encoder_position_bias_chunked(
     bias_1d_table: jnp.ndarray,
     bias_h_table: jnp.ndarray,
@@ -136,22 +182,10 @@ def encoder_position_bias_chunked(
     The one-shot builder (encoder_position_bias) allocates several f32
     [B,H,L,L] intermediates — >10 GB at batch 16 on the 831M model.
 
-    chunk=0 auto-sizes by batch: 256 up to batch 16 (fastest measured), 64
-    above (the table gathers' [B,chunk,L,H] transients pad the 16-wide head
-    dim to 128 lanes — 8x — and OOM 16 GB HBM at batch 32 with chunk 256)."""
-    if chunk <= 0:
-        chunk = 256 if bbox.shape[0] <= 16 else 64
-    if seq_len % chunk:
-        chunk = seq_len  # degenerate fallback
-    n_chunks = seq_len // chunk
-    positions = jnp.arange(seq_len, dtype=jnp.int32)
-    hx = (bbox[..., 0] + bbox[..., 2]) / 2.0   # [B, L]
-    vy = (bbox[..., 1] + bbox[..., 3]) / 2.0
+    chunk=0 auto-sizes by batch (_bias_chunks)."""
+    (chunk, n_chunks, positions, hx, vy,
+     pos_chunks, hx_chunks, vy_chunks) = _bias_chunks(bbox, seq_len, chunk)
     key_mask = attention_mask > 0              # [B, L]
-
-    pos_chunks = positions.reshape(n_chunks, chunk)
-    hx_chunks = jnp.moveaxis(hx.reshape(-1, n_chunks, chunk), 1, 0)
-    vy_chunks = jnp.moveaxis(vy.reshape(-1, n_chunks, chunk), 1, 0)
 
     batch = bbox.shape[0]
     num_heads = bias_1d_table.shape[-1]
@@ -172,27 +206,16 @@ def encoder_position_bias_chunked(
     t1 = bias_1d_table.T        # [H, num_buckets]
     th = bias_h_table.T
     tv = bias_v_table.T
-    # ONE combined gather per chunk instead of three: tc[h, b1 + nb*bh +
-    # nb^2*bv] pre-sums the three table entries (same f32 add order as the
-    # per-table path, so bit-identical), cutting the builder's dominant cost
-    # — the [H, B, chunk, L] gather ops — 3x. nb=32 -> a 32768-entry table.
     combined = num_buckets ** 3 <= 65536
     if combined:
-        ci = jnp.arange(num_buckets ** 3, dtype=jnp.int32)
-        tc = (t1[:, ci % num_buckets]
-              + th[:, (ci // num_buckets) % num_buckets]
-              + tv[:, ci // (num_buckets ** 2)])       # [H, nb^3]
+        tc = _combined_table(t1, th, tv, num_buckets)
 
     def one_chunk(acc, xs):
         idx, pos_q, hx_q, vy_q = xs   # [], [chunk], [B, chunk], [B, chunk]
-        rel = positions[None, :] - pos_q[:, None]
-        b1 = relative_position_bucket(rel, True, num_buckets, max_distance_1d)
-        relh = ((hx[:, None, :] - hx_q[:, :, None]) * rel2d_scaling
-                ).astype(jnp.int32)
-        bh = relative_position_bucket(relh, True, num_buckets, max_distance_2d)
-        relv = ((vy[:, None, :] - vy_q[:, :, None]) * rel2d_scaling
-                ).astype(jnp.int32)
-        bv = relative_position_bucket(relv, True, num_buckets, max_distance_2d)
+        b1, bh, bv = _chunk_buckets(
+            positions, hx, vy, pos_q, hx_q, vy_q, num_buckets=num_buckets,
+            max_distance_1d=max_distance_1d, rel2d_scaling=rel2d_scaling,
+            max_distance_2d=max_distance_2d)
         if combined:
             c = (b1[None] + num_buckets * bh
                  + (num_buckets ** 2) * bv)            # [B, chunk, L]
@@ -240,49 +263,30 @@ def encoder_position_bias_chunked_i8(
     writes shrink 2x too. Returns (bias_i8 [B,H,L,L], scales [H] f32).
 
     The padding mask is NOT baked in (no -1e9 in int8): consume with
-    ops.flash_attention.flash_attention_bias(..., bias_scales, key_mask).
+    ops.flash_attention.flash_attention_bias_i8(..., bias_scales, key_mask).
     Requires num_buckets**3 <= 65536 (the combined-table condition; 32^3
     holds for every UDOP config)."""
     if num_buckets ** 3 > 65536:
         raise ValueError("int8 bias needs the combined table "
                          f"(num_buckets^3 <= 65536, got {num_buckets})")
-    if chunk <= 0:
-        chunk = 256 if bbox.shape[0] <= 16 else 64
-    if seq_len % chunk:
-        chunk = seq_len
-    n_chunks = seq_len // chunk
-    positions = jnp.arange(seq_len, dtype=jnp.int32)
-    hx = (bbox[..., 0] + bbox[..., 2]) / 2.0   # [B, L]
-    vy = (bbox[..., 1] + bbox[..., 3]) / 2.0
-
-    pos_chunks = positions.reshape(n_chunks, chunk)
-    hx_chunks = jnp.moveaxis(hx.reshape(-1, n_chunks, chunk), 1, 0)
-    vy_chunks = jnp.moveaxis(vy.reshape(-1, n_chunks, chunk), 1, 0)
+    (chunk, n_chunks, positions, hx, vy,
+     pos_chunks, hx_chunks, vy_chunks) = _bias_chunks(bbox, seq_len, chunk)
 
     batch = bbox.shape[0]
     num_heads = bias_1d_table.shape[-1]
     acc0 = jnp.zeros((batch, num_heads, seq_len, seq_len), jnp.int8)
 
-    t1 = bias_1d_table.T        # [H, num_buckets]
-    th = bias_h_table.T
-    tv = bias_v_table.T
-    ci = jnp.arange(num_buckets ** 3, dtype=jnp.int32)
-    tc = (t1[:, ci % num_buckets]
-          + th[:, (ci // num_buckets) % num_buckets]
-          + tv[:, ci // (num_buckets ** 2)])           # [H, nb^3] f32
+    tc = _combined_table(bias_1d_table.T, bias_h_table.T, bias_v_table.T,
+                         num_buckets)                  # [H, nb^3] f32
     scales = jnp.max(jnp.abs(tc), axis=1) / 127.0 + 1e-12   # [H]
     tc_i8 = jnp.round(tc / scales[:, None]).astype(jnp.int8)
 
     def one_chunk(acc, xs):
         idx, pos_q, hx_q, vy_q = xs
-        rel = positions[None, :] - pos_q[:, None]
-        b1 = relative_position_bucket(rel, True, num_buckets, max_distance_1d)
-        relh = ((hx[:, None, :] - hx_q[:, :, None]) * rel2d_scaling
-                ).astype(jnp.int32)
-        bh = relative_position_bucket(relh, True, num_buckets, max_distance_2d)
-        relv = ((vy[:, None, :] - vy_q[:, :, None]) * rel2d_scaling
-                ).astype(jnp.int32)
-        bv = relative_position_bucket(relv, True, num_buckets, max_distance_2d)
+        b1, bh, bv = _chunk_buckets(
+            positions, hx, vy, pos_q, hx_q, vy_q, num_buckets=num_buckets,
+            max_distance_1d=max_distance_1d, rel2d_scaling=rel2d_scaling,
+            max_distance_2d=max_distance_2d)
         c = (b1[None] + num_buckets * bh
              + (num_buckets ** 2) * bv)                # [B, chunk, L]
         full = jnp.take(tc_i8, c, axis=1)              # [H, B, chunk, L] i8

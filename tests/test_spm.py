@@ -150,6 +150,33 @@ class TestModelProto:
             assert ours.encode(text, add_eos=False) == t.encode(text).ids
 
 
+class TestVocabularyLoader:
+    def test_duplicate_key_across_files_raises(self, tmp_path):
+        """The reference extends a list without dedup (set_vocabulary,
+        markush_tokenizer.py:276-281), so a key repeated across the ocsr_2
+        multi-file set would shift every later <other_N> id; the importer
+        fails loudly instead of silently re-indexing (ADVICE r2)."""
+        names = ["ocsr_vocab_atoms.json", "ocsr_vocab_bonds.json",
+                 "ocsr_vocab_chars.json"]
+        inventories = [["C", "N"], ["-", "="], ["(", "C"]]  # "C" repeats
+        for fn, keys in zip(names, inventories):
+            (tmp_path / fn).write_text(json.dumps(keys))
+        with pytest.raises(ValueError, match="duplicate vocabulary key 'C'"):
+            ref_vocab.load_reference_vocabulary("ocsr_2", vocab_dir=str(tmp_path))
+
+    def test_unique_keys_load_in_file_order(self, tmp_path):
+        names = ["ocsr_vocab_atoms.json", "ocsr_vocab_bonds.json",
+                 "ocsr_vocab_chars.json"]
+        inventories = [["C", "N"], ["-", "="], ["("]]
+        for fn, keys in zip(names, inventories):
+            (tmp_path / fn).write_text(json.dumps(keys))
+        full, atoms = ref_vocab.load_reference_vocabulary(
+            "ocsr_2", vocab_dir=str(tmp_path))
+        assert list(full) == ["C", "N", "-", "=", "("]
+        assert list(full.values()) == [0, 1, 2, 3, 4]
+        assert atoms == {"C": 0, "N": 1}
+
+
 @pytest.mark.skipif(not os.path.isdir(REF_VOCAB_DIR), reason="reference vocab not mounted")
 class TestReferenceVocabImport:
     def test_dispatch_table(self):
