@@ -46,11 +46,30 @@ def main() -> None:
     from markushgrapher_tpu.decode.generate import beam_generate, greedy_generate
     from markushgrapher_tpu.models.markushgrapher import MarkushGrapherModel
 
+    # sitecustomize pins the axon TPU platform at interpreter start; honor an
+    # explicit platform request (e.g. BENCH_PLATFORM=cpu for the CI smoke)
+    if os.environ.get("BENCH_PLATFORM"):
+        jax.config.update("jax_platforms", os.environ["BENCH_PLATFORM"])
+
     batch_size = int(os.environ.get("BENCH_BATCH", "48"))
     decode_len = int(os.environ.get("BENCH_DECODE_LEN", "512"))
     repeats = int(os.environ.get("BENCH_REPEATS", "3"))
 
-    cfg = MarkushGrapherConfig()
+    if os.environ.get("BENCH_TINY", "0") == "1":
+        # CI smoke mode (tests/test_bench.py): tiny model, same bench code —
+        # the driver records this script's output every round, so a bench.py
+        # regression must surface in CI, not on the TPU
+        from markushgrapher_tpu.config import SwinConfig, VTLConfig
+
+        cfg = MarkushGrapherConfig(
+            vtl=VTLConfig(vocab_size=33201, d_model=32, d_kv=8, d_ff=64,
+                          num_layers=1, num_decoder_layers=1, num_heads=4,
+                          image_size=64, patch_size=16, dropout_rate=0.0),
+            swin=SwinConfig(image_size=16, patch_size=2, embed_dim=8,
+                            depths=(1,), num_heads=(2,), window_size=4),
+            max_seq_length=64, max_seq_length_decoder=decode_len)
+    else:
+        cfg = MarkushGrapherConfig()
     model = MarkushGrapherModel(
         cfg, dtype=jnp.bfloat16,
         flash_attention=os.environ.get("BENCH_FLASH", "1") == "1",
