@@ -257,6 +257,41 @@ class TestBeamEdgeParity:
         np.testing.assert_allclose(np.asarray(j_scores), t_scores,
                                    rtol=2e-4, atol=2e-4)
 
+    @pytest.mark.parametrize("length_penalty", [0.6, 2.0])
+    def test_beam5_nondefault_length_penalty(self, length_penalty):
+        """Non-default length_penalty parity (PARITY.md gap: the shipped
+        configs only exercise 1.0). Small vocab so beams finish mid-decode
+        at different lengths — the penalty then actually reranks finished
+        hypotheses (score / len**penalty, HF generation/utils.py)."""
+        from markushgrapher_tpu.decode.generate import beam_generate
+
+        model, params, batch, hf, ti = _fresh_pair(12, vocab=12)
+        max_len = 24
+        with torch.no_grad():
+            t_out = hf.generate(
+                input_ids=ti["input_ids"], bbox=ti["bbox"],
+                attention_mask=ti["attention_mask"],
+                pixel_values=ti["pixel_values"],
+                max_new_tokens=max_len, num_beams=5, do_sample=False,
+                early_stopping=False, length_penalty=length_penalty,
+                return_dict_in_generate=True, output_scores=True)
+        t_ids = t_out.sequences.numpy()[:, 1:]
+        t_scores = t_out.sequences_scores.numpy()
+
+        enc, enc_mask = model.apply(
+            params, batch["input_ids"], batch["bbox"],
+            batch["attention_mask"], batch["pixel_values"], None,
+            method=MarkushGrapherModel.encode)
+        j_ids, j_scores = beam_generate(
+            model, params, enc, enc_mask, max_len, num_beams=5, eos_id=1,
+            pad_id=0, length_penalty=length_penalty)
+        j_ids = np.asarray(j_ids)
+        n = t_ids.shape[1]
+        np.testing.assert_array_equal(j_ids[:, :n], t_ids)
+        assert np.all(j_ids[:, n:] == 0)
+        np.testing.assert_allclose(np.asarray(j_scores), t_scores,
+                                   rtol=2e-4, atol=2e-4)
+
     def test_some_beam_finishes_mid_decode(self):
         """The scenario VERDICT flagged: an EOS lands mid-decode while other
         beams continue — guard that this case is actually exercised."""
