@@ -36,6 +36,25 @@ def test_driver_defaults_tiny():
     assert out["value"] > 0
 
 
+def test_train_bench_tiny():
+    """scripts/bench_train.py: the donated sharded train step (fwd + bwd +
+    ZeRO-sharded optimizer update, frozen OCSR encoder) times and reports."""
+    env = dict(
+        os.environ,
+        BENCH_TINY="1", BENCH_PLATFORM="cpu",
+        BENCH_TRAIN_BATCH="2", BENCH_TRAIN_SEQ="16",
+        BENCH_DECODER_LEN="8", BENCH_REPEATS="1")
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "scripts", "bench_train.py")],
+        capture_output=True, text=True, timeout=900, env=env)
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    lines = [l for l in proc.stdout.splitlines() if l.startswith("{")]
+    assert len(lines) == 1, proc.stdout
+    out = json.loads(lines[0])
+    assert out["metric"] == "train_examples_per_sec_per_chip"
+    assert out["value"] > 0
+
+
 def test_beam_w8a8_tiny():
     """The non-default corners together: beam-2 + W8A8 decode dots +
     block_skip + random inputs."""
