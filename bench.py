@@ -14,7 +14,9 @@ Env overrides: BENCH_BATCH (default 48 — measured optimum with the MXU
 cross-attention kernel; 16 was optimal on the XLA path), BENCH_DECODE_LEN (default 512),
 BENCH_REPEATS (default 3), BENCH_BEAMS (default 1), BENCH_QUANT_KV (1),
 BENCH_QUANT_W (1), BENCH_INT4 (1), BENCH_FLASH (1), BENCH_INKERNEL_BIAS (0),
-BENCH_BIAS_I8 (1), BENCH_BLOCK_SKIP (0 — measured -19% at b48).
+BENCH_BIAS_I8 (1), BENCH_BLOCK_SKIP (0 — measured -19% at b48),
+BENCH_BIAS_KERNEL (0 — one-hot MXU bias builder, unmeasured on TPU),
+BENCH_BIAS_RELAYOUT (kernel|xla).
 
 int4 KV + int8 weights is the default serving config: the end-task
 quantization gate (tests/test_learning.py::TestQuantizationGate) shows it
@@ -78,6 +80,12 @@ def main() -> None:
         # of flash tile reads. Measured 9.62 -> 9.75 img/s/chip at b48;
         # DEFAULT (greedy-sequence gate: tests/test_bias_i8.py)
         bias_int8=os.environ.get("BENCH_BIAS_I8", "1") == "1",
+        # one-hot MXU bias builder (ops.bias_build): replaces the XLA
+        # gather chain (~320 ms/batch at b48, device trace). Opt-in until
+        # measured on TPU; BENCH_BIAS_RELAYOUT=xla picks the transpose
+        # fallback if the in-kernel relayout doesn't lower
+        bias_kernel=os.environ.get("BENCH_BIAS_KERNEL", "0") == "1",
+        bias_kernel_relayout=os.environ.get("BENCH_BIAS_RELAYOUT", "kernel"),
         # int4 KV (cross slabs + self rings): halves the dominant slab
         # traffic vs int8; DEFAULT since the CXSMILES exact-match gate
         # (test_learning.py) cleared it

@@ -29,7 +29,7 @@ from markushgrapher_tpu.config import MarkushGrapherConfig
 from markushgrapher_tpu.models.swin import SwinEncoder
 from markushgrapher_tpu.models.t5 import (Decoder, Encoder, _deq,
                                            _quantize_w, param_with_axes)
-from markushgrapher_tpu.ops import relbias
+from markushgrapher_tpu.ops import bias_build, relbias
 from markushgrapher_tpu.ops.fusion import combine_image_text_embeddings
 
 
@@ -100,6 +100,17 @@ class MarkushGrapherModel(nn.Module):
     # head over the combined 1d+h+v table; error <= scale/2): halves both the
     # builder's gather writes and the 24 layers of flash tile reads
     bias_int8: bool = False
+    # build the int8 bias slab with the one-hot MXU pallas builder
+    # (ops.bias_build) instead of the XLA gather chain: the combined-table
+    # gather collects the 16-wide head slice minormost (8x lane-padded,
+    # ~320 ms/batch at b48); the kernel replaces it with iota-compare
+    # one-hots + stacked table dots. Falls back to the gather builder when
+    # heads/buckets aren't 8-multiples (tiny CI configs)
+    bias_kernel: bool = False
+    # bias_kernel relayout mode: "kernel" assembles consumer-layout tiles
+    # in-VMEM (permutation dot + sublane reshape); "xla" writes row-major
+    # tiles and transposes outside (always-lowerable fallback, ~11 ms)
+    bias_kernel_relayout: str = "kernel"
     # MXU-dot fused int8 cross-attention (ops.mxu_decode), default for
     # quant_cross_kv decode: 1.55x over the XLA int8 fusions at serving
     # shapes (scripts/microbench_cross.py)
@@ -219,12 +230,28 @@ class MarkushGrapherModel(nn.Module):
             elif use_flash and self.bias_int8:
                 # int8 bias slab (per-head scales, mask applied in-kernel):
                 # halves the dominant encoder bias traffic vs bf16
-                bias_i8, scales = relbias.encoder_position_bias_chunked_i8(
-                    self.enc_bias_1d, self.enc_bias_h, self.enc_bias_v,
-                    full_bbox.astype(jnp.float32), full_mask, seq_len,
-                    vtl.relative_attention_num_buckets,
-                    vtl.relative_attention_max_distance,
-                    vtl.rel2d_scaling_factor, vtl.rel2d_max_distance)
+                use_kernel_builder = (
+                    self.bias_kernel
+                    and vtl.num_heads % 8 == 0
+                    and vtl.relative_attention_num_buckets % 8 == 0
+                    and vtl.relative_attention_num_buckets ** 3 <= 65536)
+                if use_kernel_builder:
+                    # one-hot MXU builder (ops.bias_build): same scales and
+                    # slab contract as the gather builder, ~LSB-identical
+                    bias_i8, scales = bias_build.encoder_position_bias_kernel_i8(
+                        self.enc_bias_1d, self.enc_bias_h, self.enc_bias_v,
+                        full_bbox.astype(jnp.float32), full_mask, seq_len,
+                        vtl.relative_attention_num_buckets,
+                        vtl.relative_attention_max_distance,
+                        vtl.rel2d_scaling_factor, vtl.rel2d_max_distance,
+                        relayout=self.bias_kernel_relayout)
+                else:
+                    bias_i8, scales = relbias.encoder_position_bias_chunked_i8(
+                        self.enc_bias_1d, self.enc_bias_h, self.enc_bias_v,
+                        full_bbox.astype(jnp.float32), full_mask, seq_len,
+                        vtl.relative_attention_num_buckets,
+                        vtl.relative_attention_max_distance,
+                        vtl.rel2d_scaling_factor, vtl.rel2d_max_distance)
                 e2 = self.encoder(embeds, (bias_i8, scales, full_mask),
                                   None, deterministic)
             elif use_flash:

@@ -92,6 +92,82 @@ class TestMosaicLegalityI8:
             _check_mosaic_blocks([("sc", (1, 128), (H, 128))])
 
 
+class TestKernelBiasBuilder:
+    """One-hot MXU bias builder (ops.bias_build): same scales and slab
+    contract as the gather builder. The hi/lo bf16 table split leaves
+    ~2^-16-relative error vs the f32 table sum, so a tiny fraction of
+    knife-edge entries may differ by 1 LSB — bounded here; the end-task
+    arbiter stays the greedy-sequence gate below."""
+
+    def _build(self, H, mode, L=256, B=2, NB=32, seed=0):
+        from markushgrapher_tpu.ops.bias_build import (
+            encoder_position_bias_kernel_i8)
+        from markushgrapher_tpu.ops.relbias import (
+            encoder_position_bias_chunked_i8)
+
+        rng = np.random.RandomState(seed)
+        bbox = jnp.asarray(rng.rand(B, L, 4).astype(np.float32))
+        mask = jnp.ones((B, L), jnp.int32)
+        t1 = jnp.asarray(rng.randn(NB, H).astype(np.float32))
+        th = jnp.asarray(rng.randn(NB, H).astype(np.float32))
+        tv = jnp.asarray(rng.randn(NB, H).astype(np.float32))
+        ref, sref = encoder_position_bias_chunked_i8(
+            t1, th, tv, bbox, mask, L, NB, 128, 100, 100, chunk=64)
+        got, s = encoder_position_bias_kernel_i8(
+            t1, th, tv, bbox, mask, L, NB, 128, 100, 100, relayout=mode)
+        return ref, sref, got, s
+
+    @pytest.mark.parametrize("heads", [8, 16])
+    @pytest.mark.parametrize("mode", ["kernel", "xla"])
+    def test_matches_gather_builder(self, heads, mode):
+        ref, sref, got, s = self._build(heads, mode)
+        assert got.dtype == jnp.int8 and got.shape == ref.shape
+        # scales: same formula, different jit program (reduction-order ulp)
+        np.testing.assert_allclose(np.asarray(s), np.asarray(sref), rtol=1e-6)
+        d = np.abs(np.asarray(got, np.int32) - np.asarray(ref, np.int32))
+        assert d.max() <= 1, d.max()
+        assert (d > 0).mean() < 1e-3, (d > 0).mean()
+
+    def test_relayout_modes_identical(self):
+        _, _, a, _ = self._build(16, "kernel")
+        _, _, b, _ = self._build(16, "xla")
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_rejects_unsupported_shapes(self):
+        from markushgrapher_tpu.ops.bias_build import (
+            encoder_position_bias_kernel_i8)
+
+        bbox = jnp.zeros((1, 256, 4), jnp.float32)
+        mask = jnp.ones((1, 256), jnp.int32)
+        t = jnp.zeros((32, 4), jnp.float32)   # heads=4: not an 8-multiple
+        with pytest.raises(ValueError, match="8-multiple"):
+            encoder_position_bias_kernel_i8(
+                t, t, t, bbox, mask, 256, 32, 128, 100, 100)
+        t16 = jnp.zeros((32, 16), jnp.float32)
+        with pytest.raises(ValueError, match="seq_len"):
+            encoder_position_bias_kernel_i8(
+                t16, t16, t16, bbox[:, :200], mask[:, :200], 200, 32, 128,
+                100, 100)
+
+    def test_flagship_blocks_mosaic_legal(self):
+        """The kernel's production block shapes must satisfy Mosaic's
+        (8, 128)-divisible-or-full rule (interpret-mode CI can't catch
+        it; the int8 OUT tile additionally uses 32 rows for int8's
+        (32, 128) tiling)."""
+        from markushgrapher_tpu.ops.mxu_decode import _check_mosaic_blocks
+
+        B, H, L, NB = 48, 16, 1792, 32
+        CH = 8 * L
+        _check_mosaic_blocks([
+            ("b1", (1, 1, 1, CH), (1, L // 8, 1, CH)),
+            ("bh", (1, 1, 1, CH), (B, L // 8, 1, CH)),
+            ("t2", (2 * H, 3 * NB), (2 * H, 3 * NB)),
+            ("perm", (8 * H, 8 * H), (8 * H, 8 * H)),
+            ("out", (1, H, 32, L), (B, H, L, L)),
+            ("out_mixed", (1, 1, 8 * H, L), (B, L // 8, 8 * H, L)),
+        ])
+
+
 class TestModelInt8Bias:
     @pytest.fixture(scope="class")
     def setup(self):
@@ -162,3 +238,70 @@ class TestModelInt8Bias:
         out_f = greedy_generate(model_f32, params, enc_f, mask, 8, eos_id=1)
         out_q = greedy_generate(model_i8, params, enc_q, mask, 8, eos_id=1)
         assert (np.asarray(out_f) == np.asarray(out_q)).all()
+
+    def test_bias_kernel_fallback_heads4(self, setup):
+        """heads=4 isn't an 8-multiple: bias_kernel=True must silently use
+        the gather builder — encode matches the bias_int8 path exactly."""
+        from markushgrapher_tpu.models.markushgrapher import (
+            MarkushGrapherModel)
+
+        cfg, params, batch, _ = setup
+        args = (batch["input_ids"], batch["bbox"], batch["attention_mask"],
+                batch["pixel_values"], None)
+        m_i8 = MarkushGrapherModel(cfg, dtype=jnp.float32,
+                                   flash_attention=True, bias_int8=True)
+        m_k = MarkushGrapherModel(cfg, dtype=jnp.float32,
+                                  flash_attention=True, bias_int8=True,
+                                  bias_kernel=True)
+        enc_a, _ = m_i8.apply(params, *args,
+                              method=MarkushGrapherModel.encode)
+        enc_b, _ = m_k.apply(params, *args,
+                             method=MarkushGrapherModel.encode)
+        np.testing.assert_array_equal(np.asarray(enc_a), np.asarray(enc_b))
+
+
+class TestModelKernelBias:
+    def test_greedy_sequences_match_gather_builder(self):
+        """heads=8 engages the one-hot MXU builder: greedy decode from its
+        encode must emit the same sequences as the gather-builder encode
+        (the sequence-level serving gate, mirroring the bias_int8 gate)."""
+        from markushgrapher_tpu.config import (MarkushGrapherConfig,
+                                               SwinConfig, VTLConfig)
+        from markushgrapher_tpu.decode.generate import greedy_generate
+        from markushgrapher_tpu.models.markushgrapher import (
+            MarkushGrapherModel)
+
+        cfg = MarkushGrapherConfig(
+            vtl=VTLConfig(vocab_size=128, d_model=32, d_kv=4, d_ff=64,
+                          num_layers=1, num_decoder_layers=1, num_heads=8,
+                          image_size=64, patch_size=16, dropout_rate=0.0),
+            swin=SwinConfig(image_size=16, patch_size=2, embed_dim=8,
+                            depths=(1,), num_heads=(2,), window_size=4),
+            architecture_variant="none",
+            max_seq_length=496, max_seq_length_decoder=8)
+        rng = np.random.RandomState(3)
+        batch = dict(
+            input_ids=jnp.asarray(rng.randint(3, 120, size=(2, 496))),
+            bbox=jnp.asarray(rng.rand(2, 496, 4).astype(np.float32)),
+            attention_mask=jnp.ones((2, 496), jnp.int32),
+            labels=jnp.asarray(rng.randint(3, 120, size=(2, 8))),
+            pixel_values=jnp.asarray(
+                rng.rand(2, 64, 64, 3).astype(np.float32)),
+        )
+        m_i8 = MarkushGrapherModel(cfg, dtype=jnp.float32,
+                                   flash_attention=True, bias_int8=True)
+        params = m_i8.init(jax.random.PRNGKey(0), **batch)
+        args = (batch["input_ids"], batch["bbox"], batch["attention_mask"],
+                batch["pixel_values"], None)
+        enc_a, mask = m_i8.apply(params, *args,
+                                 method=MarkushGrapherModel.encode)
+        out_a = greedy_generate(m_i8, params, enc_a, mask, 8, eos_id=1)
+        for mode in ("kernel", "xla"):
+            m_k = MarkushGrapherModel(cfg, dtype=jnp.float32,
+                                      flash_attention=True, bias_int8=True,
+                                      bias_kernel=True,
+                                      bias_kernel_relayout=mode)
+            enc_b, _ = m_k.apply(params, *args,
+                                 method=MarkushGrapherModel.encode)
+            out_b = greedy_generate(m_k, params, enc_b, mask, 8, eos_id=1)
+            assert (np.asarray(out_a) == np.asarray(out_b)).all(), mode
