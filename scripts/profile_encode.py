@@ -28,7 +28,13 @@ TRACE = os.environ.get("PROF_DIR", "/tmp/trace_encode")
 
 cfg = MarkushGrapherConfig()
 model = MarkushGrapherModel(cfg, dtype=jnp.bfloat16, flash_attention=True,
-                            bias_int8=True, int4_cross=True)
+                            bias_int8=True, int4_cross=True,
+                            # PROF_BIAS_KERNEL=1: one-hot MXU bias builder
+                            # (ops.bias_build) instead of the gather chain
+                            bias_kernel=os.environ.get(
+                                "PROF_BIAS_KERNEL", "0") == "1",
+                            bias_kernel_relayout=os.environ.get(
+                                "PROF_BIAS_RELAYOUT", "kernel"))
 rng = np.random.RandomState(0)
 T = cfg.max_seq_length
 batch = dict(
