@@ -29,7 +29,10 @@ stage 1), BENCH_BLOCK_SKIP (0; BENCH_OCR_SKIP / BENCH_MG_SKIP override
 per stage), BENCH_PIPELINED (1), BENCH_PIPELINE_DEPTH (4), BENCH_DIAG (0:
 print per-stage standalone throughputs to stderr), BENCH_DEVICE_PIXELS (1:
 upload each image once as uint8; stage 2 reuses stage 1's device-resident
-pixels via data/device_pixels.py — no per-stage f32 re-upload).
+pixels via data/device_pixels.py — no per-stage f32 re-upload),
+BENCH_BIAS_I8 (1: int8 encoder bias slab, the driver-default encoder
+config), BENCH_BIAS_KERNEL (0: one-hot MXU bias builder),
+BENCH_BIAS_RELAYOUT (kernel|xla).
 """
 
 from __future__ import annotations
@@ -184,6 +187,16 @@ def main() -> None:
     else:
         cfg = MarkushGrapherConfig()
     model = MarkushGrapherModel(cfg, dtype=jnp.bfloat16, flash_attention=True,
+                                # int8 bias slab: the driver-default encoder
+                                # config (9.62 -> 9.75 there) — was missing
+                                # here, leaving the e2e MG encoder on the
+                                # bf16 slab path
+                                bias_int8=os.environ.get(
+                                    "BENCH_BIAS_I8", "1") == "1",
+                                bias_kernel=os.environ.get(
+                                    "BENCH_BIAS_KERNEL", "0") == "1",
+                                bias_kernel_relayout=os.environ.get(
+                                    "BENCH_BIAS_RELAYOUT", "kernel"),
                                 int4_cross=int4 and quant_kv,
                                 block_skip=mg_skip)
     encoder = SampleEncoder(markush_tokenizer=mt,
