@@ -1,11 +1,14 @@
 """Probe: fixed per-call overhead of sequential Mosaic custom-calls.
 
 Each 831M decode step issues ~48 pallas calls (24 cross + 24 self
-attention kernels); the OCR stage ~32. If Mosaic custom-call entry/exit
-costs tens of microseconds, that alone is >1 ms/step — and merging the
-cross+self kernels into one call per layer would halve it. This measures a
-chain of N dependency-serialized MINIMAL kernels (one [8, 128] f32 add per
-call, VMEM-resident operands) against the same math as one fused XLA chain,
+attention kernels); the OCR stage ~32. Within a layer self -> cross -> FF
+are data-dependent, so adjacent calls CANNOT be merged — if Mosaic
+custom-call entry/exit costs tens of microseconds (>1 ms/step), the only
+structural fix is fusing the whole decode step into one persistent
+megakernel (grid over layers, weights streamed as indexed blocks), a
+round-4-sized build this probe gates. It measures a chain of N
+dependency-serialized MINIMAL kernels (one [8, 128] f32 add per call,
+VMEM-resident operands) against the same math as one fused XLA chain,
 isolating launch/sync overhead from compute and DMA.
 
 Fenced by scalar readback (axon block_until_ready does not synchronize);
