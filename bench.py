@@ -16,7 +16,9 @@ BENCH_REPEATS (default 3), BENCH_BEAMS (default 1), BENCH_QUANT_KV (1),
 BENCH_QUANT_W (1), BENCH_INT4 (1), BENCH_FLASH (1), BENCH_INKERNEL_BIAS (0),
 BENCH_BIAS_I8 (1), BENCH_BLOCK_SKIP (0 — measured -19% at b48),
 BENCH_BIAS_KERNEL (0 — one-hot MXU bias builder, unmeasured on TPU),
-BENCH_BIAS_RELAYOUT (kernel|xla).
+BENCH_BIAS_RELAYOUT (kernel|xla), BENCH_CROSS_PACK (0 — pack valid encoder
+positions first and truncate the cross caches to the batch's ceil-256 max
+valid count; realistic pages are ~25-30% padding).
 
 int4 KV + int8 weights is the default serving config: the end-task
 quantization gate (tests/test_learning.py::TestQuantizationGate) shows it
@@ -169,6 +171,21 @@ def main() -> None:
 
     num_beams = int(os.environ.get("BENCH_BEAMS", "1"))
 
+    # BENCH_CROSS_PACK=1: pack valid encoder positions first and truncate
+    # the cross caches to the batch's (ceil-256) max valid count — realistic
+    # pages are ~25-30% padding (text mostly pad), and the cross slabs are
+    # the decode's dominant HBM traffic. One tiny device program computes
+    # the combined-mask valid counts before the timed loop.
+    cross_pack_len = None
+    if os.environ.get("BENCH_CROSS_PACK", "0") == "1":
+        from markushgrapher_tpu.models.markushgrapher import (
+            encoder_valid_max)
+
+        mv = encoder_valid_max(cfg, batch["bbox"], batch["attention_mask"])
+        cross_pack_len = -(-mv // 256) * 256
+        print(f"cross_pack: max valid {mv} -> packed len {cross_pack_len}",
+              flush=True)
+
     @jax.jit
     def run(params, batch):
         enc, enc_mask = model.apply(
@@ -181,13 +198,15 @@ def main() -> None:
                                    quant_cross_kv=quant_kv,
                                    quant_weights=quant_w,
                                    weight_bits=weight_bits,
-                                   act_quant=act_quant)
+                                   act_quant=act_quant,
+                                   cross_pack_len=cross_pack_len)
         else:
             out = greedy_generate(model, params, enc, enc_mask, decode_len,
                                   eos_id=-1, quant_cross_kv=quant_kv,
                                   quant_weights=quant_w,
                                   weight_bits=weight_bits,
-                                  act_quant=act_quant)
+                                  act_quant=act_quant,
+                                  cross_pack_len=cross_pack_len)
         return jnp.sum(out).astype(jnp.int32)
 
     int(run(params, batch))  # compile + warmup, fenced by readback

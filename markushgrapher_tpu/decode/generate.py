@@ -25,6 +25,37 @@ import jax.numpy as jnp
 from markushgrapher_tpu.ops.relbias import mask_bias
 
 
+def pack_encoder_for_cross(enc: jnp.ndarray, enc_mask: jnp.ndarray,
+                           packed_len: int):
+    """Pack each row's VALID encoder positions to a contiguous prefix and
+    truncate to `packed_len` — a static cut of the decode's dominant HBM
+    traffic (the cross K/V slabs read every step x 24 layers).
+
+    The VTL sequence is [text-valid, text-pad, unclaimed-patches(valid),
+    claimed-patches(masked)] (ops.fusion.combine_image_text_embeddings), so
+    valid keys are NOT a contiguous prefix and the padding cannot be
+    truncated in place; on realistic pages ~25-30%% of positions are
+    padding (text is mostly pad). Cross-attention is permutation-invariant
+    over its keys (softmax over a set; the mask bias travels with its key),
+    so a stable valid-first argsort + truncation changes nothing but float
+    summation order. Key order within the valid set is preserved (stable
+    sort) for debuggability.
+
+    `packed_len` is a STATIC length and must be >= every row's valid count
+    — truncating a valid key would silently change attention. Callers
+    compute it host-side (e.g. ceil-to-256 of max mask sum, one scalar
+    readback before the decode loop); anything >= works, the mask bias
+    nullifies the retained padding.
+
+    Reference analog: none — the reference re-attends all 1536 encoder
+    states every HF generate step (utils_evaluation.py:279-286)."""
+    order = jnp.argsort(enc_mask <= 0, axis=1, stable=True)   # valid first
+    enc_p = jnp.take_along_axis(
+        enc, order[..., None], axis=1)[:, :packed_len]
+    mask_p = jnp.take_along_axis(enc_mask, order, axis=1)[:, :packed_len]
+    return enc_p, mask_p
+
+
 def _tile_beams(tree, k: int):
     """[B, ...] -> [B*K, ...] by repeating each batch row K times."""
     def tile(x):
@@ -65,6 +96,7 @@ def greedy_generate(
     quant_weights: bool = False,
     weight_bits: int = 8,
     act_quant: bool = False,
+    cross_pack_len: int | None = None,
 ) -> jnp.ndarray:
     """Returns generated ids [B, max_length] (EOS-padded).
 
@@ -72,8 +104,16 @@ def greedy_generate(
     decode HBM traffic); quant_weights additionally reads all decode-step
     weights (decoder projections/FF + lm_head) as int8 — or native int4
     with weight_bits=4 — with per-channel scales. Outputs may differ from
-    full precision on near-ties."""
+    full precision on near-ties.
+
+    cross_pack_len (static, >= every row's valid count): pack valid
+    encoder positions first and truncate the cross caches + mask bias to
+    this length (pack_encoder_for_cross) — the slab every decode step
+    streams shrinks by the padding fraction."""
     batch = enc.shape[0]
+    if cross_pack_len is not None and cross_pack_len < enc.shape[1]:
+        enc, enc_mask = pack_encoder_for_cross(enc, enc_mask,
+                                               cross_pack_len)
     caches = model.apply(params, enc, max_length, quant_cross_kv,
                          method=type(model).init_cache)
     qw = (model.apply(params, weight_bits, act_quant,
@@ -171,6 +211,7 @@ def beam_generate(
     quant_weights: bool = False,
     weight_bits: int = 8,
     act_quant: bool = False,
+    cross_pack_len: int | None = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Fixed-shape beam search with HF `_beam_search` semantics
     (transformers/generation/utils.py:3113-3404): per step the top 2K of the
@@ -188,6 +229,11 @@ def beam_generate(
     k = num_beams
     k2 = 2 * k  # HF beams_to_keep = max(2, 1 + n_eos) * num_beams
     neg_inf = jnp.float32(-1e9)
+
+    if cross_pack_len is not None and cross_pack_len < enc.shape[1]:
+        # beam-shared cross slabs shrink by the padding fraction too
+        enc, enc_mask = pack_encoder_for_cross(enc, enc_mask,
+                                               cross_pack_len)
 
     share_cross = quant_cross_kv and getattr(model, "mxu_decode", False)
     if share_cross:

@@ -33,6 +33,33 @@ from markushgrapher_tpu.ops import bias_build, relbias
 from markushgrapher_tpu.ops.fusion import combine_image_text_embeddings
 
 
+def encoder_valid_max(cfg: MarkushGrapherConfig, bbox: jnp.ndarray,
+                      attention_mask: jnp.ndarray) -> int:
+    """Max VALID encoder positions across the batch (one scalar readback).
+
+    Replays encode()'s mask construction on dummy embeddings: the VTL
+    combined mask (text + unclaimed patches, combine_image_text_embeddings)
+    plus the molscribe branch's always-valid tokens. Callers round this up
+    (e.g. to 256) to pick a static `cross_pack_len` for
+    decode.generate.pack_encoder_for_cross — the decode cross slabs then
+    carry only the valid prefix instead of ~25-30% padding."""
+    n = cfg.vtl.num_patches_side
+
+    @jax.jit
+    def _vmax(bb, am):
+        dummy_t = jnp.zeros(am.shape + (1,), jnp.float32)
+        dummy_p = jnp.zeros((am.shape[0], n * n, 1), jnp.float32)
+        _, _, fm = combine_image_text_embeddings(
+            dummy_p, dummy_t, bb.astype(jnp.float32), am, n)
+        return jnp.max(jnp.sum(fm, axis=1)).astype(jnp.int32)
+
+    mols = 0
+    if cfg.architecture_variant != "none":
+        mols = (cfg.swin.image_size // cfg.swin.patch_size
+                // 2 ** (len(cfg.swin.depths) - 1)) ** 2
+    return int(_vmax(bbox, attention_mask)) + mols
+
+
 class CellEmbeddings(nn.Module):
     """2D bbox-corner embeddings added to encoder inputs
     (modeling_udop.py UdopCellEmbeddings:857-880)."""

@@ -251,3 +251,68 @@ class TestQuantizedWeights:
                                     quant_cross_kv=True)
         assert np.asarray(ids).shape == (2, MAXLEN)
         assert np.all(np.isfinite(np.asarray(scores)))
+
+
+class TestCrossPack:
+    """Valid-first packing + static truncation of the cross caches
+    (decode.generate.pack_encoder_for_cross): cross-attention is
+    permutation-invariant over keys, so packed decode must reproduce the
+    unpacked sequences while the slabs shrink by the padding fraction."""
+
+    def test_pack_helper_orders_and_truncates(self):
+        from markushgrapher_tpu.decode.generate import pack_encoder_for_cross
+
+        mask = jnp.asarray([[1, 0, 1, 0, 1, 0], [1, 1, 0, 0, 0, 1]])
+        enc = jnp.arange(2 * 6 * 3, dtype=jnp.float32).reshape(2, 6, 3)
+        enc_p, mask_p = pack_encoder_for_cross(enc, mask, 4)
+        assert enc_p.shape == (2, 4, 3) and mask_p.shape == (2, 4)
+        np.testing.assert_array_equal(np.asarray(mask_p),
+                                      [[1, 1, 1, 0], [1, 1, 1, 0]])
+        # stable: valid keys keep their original relative order
+        np.testing.assert_array_equal(np.asarray(enc_p[0, :3]),
+                                      np.asarray(enc[0, [0, 2, 4]]))
+        np.testing.assert_array_equal(np.asarray(enc_p[1, :3]),
+                                      np.asarray(enc[1, [0, 1, 5]]))
+
+    def _scattered_mask(self, enc_mask):
+        m = np.asarray(enc_mask).copy()
+        m[:, 1] = 0
+        m[0, 3] = 0
+        return jnp.asarray(m)
+
+    @pytest.mark.parametrize("quant", [False, True])
+    def test_greedy_packed_matches_unpacked(self, setup, quant):
+        cfg, model, params, batch, enc, enc_mask = setup
+        m = self._scattered_mask(enc_mask)
+        pack_len = int(np.asarray(m).sum(1).max())
+        assert pack_len < enc.shape[1]
+        a = np.asarray(greedy_generate(model, params, enc, m, MAXLEN,
+                                       eos_id=1, quant_cross_kv=quant))
+        b = np.asarray(greedy_generate(model, params, enc, m, MAXLEN,
+                                       eos_id=1, quant_cross_kv=quant,
+                                       cross_pack_len=pack_len))
+        np.testing.assert_array_equal(a, b)
+
+    def test_beam_packed_matches_unpacked(self, setup):
+        cfg, model, params, batch, enc, enc_mask = setup
+        m = self._scattered_mask(enc_mask)
+        pack_len = int(np.asarray(m).sum(1).max())
+        ids_a, sc_a = beam_generate(model, params, enc, m, MAXLEN,
+                                    num_beams=3, eos_id=1,
+                                    quant_cross_kv=True)
+        ids_b, sc_b = beam_generate(model, params, enc, m, MAXLEN,
+                                    num_beams=3, eos_id=1,
+                                    quant_cross_kv=True,
+                                    cross_pack_len=pack_len)
+        np.testing.assert_array_equal(np.asarray(ids_a), np.asarray(ids_b))
+        np.testing.assert_allclose(np.asarray(sc_a), np.asarray(sc_b),
+                                   rtol=1e-5, atol=1e-5)
+
+    def test_overlong_pack_len_is_noop(self, setup):
+        cfg, model, params, batch, enc, enc_mask = setup
+        a = np.asarray(greedy_generate(model, params, enc, enc_mask, MAXLEN,
+                                       eos_id=1))
+        b = np.asarray(greedy_generate(model, params, enc, enc_mask, MAXLEN,
+                                       eos_id=1,
+                                       cross_pack_len=enc.shape[1] + 8))
+        np.testing.assert_array_equal(a, b)
