@@ -388,10 +388,15 @@ def generate(
     quant_weights: bool = False,
     weight_bits: int = 8,
     act_quant: bool = False,
+    cross_pack_len: int | None = None,
 ) -> jnp.ndarray:
     """Encode + decode in one call (jit-friendly; model/static args frozen via
     closure). `batch` needs input_ids/bbox/attention_mask and the pixel
-    inputs the architecture variant requires."""
+    inputs the architecture variant requires.
+
+    cross_pack_len (static): pack valid encoder positions first and
+    truncate the cross caches (pack_encoder_for_cross); must bound every
+    row's valid count."""
     enc, enc_mask = model.apply(
         params, batch["input_ids"], batch["bbox"], batch["attention_mask"],
         batch.get("pixel_values"), batch.get("ocsr_pixel_values"),
@@ -402,13 +407,15 @@ def generate(
                                quant_cross_kv=quant_cross_kv,
                                quant_weights=quant_weights,
                                weight_bits=weight_bits,
-                               act_quant=act_quant)
+                               act_quant=act_quant,
+                               cross_pack_len=cross_pack_len)
     ids, _ = beam_generate(model, params, enc, enc_mask, max_length,
                            num_beams, eos_id, pad_id, start_id,
                            quant_cross_kv=quant_cross_kv,
                            quant_weights=quant_weights,
                            weight_bits=weight_bits,
-                           act_quant=act_quant)
+                           act_quant=act_quant,
+                           cross_pack_len=cross_pack_len)
     return ids
 
 

@@ -50,6 +50,12 @@ class EvalConfig:
     quant_kv: bool = False    # int8 KV caches (fastest; near-tie flips possible)
     quant_weights: bool = False  # int8 decode-step weights (serving mode)
     int4_cross: bool = False  # int4 cross KV (model must be built with it)
+    # static packed cross-cache length (0 = off): pack valid encoder
+    # positions first and truncate the decode cross slabs
+    # (decode.generate.pack_encoder_for_cross). Must bound every row's
+    # valid count — size via models.markushgrapher.encoder_valid_max on a
+    # representative batch, rounded up (e.g. to 256)
+    cross_pack_len: int = 0
     # write N debug figures per run (reference writes <=100 eval PNGs,
     # curriculumTrainer.py:199-204, utils_display.py)
     save_visualizations: int = 0
@@ -93,7 +99,8 @@ class Evaluator:
             return generate(model, params, batch, max_length=cfg.max_length,
                             num_beams=cfg.num_beams,
                             quant_cross_kv=cfg.quant_kv,
-                            quant_weights=cfg.quant_weights)
+                            quant_weights=cfg.quant_weights,
+                            cross_pack_len=cfg.cross_pack_len or None)
         self._generate = fn
 
     # -- generation -------------------------------------------------------
@@ -126,7 +133,7 @@ class Evaluator:
         cfg = self.cfg
         key = (f"beams={cfg.num_beams};len={cfg.max_length};"
                f"qkv={cfg.quant_kv};qw={cfg.quant_weights};"
-               f"i4={cfg.int4_cross};"
+               f"i4={cfg.int4_cross};xp={cfg.cross_pack_len};"
                f"bf16={cfg.bf16_params};fp={self._params_fp:.6e}")
         return hashlib.md5(key.encode()).hexdigest()[:10]
 

@@ -316,3 +316,54 @@ class TestCrossPack:
                                        eos_id=1,
                                        cross_pack_len=enc.shape[1] + 8))
         np.testing.assert_array_equal(a, b)
+
+    def test_dispatcher_packed_matches_and_valid_max(self, setup):
+        """generate(..., cross_pack_len=) threads through, and
+        encoder_valid_max's host bound really bounds the combined mask."""
+        from markushgrapher_tpu.decode.generate import generate as gen
+        from markushgrapher_tpu.models.markushgrapher import (
+            encoder_valid_max)
+
+        cfg, model, params, batch, enc, enc_mask = setup
+        mv = encoder_valid_max(cfg, batch["bbox"], batch["attention_mask"])
+        assert mv == int(np.asarray(enc_mask).sum(1).max())
+        mb = {k: batch[k] for k in
+              ("input_ids", "bbox", "attention_mask", "pixel_values")}
+        a = np.asarray(gen(model, params, mb, max_length=MAXLEN))
+        b = np.asarray(gen(model, params, mb, max_length=MAXLEN,
+                           cross_pack_len=mv))
+        np.testing.assert_array_equal(a, b)
+
+    def test_valid_max_two_branch_model(self):
+        """The molscribe-branch token count in encoder_valid_max must match
+        the real SwinEncoder output length — an undercount would make a
+        cross_pack_len bound silently drop valid keys on the flagship."""
+        from markushgrapher_tpu.models.markushgrapher import (
+            encoder_valid_max)
+
+        cfg = MarkushGrapherConfig(
+            vtl=VTLConfig(vocab_size=64, d_model=16, d_kv=4, d_ff=32,
+                          num_layers=1, num_decoder_layers=1, num_heads=2,
+                          image_size=32, patch_size=16, dropout_rate=0.0),
+            swin=SwinConfig(image_size=16, patch_size=2, embed_dim=8,
+                            depths=(1, 1), num_heads=(2, 2), window_size=2),
+            architecture_variant="me-lf-stack-1",
+            max_seq_length=4, max_seq_length_decoder=4)
+        rng = np.random.RandomState(0)
+        batch = dict(
+            input_ids=jnp.asarray(rng.randint(3, 60, size=(2, 4))),
+            bbox=jnp.asarray(rng.rand(2, 4, 4).astype(np.float32)),
+            attention_mask=jnp.ones((2, 4), jnp.int32),
+            labels=jnp.asarray(rng.randint(3, 60, size=(2, 4))),
+            pixel_values=jnp.asarray(
+                rng.rand(2, 32, 32, 3).astype(np.float32)),
+            ocsr_pixel_values=jnp.asarray(
+                rng.rand(2, 16, 16, 3).astype(np.float32)))
+        model = MarkushGrapherModel(cfg, dtype=jnp.float32)
+        params = model.init(jax.random.PRNGKey(0), **batch)
+        _, mask = model.apply(
+            params, batch["input_ids"], batch["bbox"],
+            batch["attention_mask"], batch["pixel_values"],
+            batch["ocsr_pixel_values"], method=MarkushGrapherModel.encode)
+        mv = encoder_valid_max(cfg, batch["bbox"], batch["attention_mask"])
+        assert mv == int(np.asarray(mask).sum(1).max())
