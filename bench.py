@@ -18,7 +18,8 @@ BENCH_BIAS_I8 (1), BENCH_BLOCK_SKIP (0 — measured -19% at b48),
 BENCH_BIAS_KERNEL (0 — one-hot MXU bias builder, unmeasured on TPU),
 BENCH_BIAS_RELAYOUT (kernel|xla), BENCH_CROSS_PACK (0 — pack valid encoder
 positions first and truncate the cross caches to the batch's ceil-256 max
-valid count; realistic pages are ~25-30% padding).
+valid count; realistic pages are ~25-30% padding), BENCH_ENC_PACK (0 — run
+the whole VTL encoder at the packed 256-bucket; composes with CROSS_PACK).
 
 int4 KV + int8 weights is the default serving config: the end-task
 quantization gate (tests/test_learning.py::TestQuantizationGate) shows it
@@ -74,28 +75,6 @@ def main() -> None:
             max_seq_length=64, max_seq_length_decoder=decode_len)
     else:
         cfg = MarkushGrapherConfig()
-    model = MarkushGrapherModel(
-        cfg, dtype=jnp.bfloat16,
-        flash_attention=os.environ.get("BENCH_FLASH", "1") == "1",
-        inkernel_bias=os.environ.get("BENCH_INKERNEL_BIAS", "0") == "1",
-        # int8 encoder bias slab: halves the bias build writes + 24 layers
-        # of flash tile reads. Measured 9.62 -> 9.75 img/s/chip at b48;
-        # DEFAULT (greedy-sequence gate: tests/test_bias_i8.py)
-        bias_int8=os.environ.get("BENCH_BIAS_I8", "1") == "1",
-        # one-hot MXU bias builder (ops.bias_build): replaces the XLA
-        # gather chain (~320 ms/batch at b48, device trace). Opt-in until
-        # measured on TPU; BENCH_BIAS_RELAYOUT=xla picks the transpose
-        # fallback if the in-kernel relayout doesn't lower
-        bias_kernel=os.environ.get("BENCH_BIAS_KERNEL", "0") == "1",
-        bias_kernel_relayout=os.environ.get("BENCH_BIAS_RELAYOUT", "kernel"),
-        # int4 KV (cross slabs + self rings): halves the dominant slab
-        # traffic vs int8; DEFAULT since the CXSMILES exact-match gate
-        # (test_learning.py) cleared it
-        int4_cross=os.environ.get("BENCH_INT4", "1") == "1",
-        # valid-prefix self-ring reads (opt-in until measured): tail-block
-        # DMAs elided, ring traffic scales with decoded length
-        block_skip=os.environ.get("BENCH_BLOCK_SKIP", "0") == "1")
-
     # Realistic inputs: synthetic Markush pages through the REAL data
     # pipeline (cells -> words/boxes -> tokenize -> collate), so the relbias
     # bucket distributions, attention-mask shape, and cell structure match
@@ -138,6 +117,50 @@ def main() -> None:
             rng.rand(batch_size, cfg.swin.image_size, cfg.swin.image_size, 3),
             jnp.float32),
     )
+    # BENCH_ENC_PACK=1: pack valid positions first and run the WHOLE VTL
+    # encoder at a static 256-bucket of the batch's max valid count —
+    # flash attention + bias slab shrink by ~(1 - (Lp/L)^2), matmuls by the
+    # padding fraction. Original indices flow into the bias builders so
+    # relative buckets match the unpacked layout exactly
+    # (tests/test_encoder_pack.py).
+    enc_pack_len = 0
+    if os.environ.get("BENCH_ENC_PACK", "0") == "1":
+        from markushgrapher_tpu.models.markushgrapher import (
+            encoder_valid_max)
+
+        mv_vtl = encoder_valid_max(cfg, batch["bbox"],
+                                   batch["attention_mask"],
+                                   include_molscribe=False)
+        cand = -(-mv_vtl // 256) * 256
+        n_side = cfg.vtl.num_patches_side
+        if cand < cfg.max_seq_length + n_side * n_side:
+            enc_pack_len = cand
+        print(f"enc_pack: max vtl valid {mv_vtl} -> packed len "
+              f"{enc_pack_len or 'off'}", flush=True)
+
+    model = MarkushGrapherModel(
+        cfg, dtype=jnp.bfloat16,
+        flash_attention=os.environ.get("BENCH_FLASH", "1") == "1",
+        inkernel_bias=os.environ.get("BENCH_INKERNEL_BIAS", "0") == "1",
+        # int8 encoder bias slab: halves the bias build writes + 24 layers
+        # of flash tile reads. Measured 9.62 -> 9.75 img/s/chip at b48;
+        # DEFAULT (greedy-sequence gate: tests/test_bias_i8.py)
+        bias_int8=os.environ.get("BENCH_BIAS_I8", "1") == "1",
+        # one-hot MXU bias builder (ops.bias_build): replaces the XLA
+        # gather chain (~320 ms/batch at b48, device trace). Opt-in until
+        # measured on TPU; BENCH_BIAS_RELAYOUT=xla picks the transpose
+        # fallback if the in-kernel relayout doesn't lower
+        bias_kernel=os.environ.get("BENCH_BIAS_KERNEL", "0") == "1",
+        bias_kernel_relayout=os.environ.get("BENCH_BIAS_RELAYOUT", "kernel"),
+        # int4 KV (cross slabs + self rings): halves the dominant slab
+        # traffic vs int8; DEFAULT since the CXSMILES exact-match gate
+        # (test_learning.py) cleared it
+        int4_cross=os.environ.get("BENCH_INT4", "1") == "1",
+        # valid-prefix self-ring reads (opt-in until measured): tail-block
+        # DMAs elided, ring traffic scales with decoded length
+        block_skip=os.environ.get("BENCH_BLOCK_SKIP", "0") == "1",
+        encoder_pack_len=enc_pack_len)
+
     init_batch = dict(batch, labels=jnp.zeros((batch_size, 8), jnp.int32))
     params = model.init(jax.random.PRNGKey(0), **init_batch)
     if os.environ.get("BENCH_BF16_PARAMS", "1") == "1":

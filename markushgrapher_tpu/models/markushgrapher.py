@@ -34,7 +34,8 @@ from markushgrapher_tpu.ops.fusion import combine_image_text_embeddings
 
 
 def encoder_valid_max(cfg: MarkushGrapherConfig, bbox: jnp.ndarray,
-                      attention_mask: jnp.ndarray) -> int:
+                      attention_mask: jnp.ndarray,
+                      include_molscribe: bool = True) -> int:
     """Max VALID encoder positions across the batch (one scalar readback).
 
     Replays encode()'s mask construction on dummy embeddings: the VTL
@@ -54,7 +55,7 @@ def encoder_valid_max(cfg: MarkushGrapherConfig, bbox: jnp.ndarray,
         return jnp.max(jnp.sum(fm, axis=1)).astype(jnp.int32)
 
     mols = 0
-    if cfg.architecture_variant != "none":
+    if include_molscribe and cfg.architecture_variant != "none":
         mols = (cfg.swin.image_size // cfg.swin.patch_size
                 // 2 ** (len(cfg.swin.depths) - 1)) ** 2
     return int(_vmax(bbox, attention_mask)) + mols
@@ -148,6 +149,18 @@ class MarkushGrapherModel(nn.Module):
     # valid-prefix self-ring reads (ops.mxu_decode block_map): the decode
     # step reads only the ring blocks the sequence has actually written
     block_skip: bool = False
+    # STATIC packed VTL-encoder length (0 = off, inference only): pack
+    # valid positions to a contiguous prefix and truncate the encoder
+    # sequence to this bucket — the whole L/L^2-proportional encoder cost
+    # (flash attention + bias slab + matmuls) shrinks by the padding
+    # fraction (~17-30% on realistic pages), and the packed encoder output
+    # feeds the decode cross caches already packed. Original indices ride
+    # into the bias builders so 1D relative buckets keep unpacked
+    # distances (text<->patch distances would otherwise fall below bucket
+    # saturation). Must bound every row's VTL valid count
+    # (encoder_valid_max minus the molscribe tokens) and, with
+    # flash_attention, be a 256-multiple.
+    encoder_pack_len: int = 0
 
     def setup(self):
         vtl = self.cfg.vtl
@@ -237,11 +250,30 @@ class MarkushGrapherModel(nn.Module):
                 img, tok, bbox.astype(jnp.float32), attention_mask,
                 vtl.num_patches_side)
             embeds = embeds + self.cell2d(full_bbox)
+            positions = None
+            if (0 < self.encoder_pack_len < embeds.shape[1]
+                    and deterministic
+                    and (not self.flash_attention
+                         or self.encoder_pack_len % 256 == 0)):
+                # pack valid positions first (stable: relative order kept)
+                # and truncate to the static bucket; original indices
+                # travel into the bias builders. Padding retained inside
+                # the bucket stays masked — attention over the valid set
+                # is unchanged.
+                order = jnp.argsort(full_mask <= 0, axis=1, stable=True)
+                pl_ = self.encoder_pack_len
+                embeds = jnp.take_along_axis(
+                    embeds, order[..., None], axis=1)[:, :pl_]
+                full_bbox = jnp.take_along_axis(
+                    full_bbox, order[..., None], axis=1)[:, :pl_]
+                full_mask = jnp.take_along_axis(
+                    full_mask, order, axis=1)[:, :pl_]
+                positions = order[:, :pl_].astype(jnp.int32)
             seq_len = embeds.shape[1]
             use_flash = (
                 self.flash_attention and deterministic
-                and seq_len % 256 == 0 and seq_len % 512 == 0)
-            if use_flash and self.inkernel_bias:
+                and seq_len % 256 == 0)
+            if use_flash and self.inkernel_bias and positions is None:
                 rb = dict(
                     hx=((full_bbox[..., 0] + full_bbox[..., 2]) / 2.0
                         ).astype(jnp.float32),
@@ -271,14 +303,16 @@ class MarkushGrapherModel(nn.Module):
                         vtl.relative_attention_num_buckets,
                         vtl.relative_attention_max_distance,
                         vtl.rel2d_scaling_factor, vtl.rel2d_max_distance,
-                        relayout=self.bias_kernel_relayout)
+                        relayout=self.bias_kernel_relayout,
+                        positions=positions)
                 else:
                     bias_i8, scales = relbias.encoder_position_bias_chunked_i8(
                         self.enc_bias_1d, self.enc_bias_h, self.enc_bias_v,
                         full_bbox.astype(jnp.float32), full_mask, seq_len,
                         vtl.relative_attention_num_buckets,
                         vtl.relative_attention_max_distance,
-                        vtl.rel2d_scaling_factor, vtl.rel2d_max_distance)
+                        vtl.rel2d_scaling_factor, vtl.rel2d_max_distance,
+                        positions=positions)
                 e2 = self.encoder(embeds, (bias_i8, scales, full_mask),
                                   None, deterministic)
             elif use_flash:
@@ -295,14 +329,16 @@ class MarkushGrapherModel(nn.Module):
                     full_bbox.astype(jnp.float32), full_mask, seq_len,
                     vtl.relative_attention_num_buckets,
                     vtl.relative_attention_max_distance,
-                    vtl.rel2d_scaling_factor, vtl.rel2d_max_distance)
+                    vtl.rel2d_scaling_factor, vtl.rel2d_max_distance,
+                    positions=positions)
                 e2 = self.encoder(embeds, pos_bias, None, deterministic)
             else:
                 pos_bias = relbias.encoder_position_bias(
                     self.enc_bias_1d, self.enc_bias_h, self.enc_bias_v,
                     full_bbox, seq_len, vtl.relative_attention_num_buckets,
                     vtl.relative_attention_max_distance,
-                    vtl.rel2d_scaling_factor, vtl.rel2d_max_distance)
+                    vtl.rel2d_scaling_factor, vtl.rel2d_max_distance,
+                    positions=positions)
                 pos_bias = pos_bias + relbias.mask_bias(full_mask)
                 e2 = self.encoder(embeds, pos_bias.astype(jnp.float32),
                                   None, deterministic)

@@ -98,9 +98,11 @@ FLASH_BLOCK_Q, FLASH_BLOCK_K = 256, 512
 
 def _flash_ok(q: jnp.ndarray, k: jnp.ndarray) -> bool:
     """Flash path requires block-divisible static lengths (encoder 512+1024
-    fits; tiny test configs fall back to the XLA attention)."""
+    fits; tiny test configs fall back to the XLA attention). Key lengths
+    that are 256- but not 512-multiples (packed encoders, e.g. 1280) run
+    with block_k 256 — the flash wrappers auto-shrink."""
     return (q.shape[1] % FLASH_BLOCK_Q == 0
-            and k.shape[1] % FLASH_BLOCK_K == 0)
+            and k.shape[1] % FLASH_BLOCK_Q == 0)
 
 
 class RMSNorm(nn.Module):

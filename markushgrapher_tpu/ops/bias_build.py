@@ -56,12 +56,18 @@ from .relbias import _combined_table, relative_position_bucket
 
 
 def _bucket_arrays(hx, vy, seq_len, num_buckets, max_distance_1d,
-                   rel2d_scaling, max_distance_2d):
+                   rel2d_scaling, max_distance_2d, positions=None):
     """Full-sequence bucket indices, same math as relbias._chunk_buckets
-    with the whole sequence as the query chunk. int8 (buckets < 32)."""
-    pos = jnp.arange(seq_len, dtype=jnp.int32)
-    b1 = relative_position_bucket(
-        pos[None, :] - pos[:, None], True, num_buckets, max_distance_1d)
+    with the whole sequence as the query chunk. int8 (buckets < 32).
+    positions (optional [B, L] int32): per-row original indices for packed
+    encoders — b1 becomes per-row [B, L, L]."""
+    if positions is None:
+        pos = jnp.arange(seq_len, dtype=jnp.int32)
+        rel1 = pos[None, :] - pos[:, None]                 # [L, L]
+    else:
+        pos = positions.astype(jnp.int32)
+        rel1 = pos[:, None, :] - pos[:, :, None]           # [B, L, L]
+    b1 = relative_position_bucket(rel1, True, num_buckets, max_distance_1d)
     relh = ((hx[:, None, :] - hx[:, :, None]) * rel2d_scaling
             ).astype(jnp.int32)
     bh = relative_position_bucket(relh, True, num_buckets, max_distance_2d)
@@ -158,9 +164,12 @@ def encoder_position_bias_kernel_i8(
     max_distance_2d: int,
     relayout: str = "kernel",
     interpret: bool | None = None,
+    positions: jnp.ndarray | None = None,   # [B, L] original indices
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Drop-in for relbias.encoder_position_bias_chunked_i8 (same scales,
-    same slab contract): returns (bias_i8 [B, H, L, L], scales [H] f32)."""
+    same slab contract): returns (bias_i8 [B, H, L, L], scales [H] f32).
+    positions: per-row original sequence indices for packed encoders (b1
+    then rides per-row like bh/bv)."""
     del attention_mask
     heads = bias_1d_table.shape[-1]
     if num_buckets % 8 or heads % 8:
@@ -183,8 +192,9 @@ def encoder_position_bias_kernel_i8(
     vy = ((bbox[..., 1] + bbox[..., 3]) / 2.0).astype(jnp.float32)
     b1, bh, bv = _bucket_arrays(hx, vy, seq_len, num_buckets,
                                 max_distance_1d, rel2d_scaling,
-                                max_distance_2d)
-    b1f = b1.reshape(1, seq_len // 8, 1, ch)
+                                max_distance_2d, positions)
+    b1_rows = 1 if positions is None else batch
+    b1f = b1.reshape(b1_rows, seq_len // 8, 1, ch)
     bhf = bh.reshape(batch, seq_len // 8, 1, ch)
     bvf = bv.reshape(batch, seq_len // 8, 1, ch)
 
@@ -195,9 +205,10 @@ def encoder_position_bias_kernel_i8(
                        num_buckets)
 
     grid = (batch, seq_len // 32, 4)
-    idx_spec = lambda b0: pl.BlockSpec(
-        (1, 1, 1, ch), (lambda b, q, c: (0 if b0 else b, q * 4 + c, 0, 0)))
-    in_specs = [idx_spec(True), idx_spec(False), idx_spec(False),
+    idx_spec = lambda shared: pl.BlockSpec(
+        (1, 1, 1, ch),
+        (lambda b, q, c: (0 if shared else b, q * 4 + c, 0, 0)))
+    in_specs = [idx_spec(b1_rows == 1), idx_spec(False), idx_spec(False),
                 pl.BlockSpec((2 * heads, 3 * num_buckets),
                              lambda b, q, c: (0, 0))]
     scratch = [pltpu.VMEM((3 * num_buckets, ch), jnp.bfloat16),

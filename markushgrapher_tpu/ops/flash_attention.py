@@ -80,6 +80,8 @@ def flash_attention_bias(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     the block sizes."""
     batch, q_len, heads, d = q.shape
     kv_len = k.shape[1]
+    if kv_len % block_k and kv_len % 256 == 0:
+        block_k = 256   # packed encoders: e.g. 1280 is 256- not 512-tiled
     if q_len % block_q or kv_len % block_k:
         raise ValueError(f"L=({q_len},{kv_len}) not divisible by blocks "
                          f"({block_q},{block_k})")
@@ -178,6 +180,8 @@ def flash_attention_bias_i8(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     [B,L]. Returns [B,L,H,D]."""
     batch, q_len, heads, d = q.shape
     kv_len = k.shape[1]
+    if kv_len % block_k and kv_len % 256 == 0:
+        block_k = 256   # packed encoders: e.g. 1280 is 256- not 512-tiled
     if q_len % block_q or kv_len % block_k:
         raise ValueError(f"L=({q_len},{kv_len}) not divisible by blocks "
                          f"({block_q},{block_k})")

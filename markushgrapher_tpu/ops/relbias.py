@@ -88,11 +88,24 @@ def encoder_position_bias(
     max_distance_1d: int,
     rel2d_scaling: int,
     max_distance_2d: int,
+    positions: jnp.ndarray | None = None,   # [B, L] int32 original indices
 ) -> jnp.ndarray:
-    """Aggregated encoder bias [B, H, L, L] = 1d + horizontal + vertical."""
-    b1 = bucket_1d(seq_len, bidirectional=True, num_buckets=num_buckets,
-                   max_distance=max_distance_1d)
-    out = gather_bias(bias_1d_table, b1)[None]  # [1, H, L, L]
+    """Aggregated encoder bias [B, H, L, L] = 1d + horizontal + vertical.
+
+    positions: per-row ORIGINAL sequence indices for packed encoders
+    (models.markushgrapher encoder_pack_len) — 1D distances must reflect
+    the unpacked layout or text<->patch buckets change (distances through
+    removed padding shrink below the log-bucket saturation point)."""
+    if positions is None:
+        b1 = bucket_1d(seq_len, bidirectional=True, num_buckets=num_buckets,
+                       max_distance=max_distance_1d)
+        out = gather_bias(bias_1d_table, b1)[None]  # [1, H, L, L]
+    else:
+        rel = positions[:, None, :] - positions[:, :, None]   # [B, L, L]
+        b1 = relative_position_bucket(
+            rel, bidirectional=True, num_buckets=num_buckets,
+            max_distance=max_distance_1d)
+        out = gather_bias(bias_1d_table, b1)        # [B, H, L, L]
     hx = (bbox[..., 0] + bbox[..., 2]) / 2.0
     vy = (bbox[..., 1] + bbox[..., 3]) / 2.0
     bh = bucket_2d(hx, scaling_factor=rel2d_scaling, num_buckets=num_buckets,
@@ -103,20 +116,29 @@ def encoder_position_bias(
     return out
 
 
-def _bias_chunks(bbox: jnp.ndarray, seq_len: int, chunk: int):
+def _bias_chunks(bbox: jnp.ndarray, seq_len: int, chunk: int,
+                 positions: jnp.ndarray | None = None):
     """Shared scaffolding for the chunked builders: auto-size the query
     chunk (256 up to batch 16 — fastest measured; 64 above, where the
     gathers' lane-padded transients OOM 16 GB HBM with chunk 256) and split
-    positions / bbox centers into lax.scan inputs."""
+    positions / bbox centers into lax.scan inputs.
+
+    positions (optional [B, L] int32): per-row ORIGINAL sequence indices
+    for packed encoders; default is the identity arange (shared, [L])."""
     if chunk <= 0:
         chunk = 256 if bbox.shape[0] <= 16 else 64
     if seq_len % chunk:
         chunk = seq_len  # degenerate fallback
     n_chunks = seq_len // chunk
-    positions = jnp.arange(seq_len, dtype=jnp.int32)
     hx = (bbox[..., 0] + bbox[..., 2]) / 2.0   # [B, L]
     vy = (bbox[..., 1] + bbox[..., 3]) / 2.0
-    pos_chunks = positions.reshape(n_chunks, chunk)
+    if positions is None:
+        positions = jnp.arange(seq_len, dtype=jnp.int32)
+        pos_chunks = positions.reshape(n_chunks, chunk)
+    else:
+        positions = positions.astype(jnp.int32)           # [B, L]
+        pos_chunks = jnp.moveaxis(
+            positions.reshape(-1, n_chunks, chunk), 1, 0)  # [nc, B, chunk]
     hx_chunks = jnp.moveaxis(hx.reshape(-1, n_chunks, chunk), 1, 0)
     vy_chunks = jnp.moveaxis(vy.reshape(-1, n_chunks, chunk), 1, 0)
     return (chunk, n_chunks, positions, hx, vy,
@@ -126,8 +148,12 @@ def _bias_chunks(bbox: jnp.ndarray, seq_len: int, chunk: int):
 def _chunk_buckets(positions, hx, vy, pos_q, hx_q, vy_q, *, num_buckets,
                    max_distance_1d, rel2d_scaling, max_distance_2d):
     """(b1, bh, bv) bucket indices for one query chunk — 1D sequence
-    distance plus horizontal/vertical bbox-center distance."""
-    rel = positions[None, :] - pos_q[:, None]
+    distance plus horizontal/vertical bbox-center distance. b1 is
+    [chunk, L] for shared (arange) positions, [B, chunk, L] per-row."""
+    if positions.ndim == 1:
+        rel = positions[None, :] - pos_q[:, None]
+    else:
+        rel = positions[:, None, :] - pos_q[:, :, None]   # [B, chunk, L]
     b1 = relative_position_bucket(rel, True, num_buckets, max_distance_1d)
     relh = ((hx[:, None, :] - hx_q[:, :, None]) * rel2d_scaling
             ).astype(jnp.int32)
@@ -164,6 +190,7 @@ def encoder_position_bias_chunked(
     out_dtype=jnp.bfloat16,
     mask_value: float = -1e9,
     layout: str = "bhll",
+    positions: jnp.ndarray | None = None,   # [B, L] original indices
 ) -> jnp.ndarray:
     """Memory-lean bias construction: computes the aggregated bias in
     query-chunks via lax.scan so peak transients stay ~L*chunk instead of
@@ -184,7 +211,8 @@ def encoder_position_bias_chunked(
 
     chunk=0 auto-sizes by batch (_bias_chunks)."""
     (chunk, n_chunks, positions, hx, vy,
-     pos_chunks, hx_chunks, vy_chunks) = _bias_chunks(bbox, seq_len, chunk)
+     pos_chunks, hx_chunks, vy_chunks) = _bias_chunks(bbox, seq_len, chunk,
+                                                      positions)
     key_mask = attention_mask > 0              # [B, L]
 
     batch = bbox.shape[0]
@@ -217,7 +245,7 @@ def encoder_position_bias_chunked(
             max_distance_1d=max_distance_1d, rel2d_scaling=rel2d_scaling,
             max_distance_2d=max_distance_2d)
         if combined:
-            c = (b1[None] + num_buckets * bh
+            c = ((b1 if b1.ndim == 3 else b1[None]) + num_buckets * bh
                  + (num_buckets ** 2) * bv)            # [B, chunk, L]
             # vector gather: collected 16-wide head slice lands minormost
             # (8x lane-padded, ~210 ms/batch at b48) but measured
@@ -226,7 +254,8 @@ def encoder_position_bias_chunked(
             # just moves the transpose cost (+64 ms). See PERF notes.
             full = jnp.take(tc, c, axis=1)             # [H, B, chunk, L]
         else:
-            full = (jnp.take(t1, b1, axis=1)[:, None]
+            t1g = jnp.take(t1, b1, axis=1)             # [H, chunk|B..., L]
+            full = ((t1g[:, None] if b1.ndim == 2 else t1g)
                     + jnp.take(th, bh, axis=1)
                     + jnp.take(tv, bv, axis=1))        # [H, B, chunk, L]
         full = jnp.where(key_mask[None, :, None, :], full, mask_value)
@@ -254,6 +283,7 @@ def encoder_position_bias_chunked_i8(
     rel2d_scaling: int,
     max_distance_2d: int,
     chunk: int = 0,
+    positions: jnp.ndarray | None = None,   # [B, L] original indices
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """int8 variant of the chunked builder: quantizes the COMBINED table
     tc[h, b1 + nb*bh + nb^2*bv] once with a symmetric per-head scale
@@ -270,7 +300,8 @@ def encoder_position_bias_chunked_i8(
         raise ValueError("int8 bias needs the combined table "
                          f"(num_buckets^3 <= 65536, got {num_buckets})")
     (chunk, n_chunks, positions, hx, vy,
-     pos_chunks, hx_chunks, vy_chunks) = _bias_chunks(bbox, seq_len, chunk)
+     pos_chunks, hx_chunks, vy_chunks) = _bias_chunks(bbox, seq_len, chunk,
+                                                      positions)
 
     batch = bbox.shape[0]
     num_heads = bias_1d_table.shape[-1]
@@ -287,7 +318,7 @@ def encoder_position_bias_chunked_i8(
             positions, hx, vy, pos_q, hx_q, vy_q, num_buckets=num_buckets,
             max_distance_1d=max_distance_1d, rel2d_scaling=rel2d_scaling,
             max_distance_2d=max_distance_2d)
-        c = (b1[None] + num_buckets * bh
+        c = ((b1 if b1.ndim == 3 else b1[None]) + num_buckets * bh
              + (num_buckets ** 2) * bv)                # [B, chunk, L]
         full = jnp.take(tc_i8, c, axis=1)              # [H, B, chunk, L] i8
         acc = jax.lax.dynamic_update_slice(
