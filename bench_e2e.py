@@ -33,7 +33,8 @@ pixels via data/device_pixels.py — no per-stage f32 re-upload),
 BENCH_BIAS_I8 (1: int8 encoder bias slab, the driver-default encoder
 config), BENCH_BIAS_KERNEL (0: one-hot MXU bias builder),
 BENCH_BIAS_RELAYOUT (kernel|xla), BENCH_CROSS_PACK (0: pack + truncate the
-MG cross caches to the warmup batch's valid bound).
+MG cross caches to the warmup batch's valid bound), BENCH_ENC_PACK (0: run
+the whole MG VTL encoder at the packed bucket; composes with CROSS_PACK).
 """
 
 from __future__ import annotations
@@ -228,20 +229,38 @@ def main() -> None:
 
     # BENCH_CROSS_PACK=1: pack valid encoder positions first and truncate
     # the MG cross caches to the warmup batch's (ceil-256, +64 margin) max
-    # valid count — realistic pages are ~25-30% padding. Resolved before
-    # stage2's first trace; later batches are overflow-checked in-graph.
+    # valid count — realistic pages are ~25-30% padding. BENCH_ENC_PACK=1:
+    # additionally run the WHOLE VTL encoder at the packed bucket
+    # (model.encoder_pack_len; the packed encoder output feeds the cross
+    # caches already compacted). Both resolve on the warmup batch before
+    # stage2's first trace; later batches are overflow-checked in-graph
+    # (a bigger batch would silently drop valid keys — poison instead).
     cross_pack = os.environ.get("BENCH_CROSS_PACK", "0") == "1"
+    enc_pack = os.environ.get("BENCH_ENC_PACK", "0") == "1"
     cross_pack_len = [None]
+    mg_model = [model]
+    enc_pack_len = [0]
 
     def _resolve_pack_len(mg):
-        if cross_pack and cross_pack_len[0] is None:
-            from markushgrapher_tpu.models.markushgrapher import (
-                encoder_valid_max)
+        from markushgrapher_tpu.models.markushgrapher import (
+            encoder_valid_max)
 
+        if cross_pack and cross_pack_len[0] is None:
             mv = encoder_valid_max(cfg, mg["bbox"], mg["attention_mask"])
             cross_pack_len[0] = -(-(mv + 64) // 256) * 256
             print(f"cross_pack: warmup max valid {mv} -> packed len "
                   f"{cross_pack_len[0]}", file=sys.stderr, flush=True)
+        if enc_pack and not enc_pack_len[0]:
+            n_side = cfg.vtl.num_patches_side
+            mv_vtl = encoder_valid_max(cfg, mg["bbox"],
+                                       mg["attention_mask"],
+                                       include_molscribe=False)
+            cand = -(-(mv_vtl + 64) // 256) * 256
+            if cand < cfg.max_seq_length + n_side * n_side:
+                enc_pack_len[0] = cand
+                mg_model[0] = model.clone(encoder_pack_len=cand)
+            print(f"enc_pack: warmup max vtl valid {mv_vtl} -> packed len "
+                  f"{enc_pack_len[0] or 'off'}", file=sys.stderr, flush=True)
 
     @jax.jit
     def stage2(params, batch, pix):
@@ -254,21 +273,41 @@ def main() -> None:
         else:
             pixel_values = batch["pixel_values"]
             ocsr_pixel_values = batch["ocsr_pixel_values"]
-        enc, enc_mask = model.apply(
+        m = mg_model[0]
+        enc, enc_mask = m.apply(
             params, batch["input_ids"], batch["bbox"],
             batch["attention_mask"], pixel_values,
             ocsr_pixel_values, method=MarkushGrapherModel.encode)
-        out = greedy_generate(model, params, enc, enc_mask, decode_len,
+        out = greedy_generate(m, params, enc, enc_mask, decode_len,
                               eos_id=-1, quant_cross_kv=quant_kv,
                               quant_weights=quant_w, weight_bits=weight_bits,
                               act_quant=act_quant,
                               cross_pack_len=cross_pack_len[0])
         checksum = jnp.sum(out).astype(jnp.int32)
-        if cross_pack_len[0] is not None:
-            # pack length was sized on the warmup batch; a later batch with
-            # more valid positions would silently drop keys — poison the
-            # (non-negative) checksum instead so the drain assert catches it
-            ok = jnp.max(jnp.sum(enc_mask, axis=1)) <= cross_pack_len[0]
+        if cross_pack_len[0] is not None or enc_pack_len[0]:
+            # pack lengths were sized on the warmup batch; a later batch
+            # with more valid positions would silently drop keys — poison
+            # the (non-negative) checksum instead so the drain assert
+            # catches it. The VTL combined mask is recomputed on dummies
+            # (enc_mask is already capped post-pack).
+            from markushgrapher_tpu.ops.fusion import (
+                combine_image_text_embeddings)
+
+            n_side = cfg.vtl.num_patches_side
+            am = batch["attention_mask"]
+            _, _, fm = combine_image_text_embeddings(
+                jnp.zeros((am.shape[0], n_side * n_side, 1), jnp.float32),
+                jnp.zeros(am.shape + (1,), jnp.float32),
+                batch["bbox"].astype(jnp.float32), am, n_side)
+            vtl_valid = jnp.max(jnp.sum(fm, axis=1))
+            ok = jnp.bool_(True)
+            if enc_pack_len[0]:
+                ok = ok & (vtl_valid <= enc_pack_len[0])
+            if cross_pack_len[0] is not None:
+                mols = enc.shape[1] - (enc_pack_len[0] or
+                                       cfg.max_seq_length
+                                       + n_side * n_side)
+                ok = ok & (vtl_valid + mols <= cross_pack_len[0])
             checksum = jnp.where(ok, checksum, -1)
         return checksum
 
