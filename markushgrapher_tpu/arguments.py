@@ -64,6 +64,14 @@ class ModelArguments:
     quant_kv: bool = False        # int8 cross+self KV caches during decode
     quant_weights: bool = False   # int8 decode-step weights (+lm_head)
     int4_cross: bool = False      # int4 cross KV (coarser; needs quant_kv)
+    # static packed lengths (0 = off): bias_int8 slab + encoder/cross-cache
+    # packing (decode.generate.pack_encoder_for_cross, model
+    # encoder_pack_len). Size via models.markushgrapher.encoder_valid_max
+    # on a representative batch, rounded up to 256.
+    bias_int8: bool = False       # int8 encoder bias slab (serving)
+    bias_kernel: bool = False     # one-hot MXU bias builder (needs bias_int8)
+    encoder_pack_len: int = 0     # packed VTL encoder bucket
+    cross_pack_len: int = 0       # packed decode cross-cache bucket
     # architecture sizing (UDOP-large defaults)
     vocab_size: int = 33201
     d_model: int = 1024

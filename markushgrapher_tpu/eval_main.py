@@ -44,7 +44,10 @@ def main(config_path: Optional[str] = None,
     cfg = build_model_config(margs, dargs)
     model = MarkushGrapherModel(cfg, dtype=jnp.bfloat16,
                                 flash_attention=True,
-                                int4_cross=margs.int4_cross)
+                                int4_cross=margs.int4_cross,
+                                bias_int8=margs.bias_int8,
+                                bias_kernel=margs.bias_kernel,
+                                encoder_pack_len=margs.encoder_pack_len)
 
     registry = DatasetRegistry.from_yaml(dargs.datasets_config)
     test_ds = registry.build(
@@ -104,6 +107,7 @@ def main(config_path: Optional[str] = None,
         quant_kv=margs.quant_kv,
         quant_weights=margs.quant_weights,
         int4_cross=margs.int4_cross,
+        cross_pack_len=margs.cross_pack_len,
         output_dir=os.path.join(targs.output_dir, "predictions"))
     evaluator = Evaluator(model, params, test_ds.markush_tokenizer, eval_cfg,
                           input_tokenizer=input_mt)
