@@ -166,9 +166,21 @@ def _pick_self_seg(max_len: int) -> int:
     On TPU the kernel's lane-axis block offsets must be 128-multiples, so
     COW needs max_len % 128 == 0 (the serving config: 512). Off-TPU
     (interpret-mode tests) any divisor works — pick a small one so tiny
-    decode lengths exercise the multi-segment logic."""
+    decode lengths exercise the multi-segment logic.
+
+    BEAM_SELF_SEG overrides (a 128-multiple dividing max_len): larger
+    segments mean fewer, bigger ring-read DMAs per step (the beam step is
+    self-ring-bound: 24 x 0.30 ms at 80 rows, ~6x its DMA floor) at the
+    cost of copying a larger live segment on each beam reorder."""
     if jax.default_backend() == "tpu":
-        return 128 if max_len % 128 == 0 else 0
+        import os
+
+        seg = int(os.environ.get("BEAM_SELF_SEG", "128"))
+        if seg % 128 or (seg and max_len % seg):
+            raise ValueError(
+                f"BEAM_SELF_SEG={seg} must be a 128-multiple dividing "
+                f"max_len={max_len}")
+        return seg if max_len % 128 == 0 else 0
     for seg in (128, 4, 2, 1):
         if max_len % seg == 0:
             return seg
