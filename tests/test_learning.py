@@ -189,3 +189,19 @@ class TestQuantizationGate:
                               quant_cross_kv=True, quant_weights=True,
                               weight_bits=4)
         assert _exact_matches(out, o["samples"], o["mt"]) >= f32_exact
+
+    def test_full_decode_stack(self, overfit, f32_exact):
+        """The round-3 candidate combined default: int4 KV + W8A8 decode
+        dots + packed cross caches. Gate: zero lost CXSMILES exact matches.
+        (The packed/bias-kernel ENCODER components are bit-/LSB-gated in
+        test_encoder_pack.py and test_bias_i8.py; this bounds the whole
+        decode-side stack end-to-end on the trained model.)"""
+        o = overfit
+        i4_model = MarkushGrapherModel(o["cfg"], dtype=jnp.float32,
+                                       int4_cross=True)
+        pack = int(np.asarray(o["enc_mask"]).sum(1).max())
+        out = greedy_generate(i4_model, o["params"], o["enc"],
+                              o["enc_mask"], MAXDEC, eos_id=1,
+                              quant_cross_kv=True, quant_weights=True,
+                              act_quant=True, cross_pack_len=pack)
+        assert _exact_matches(out, o["samples"], o["mt"]) >= f32_exact
