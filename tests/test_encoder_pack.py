@@ -86,7 +86,7 @@ class TestBuilderPositions:
 
 
 def _two_path_models(flash: bool, pack_len: int, seq: int, heads: int,
-                     bias_int8: bool = False):
+                     bias_int8: bool = False, bias_kernel: bool = False):
     cfg = MarkushGrapherConfig(
         vtl=VTLConfig(vocab_size=128, d_model=32, d_kv=4, d_ff=64,
                       num_layers=2, num_decoder_layers=1, num_heads=heads,
@@ -96,9 +96,11 @@ def _two_path_models(flash: bool, pack_len: int, seq: int, heads: int,
         architecture_variant="none",
         max_seq_length=seq, max_seq_length_decoder=8)
     base = MarkushGrapherModel(cfg, dtype=jnp.float32,
-                               flash_attention=flash, bias_int8=bias_int8)
+                               flash_attention=flash, bias_int8=bias_int8,
+                               bias_kernel=bias_kernel)
     packed = MarkushGrapherModel(cfg, dtype=jnp.float32,
                                  flash_attention=flash, bias_int8=bias_int8,
+                                 bias_kernel=bias_kernel,
                                  encoder_pack_len=pack_len)
     return cfg, base, packed
 
@@ -157,5 +159,15 @@ class TestModelEncoderPack:
         cfg, base, packed = _two_path_models(flash=True, pack_len=256,
                                              seq=496, heads=8,
                                              bias_int8=True)
+        batch = self._batch(cfg, zero_cols=range(200, 460))
+        self._check(cfg, base, packed, batch, 256, atol=5e-4)
+
+    def test_flash_bias_kernel_packed_256(self):
+        # same shape, bias built by the one-hot MXU builder (heads=8
+        # engages it) with per-row positions from the pack
+        cfg, base, packed = _two_path_models(flash=True, pack_len=256,
+                                             seq=496, heads=8,
+                                             bias_int8=True,
+                                             bias_kernel=True)
         batch = self._batch(cfg, zero_cols=range(200, 460))
         self._check(cfg, base, packed, batch, 256, atol=5e-4)
