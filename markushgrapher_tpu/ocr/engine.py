@@ -39,12 +39,20 @@ class OCREngineConfig:
     int4_kv: bool = False           # pack the KV rings to int4 (needs quant_kv)
     weight_bits: int = 8            # 4: native-int4 decode weights
     act_quant: bool = False         # W8A8 s8 x s8 MXU decode dots
+    megastep: bool = False          # whole-step decode megakernel
+    mega_block_s: int = 0           # ring block override (0: auto)
 
     def __post_init__(self):
         if self.int4_kv and not self.quant_kv:
             raise ValueError(
                 "OCREngineConfig: int4_kv=True requires quant_kv=True — "
                 "prefill would silently build full bf16 caches otherwise")
+        if self.megastep and (not self.quant_kv or self.int4_kv
+                              or self.weight_bits != 8 or self.act_quant):
+            raise ValueError(
+                "OCREngineConfig: megastep=True requires int8 rings and "
+                "int8 weights (quant_kv=True, int4_kv=False, weight_bits=8, "
+                "act_quant=False)")
 
 
 class ChemicalOCR:
@@ -76,9 +84,20 @@ class ChemicalOCR:
                 method=ChemicalOCRModel.prefill,
                 max_len=cfg.max_new_tokens, quant_kv=cfg.quant_kv,
                 int4=cfg.int4_kv)
-            qw = (model.apply(params, cfg.weight_bits, cfg.act_quant,
-                              method=ChemicalOCRModel.quantize_weights)
-                  if cfg.quant_weights else None)
+            if cfg.megastep:
+                from markushgrapher_tpu.ops.megastep import build_consts
+
+                t = model.cfg.text
+                mw = model.apply(params,
+                                 method=ChemicalOCRModel.megastep_pack)
+                caches = ChemicalOCRModel.stack_caches(caches)
+                consts = build_consts(
+                    pixel_values.shape[0], t.num_heads, t.num_kv_heads,
+                    t.d_model // t.num_heads)
+            else:
+                qw = (model.apply(params, cfg.weight_bits, cfg.act_quant,
+                                  method=ChemicalOCRModel.quantize_weights)
+                      if cfg.quant_weights else None)
             batch = pixel_values.shape[0]
             first = jnp.argmax(logits[:, -1], -1).astype(jnp.int32)
 
@@ -92,9 +111,15 @@ class ChemicalOCR:
                 # the (step-1)-th generated token, so decode_step (which counts
                 # from 0 after prefill) gets step-1 — RoPE position
                 # prefix_len+step-1 and KV slot prefix_len+step-1.
-                logits, caches = model.apply(
-                    params, tok, caches, step - 1, prefix_len, qw,
-                    method=ChemicalOCRModel.decode_step)
+                if cfg.megastep:
+                    logits, caches = model.apply(
+                        params, tok, caches, step - 1, prefix_len, mw,
+                        consts, cfg.mega_block_s,
+                        method=ChemicalOCRModel.decode_step_mega)
+                else:
+                    logits, caches = model.apply(
+                        params, tok, caches, step - 1, prefix_len, qw,
+                        method=ChemicalOCRModel.decode_step)
                 nxt = jnp.argmax(logits[:, -1], -1).astype(jnp.int32)
                 nxt = jnp.where(finished, cfg.pad_id, nxt)
                 finished = finished | (nxt == cfg.eos_id)

@@ -606,6 +606,74 @@ class ChemicalOCRModel(nn.Module):
                            for layer in self.layers],
                 "lm_head": {"q": emb_q, "s": emb_s}}
 
+    def megastep_pack(self, bits: int = 8):
+        """Stacked weights + LM head for the whole-step decode megakernel
+        (ops/megastep.py): per-layer int8 decode weights restacked to
+        [L, ...] arrays so the kernel's layer grid axis can DMA-pipeline
+        them. Built once per generate, outside the decode while_loop."""
+        from markushgrapher_tpu.ops.megastep import pack_lm
+
+        t = self.cfg.text
+        unbox = lambda p: p.value if hasattr(p, "value") else p  # noqa: E731
+        qws = [layer.quantize_weights(bits) for layer in self.layers]
+        ln_a = [unbox(layer.ln_attn.variables["params"]["weight"])
+                for layer in self.layers]
+        ln_m = [unbox(layer.ln_mlp.variables["params"]["weight"])
+                for layer in self.layers]
+        emb_q, emb_s = _quantize_w(self.embed, (1,))
+        return {
+            "lm": pack_lm(qws, ln_a, ln_m, t.num_heads, t.num_kv_heads,
+                          t.d_model // t.num_heads),
+            "lm_head": {"q": emb_q, "s": emb_s},
+        }
+
+    @staticmethod
+    def stack_caches(caches):
+        """Per-layer int8 ring caches (prefill output) -> the megakernel's
+        stacked {k_q [L,B,S,G*D], k_s [L,B,G,S], v_q, v_s} layout."""
+        if "k_q" not in caches[0]:
+            raise ValueError("megastep requires int8 ring caches "
+                             "(quant_kv=True, int4_kv=False)")
+        return {k: jnp.stack([c[k] for c in caches])
+                for k in ("k_q", "k_s", "v_q", "v_s")}
+
+    def decode_step_mega(self, token_ids, rings, step, prefix_len, mw,
+                         consts, block_s: int = 0, skip: bool = True):
+        """One decode step for all layers through ops/megastep.ocr_megastep
+        (ONE pallas_call instead of ~600 XLA ops — the b16 step is
+        scheduling-bound, CLAUDE.md). Semantics match decode_step's int8
+        ring branch; the ring writes happen here with ONE
+        dynamic_update_slice per ring across all layers."""
+        from markushgrapher_tpu.ops.megastep import ocr_megastep, rope_rows
+
+        t = self.cfg.text
+        d = t.d_model // t.num_heads
+        pos = prefix_len + step
+        x = self.embed[token_ids].astype(self.dtype)[:, 0]      # [B, D]
+        cq, sq, ck, sk = rope_rows(self._rope, pos, t.num_heads,
+                                   t.num_kv_heads, d)
+        x, kqn, vqn, ksb, vsb = ocr_megastep(
+            x, rings, mw["lm"], consts, cq, sq, ck, sk, pos,
+            heads=t.num_heads, groups=t.num_kv_heads, d=d,
+            rms_eps=t.rms_eps, block_s=block_s, skip=skip)
+        z = jnp.int32(0)
+        rings = dict(
+            rings,
+            k_q=jax.lax.dynamic_update_slice(
+                rings["k_q"], kqn[:, :, None, :], (z, z, pos, z)),
+            v_q=jax.lax.dynamic_update_slice(
+                rings["v_q"], vqn[:, :, None, :], (z, z, pos, z)),
+            k_s=jax.lax.dynamic_update_slice(
+                rings["k_s"], ksb[:, :, ::d][..., None], (z, z, z, pos)),
+            v_s=jax.lax.dynamic_update_slice(
+                rings["v_s"], vsb[:, :, ::d][..., None], (z, z, z, pos)))
+        x = self.final_ln(x[:, None])
+        logits = jnp.einsum(
+            "bqd,vd->bqv", x.astype(jnp.bfloat16),
+            _deq(mw["lm_head"]["q"], jnp.bfloat16),
+            preferred_element_type=jnp.float32) * mw["lm_head"]["s"]
+        return logits, rings
+
     def decode_step(self, token_ids, caches, step, prefix_len, qw=None):
         """One token for all sequences; step counts from 0 after prefill."""
         b = token_ids.shape[0]
