@@ -39,7 +39,8 @@ imgs = rng.rand(B, 512, 512, 3).astype(np.float32)
 params = None
 
 
-def run_cfg(name, quant_kv, int4_kv, quant_w=True, skip=SKIP, act=False):
+def run_cfg(name, quant_kv, int4_kv, quant_w=True, skip=SKIP, act=False,
+            mega=False):
     global params
     model = ChemicalOCRModel(ocr_cfg, dtype=jnp.bfloat16, block_skip=skip)
     if params is None:
@@ -54,7 +55,8 @@ def run_cfg(name, quant_kv, int4_kv, quant_w=True, skip=SKIP, act=False):
         model, params, tok,
         OCREngineConfig(max_new_tokens=STEPS, batch_size=B, eos_id=-1,
                         quant_kv=quant_kv, int4_kv=int4_kv,
-                        quant_weights=quant_w, act_quant=act))
+                        quant_weights=quant_w, act_quant=act,
+                        megastep=mega))
     t0 = time.time()
     s = int(jnp.sum(engine.generate_batch_async(imgs)))
     print(f"{name} warm: {s} {time.time()-t0:.1f}s", flush=True)
@@ -65,7 +67,12 @@ def run_cfg(name, quant_kv, int4_kv, quant_w=True, skip=SKIP, act=False):
           "ms/step)", flush=True)
 
 
-if os.environ.get("AB_W8A8_ONLY", "0") == "1":
+if os.environ.get("AB_MEGA", "0") == "1":
+    # whole-step decode megakernel (ops/megastep.py) vs its per-layer
+    # equivalent — the scheduling-wall fix, int8 rings + int8 weights
+    run_cfg("mega-int8  ", True, False, mega=True)
+    run_cfg("int8-mosaic", True, False)
+elif os.environ.get("AB_W8A8_ONLY", "0") == "1":
     run_cfg("int8-mosaic-w8a8", True, False, act=True)
     run_cfg("int4-mosaic-w8a8", True, True, act=True)
 else:

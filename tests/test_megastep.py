@@ -220,6 +220,22 @@ class TestMegastep:
         assert "<ocr>" in tok.decode(a[0]), tok.decode(a[0])
         assert (a == b).all(), (tok.decode(a[0]), tok.decode(b[0]))
 
+    def test_microbench_smoke(self):
+        """scripts/microbench_megastep.py MB_TINY CPU smoke: the TPU
+        measurement harness traces, loops, and fences."""
+        import os
+        import subprocess
+        import sys
+
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        env = dict(os.environ, MB_TINY="1")
+        proc = subprocess.run(
+            [sys.executable,
+             os.path.join(repo, "scripts", "microbench_megastep.py")],
+            capture_output=True, text=True, timeout=900, env=env)
+        assert proc.returncode == 0, proc.stderr[-2000:]
+        assert "BEST" in proc.stdout, proc.stdout
+
     def test_engine_megastep_mode(self, setup):
         """ChemicalOCR engine end-to-end with megastep=True equals the
         per-layer int8 engine's generations."""
