@@ -25,7 +25,9 @@ fills.
 Env: BENCH_E2E_BATCH (16), BENCH_MG_BATCH (48), BENCH_OCR_TOKENS (512),
 BENCH_DECODE_LEN (512), BENCH_REPEATS (2), BENCH_QUANT_KV (1),
 BENCH_QUANT_W (1), BENCH_INT4 (1, both stages; BENCH_OCR_INT4 overrides
-stage 1), BENCH_BLOCK_SKIP (0; BENCH_OCR_SKIP / BENCH_MG_SKIP override
+stage 1), BENCH_OCR_MEGA (0: stage-1 whole-step decode megakernel,
+ops/megastep.py — forces stage-1 int8 rings/weights),
+BENCH_BLOCK_SKIP (0; BENCH_OCR_SKIP / BENCH_MG_SKIP override
 per stage), BENCH_PIPELINED (1), BENCH_PIPELINE_DEPTH (4), BENCH_DIAG (0:
 print per-stage standalone throughputs to stderr), BENCH_DEVICE_PIXELS (1:
 upload each image once as uint8; stage 2 reuses stage 1's device-resident
@@ -107,6 +109,11 @@ def main() -> None:
     # arithmetic intensity, so int4/skip tradeoffs differ — A/B them
     # independently (BENCH_OCR_* for stage 1, BENCH_MG_* for stage 2)
     ocr_int4 = os.environ.get("BENCH_OCR_INT4", "1" if int4 else "0") == "1"
+    # BENCH_OCR_MEGA=1: whole-step OCR decode megakernel — requires int8
+    # rings/weights, so it forces the int4/W8A8 stage-1 knobs off
+    ocr_mega = os.environ.get("BENCH_OCR_MEGA", "0") == "1"
+    if ocr_mega:
+        ocr_int4 = False
     # BENCH_W_INT4=1: native-int4 decode weights in BOTH stages (lm_heads
     # stay int8); opt-in until measured (gate:
     # test_learning.py::TestQuantizationGate::test_int4_kv_int4_weights)
@@ -173,8 +180,12 @@ def main() -> None:
         OCREngineConfig(max_new_tokens=ocr_tokens, batch_size=ocr_batch,
                         eos_id=-1, quant_kv=quant_kv,
                         int4_kv=ocr_int4 and quant_kv,
-                        quant_weights=quant_w, weight_bits=weight_bits,
-                        act_quant=act_quant))
+                        quant_weights=quant_w or ocr_mega,
+                        weight_bits=8 if ocr_mega else weight_bits,
+                        act_quant=act_quant and not ocr_mega,
+                        # BENCH_OCR_MEGA=1: whole-step decode megakernel
+                        # (ops/megastep.py; int8 rings + int8 weights)
+                        megastep=ocr_mega))
 
     # ---- stage 2: MarkushGrapher ----
     if tiny:

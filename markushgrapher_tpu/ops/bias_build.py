@@ -106,12 +106,16 @@ def _rows(b1_ref, bh_ref, bv_ref, t2_ref, O_ref, C_ref, *, heads, nb, L):
     xv = bv_ref[0, 0].astype(jnp.int32)
     ch = x1.shape[1]
     iota = jax.lax.broadcasted_iota(jnp.int32, (nb, ch), 0)
-    one = jnp.ones((), jnp.bfloat16)
-    zero = jnp.zeros((), jnp.bfloat16)
+    # one-hot via arithmetic in int32, converted through f32: an i1 compare
+    # mask feeding a bf16 select needs an (8,128)->(16,128) mask relayout
+    # Mosaic refuses ("Invalid relayout ... vector<...xi1>", real-TPU only);
+    # int32 ops and the int32->f32->bf16 converts all lower natively
+    oh = lambda x: (1 - jnp.minimum(jnp.abs(x - iota), 1)).astype(  # noqa
+        jnp.float32).astype(jnp.bfloat16)
     # scratch writes (not concat): sublane offsets 0/nb/2nb are 8-multiples
-    O_ref[0:nb, :] = jnp.where(x1 == iota, one, zero)
-    O_ref[nb:2 * nb, :] = jnp.where(xh == iota, one, zero)
-    O_ref[2 * nb:3 * nb, :] = jnp.where(xv == iota, one, zero)
+    O_ref[0:nb, :] = oh(x1)
+    O_ref[nb:2 * nb, :] = oh(xh)
+    O_ref[2 * nb:3 * nb, :] = oh(xv)
     r2 = jax.lax.dot_general(
         t2_ref[...], O_ref[...], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)             # [2H, CH]

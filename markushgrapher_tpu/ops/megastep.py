@@ -298,33 +298,29 @@ def _mega_kernel(
     # ---- last attention stage tail: new-token column, extract, o-proj ----
     @pl.when(j == n_att - 1)
     def _attn_tail():
-        biota = jax.lax.broadcasted_iota(jnp.int32, (1, batch), 1)
+        # [B, 1] batch-index column (built directly — a (1,B)->(B,1)
+        # reshape would be a sublane/lane transpose Mosaic can't lower)
+        biota = jax.lax.broadcasted_iota(jnp.int32, (batch, 1), 0)
 
         def body(b, _):
             off = pl.multiple_of(b * HP, HP)
-            qg = q_s[pl.ds(off, HP), :].astype(jnp.bfloat16)
-            eb = (biota == b).astype(jnp.bfloat16)             # [1, B]
-            krow = jax.lax.dot_general(
-                eb, kdq_s[...].astype(jnp.bfloat16),
-                (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)            # [1, Dkv]
-            s = jax.lax.dot_general(
-                qg, krow.astype(jnp.bfloat16), (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32)            # [HP, 1]
+            qg = q_s[pl.ds(off, HP), :]                        # [HP, Dkv] f32
+            # batch row b of the new-token k/v via a one-hot row-select
+            # matmul-free: mask + sublane-sum ([1, *]-operand dot_generals
+            # trip a Mosaic vector.broadcast verifier bug at these shapes)
+            ebm = (biota == b).astype(jnp.float32)             # [B, 1]
+            krow = jnp.sum(kdq_s[...] * ebm, axis=0,
+                           keepdims=True)                      # [1, Dkv]
+            s = jnp.sum(qg * krow, axis=-1, keepdims=True)     # [HP, 1]
             m_prev = m_s[pl.ds(off, HP), :1]
             l_prev = l_s[pl.ds(off, HP), :1]
             m_new = jnp.maximum(m_prev, s)
             alpha = jnp.exp(m_prev - m_new)
             pr = jnp.exp(s - m_new)                            # [HP, 1]
             l_new = l_prev * alpha + pr
-            vrow = jax.lax.dot_general(
-                eb, vdq_s[...].astype(jnp.bfloat16),
-                (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)            # [1, Dkv]
-            o = jax.lax.dot_general(
-                pr.astype(jnp.bfloat16), vrow.astype(jnp.bfloat16),
-                (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)            # [HP, Dkv]
+            vrow = jnp.sum(vdq_s[...] * ebm, axis=0,
+                           keepdims=True)                      # [1, Dkv]
+            o = pr * vrow                                      # [HP, Dkv]
             acc = acc_s[pl.ds(off, HP), :] * alpha + o
             acc_s[pl.ds(off, HP), :] = acc / jnp.maximum(l_new, 1e-30)
             return 0
