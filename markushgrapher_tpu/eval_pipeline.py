@@ -111,6 +111,24 @@ class Evaluator:
         model_batch = {k: jnp.asarray(v) for k, v in batch.items()
                        if k in ("input_ids", "bbox", "attention_mask",
                                 "pixel_values", "ocsr_pixel_values")}
+        # Packing truncates to a STATIC length; a batch whose valid count
+        # exceeds it would silently drop valid keys (wrong predictions, no
+        # error). Guard every batch with the same tiny host-readback program
+        # the packers are sized with (jit-cached; one scalar per batch).
+        pack_lens = [pl for pl in (self.cfg.cross_pack_len,
+                                   getattr(self.model, "encoder_pack_len", 0))
+                     if pl]
+        if pack_lens:
+            from markushgrapher_tpu.models.markushgrapher import (
+                encoder_valid_max)
+
+            mv = encoder_valid_max(self.model.cfg, model_batch["bbox"],
+                                   model_batch["attention_mask"])
+            if mv > min(pack_lens):
+                raise ValueError(
+                    f"packed length {min(pack_lens)} < batch valid count "
+                    f"{mv}: raise cross_pack_len/encoder_pack_len (size via "
+                    "models.markushgrapher.encoder_valid_max, rounded up)")
         out = self._generate(self.params, model_batch)
         return np.asarray(jax.device_get(out))
 

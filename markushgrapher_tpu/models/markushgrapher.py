@@ -273,7 +273,11 @@ class MarkushGrapherModel(nn.Module):
             use_flash = (
                 self.flash_attention and deterministic
                 and seq_len % 256 == 0)
-            if use_flash and self.inkernel_bias and positions is None:
+            # inkernel_bias has fixed (256,512) blocks with no auto-shrink
+            # (flash_relbias.py:128) — the 256-multiple lengths the other
+            # flash branches now accept must keep routing past it
+            if (use_flash and self.inkernel_bias and positions is None
+                    and seq_len % 512 == 0):
                 rb = dict(
                     hx=((full_bbox[..., 0] + full_bbox[..., 2]) / 2.0
                         ).astype(jnp.float32),

@@ -174,7 +174,6 @@ class Attention(nn.Module):
         #   from relbias.encoder_position_bias_chunked_i8
         use_flash: bool = False,
         relbias: Optional[dict] = None,  # in-kernel bias inputs (flash only)
-        bias_hbll: bool = False,   # bias is [H, B, Q, K] (chunked-builder order)
     ) -> jnp.ndarray:
         q = self.q(x)  # [B, Q, H, Dk]
         if kv is None:
@@ -196,7 +195,7 @@ class Attention(nn.Module):
             from markushgrapher_tpu.ops.flash_attention import (
                 flash_attention_bias)
 
-            out = flash_attention_bias(q, k, v, bias, bias_hbll=bias_hbll)
+            out = flash_attention_bias(q, k, v, bias)
         else:
             if bias_quantized:
                 from markushgrapher_tpu.ops.relbias import mask_bias
@@ -208,8 +207,6 @@ class Attention(nn.Module):
                 "bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32
             )
             if bias is not None:
-                if bias_hbll:
-                    bias = jnp.moveaxis(bias, 0, 1)   # [H,B,..] -> [B,H,..]
                 scores = scores + bias.astype(jnp.float32)
             probs = jax.nn.softmax(scores, axis=-1).astype(self.dtype)
             out = jnp.einsum("bhqk,bkhd->bqhd", probs, v)
@@ -256,15 +253,13 @@ class EncoderLayer(nn.Module):
     flash: bool = False
 
     @nn.compact
-    def __call__(self, x, bias, relbias=None, deterministic: bool = True,
-                 bias_hbll: bool = False):
+    def __call__(self, x, bias, relbias=None, deterministic: bool = True):
         h = RMSNorm(eps=self.eps, dtype=self.dtype, name="ln_attn")(x)
         # flash kernel is forward-only: inference path only
         h = Attention(self.d_model, self.num_heads, self.d_kv, self.dtype,
                       name="attn")(h, bias=bias,
                                    use_flash=self.flash and deterministic,
-                                   relbias=relbias if deterministic else None,
-                                   bias_hbll=bias_hbll)
+                                   relbias=relbias if deterministic else None)
         x = x + nn.Dropout(self.dropout_rate)(h, deterministic=deterministic)
         h = RMSNorm(eps=self.eps, dtype=self.dtype, name="ln_ff")(x)
         h = FeedForward(self.d_model, self.d_ff, self.ff_proj, self.dtype,
@@ -286,18 +281,17 @@ class Encoder(nn.Module):
     flash: bool = False
 
     @nn.compact
-    def __call__(self, x, bias, relbias=None, deterministic: bool = True,
-                 bias_hbll: bool = False):
+    def __call__(self, x, bias, relbias=None, deterministic: bool = True):
         x = nn.Dropout(self.dropout_rate)(x, deterministic=deterministic)
         layer_cls = EncoderLayer
         if self.remat:
-            layer_cls = nn.remat(EncoderLayer, static_argnums=(4, 5))
+            layer_cls = nn.remat(EncoderLayer, static_argnums=(4,))
         for i in range(self.num_layers):
             x = layer_cls(
                 self.d_model, self.num_heads, self.d_kv, self.d_ff,
                 self.ff_proj, self.eps, self.dtype, self.dropout_rate,
                 self.flash, name=f"layer_{i}",
-            )(x, bias, relbias, deterministic, bias_hbll)
+            )(x, bias, relbias, deterministic)
         x = RMSNorm(eps=self.eps, dtype=self.dtype, name="final_ln")(x)
         return nn.Dropout(self.dropout_rate)(x, deterministic=deterministic)
 

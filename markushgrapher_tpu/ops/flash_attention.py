@@ -58,26 +58,14 @@ def _flash_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, *, block_k: int,
     o_ref[0] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
 
 
-def _flash_kernel_b4(q_ref, k_ref, v_ref, bias_ref, o_ref, *, block_k: int,
-                     kv_len: int):
-    # bias_ref: [1, 1, BQ, L] (hbll layout) — drop the extra leading dim
-    _flash_kernel(q_ref, k_ref, v_ref, bias_ref.at[0], o_ref,
-                  block_k=block_k, kv_len=kv_len)
-
-
 @functools.partial(jax.jit, static_argnames=("block_q", "block_k",
-                                             "interpret", "bias_hbll"))
+                                             "interpret"))
 def flash_attention_bias(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                          bias: jnp.ndarray, block_q: int = 256,
                          block_k: int = 512,
-                         interpret: bool | None = None,
-                         bias_hbll: bool = False) -> jnp.ndarray:
-    """q,k,v: [B, L, H, D]; bias: [B or 1, H, L, L] additive (mask included),
-    or [H, B, L, L] with bias_hbll=True — the chunked builder's natural
-    gather order (relbias.encoder_position_bias_chunked layout="hbll"),
-    indexed (h, b, q) in-kernel so serving never pays the 8x-lane-padded
-    head-minormost transpose. Returns [B, L, H, D]. L must be divisible by
-    the block sizes."""
+                         interpret: bool | None = None) -> jnp.ndarray:
+    """q,k,v: [B, L, H, D]; bias: [B or 1, H, L, L] additive (mask included).
+    Returns [B, L, H, D]. L must be divisible by the block sizes."""
     batch, q_len, heads, d = q.shape
     kv_len = k.shape[1]
     if kv_len % block_k and kv_len % 256 == 0:
@@ -89,23 +77,14 @@ def flash_attention_bias(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     qh = q.transpose(0, 2, 1, 3).reshape(batch * heads, q_len, d)
     kh = k.transpose(0, 2, 1, 3).reshape(batch * heads, kv_len, d)
     vh = v.transpose(0, 2, 1, 3).reshape(batch * heads, kv_len, d)
-    if bias_hbll:
-        kernel = functools.partial(_flash_kernel_b4, block_k=block_k,
-                                   kv_len=kv_len)
-        # grid rows are b*H + h (from the q/k/v reshape)
-        bias_spec = pl.BlockSpec(
-            (1, 1, block_q, kv_len),
-            lambda i, j: (i % heads, i // heads, j, 0),
-            memory_space=pltpu.VMEM)
-    else:
-        if bias.shape[0] == 1 and batch > 1:
-            bias = jnp.broadcast_to(bias, (batch,) + bias.shape[1:])
-        bias = bias.reshape(batch * heads, q_len, kv_len)
-        kernel = functools.partial(_flash_kernel, block_k=block_k,
-                                   kv_len=kv_len)
-        bias_spec = pl.BlockSpec((1, block_q, kv_len),
-                                 lambda i, j: (i, j, 0),
-                                 memory_space=pltpu.VMEM)
+    if bias.shape[0] == 1 and batch > 1:
+        bias = jnp.broadcast_to(bias, (batch,) + bias.shape[1:])
+    bias = bias.reshape(batch * heads, q_len, kv_len)
+    kernel = functools.partial(_flash_kernel, block_k=block_k,
+                               kv_len=kv_len)
+    bias_spec = pl.BlockSpec((1, block_q, kv_len),
+                             lambda i, j: (i, j, 0),
+                             memory_space=pltpu.VMEM)
 
     out = pl.pallas_call(
         kernel,

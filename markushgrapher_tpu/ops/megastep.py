@@ -124,7 +124,11 @@ def pick_block_s(ring_len: int, batch: int, dkv: int,
     """Largest 128-multiple divisor of ring_len whose K+V block
     (2 * batch * block * dkv int8 bytes) fits the VMEM budget."""
     for cand in range(ring_len, 127, -128):
-        if ring_len % cand == 0 and 2 * batch * cand * dkv <= budget:
+        # cand % 128 matters when ring_len itself isn't a 128-multiple:
+        # a divisor like 320 | 960 divides the ring but isn't lane-aligned,
+        # and Mosaic rejects it only on real TPU (interpret mode passes)
+        if (cand % 128 == 0 and ring_len % cand == 0
+                and 2 * batch * cand * dkv <= budget):
             return cand
     raise ValueError(
         f"ring_len={ring_len} has no 128-multiple divisor with K+V block "

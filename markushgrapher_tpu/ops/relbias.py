@@ -189,7 +189,6 @@ def encoder_position_bias_chunked(
     chunk: int = 0,
     out_dtype=jnp.bfloat16,
     mask_value: float = -1e9,
-    layout: str = "bhll",
     positions: jnp.ndarray | None = None,   # [B, L] original indices
 ) -> jnp.ndarray:
     """Memory-lean bias construction: computes the aggregated bias in
@@ -198,16 +197,12 @@ def encoder_position_bias_chunked(
     bf16-safe value (consumed by ops.flash_attention.flash_attention_bias,
     which streams tiles).
 
-    layout="hbll" emits [H, B, L, L] — the combined gather's NATURAL
-    output order. The "bhll" ([B, H, L, L]) order needs a per-chunk
-    moveaxis whose layout XLA resolves by putting the 16-wide head dim
-    minormost (8x lane padding): the gather fusion alone measured 210 ms
-    of the 5.1 s serving batch at b48, vs ~25 ms in hbll order. The flash
-    kernel indexes (h, b, q) directly (flash_attention_bias bias_hbll), so
-    serving never transposes back.
-
     The one-shot builder (encoder_position_bias) allocates several f32
     [B,H,L,L] intermediates — >10 GB at batch 16 on the 831M model.
+
+    An [H,B,L,L] "hbll" output layout (the combined gather's natural order,
+    avoiding the per-chunk moveaxis) was built and measured: it just moves
+    the transpose cost (+64 ms of relayouts at b48) — removed as a dead end.
 
     chunk=0 auto-sizes by batch (_bias_chunks)."""
     (chunk, n_chunks, positions, hx, vy,
@@ -217,15 +212,11 @@ def encoder_position_bias_chunked(
 
     batch = bbox.shape[0]
     num_heads = bias_1d_table.shape[-1]
-    if layout not in ("bhll", "hbll"):
-        raise ValueError(f"layout must be bhll or hbll, got {layout!r}")
-    hbll = layout == "hbll"
     # Write chunks into the FINAL carry in place: a stacked scan output
     # [n_chunks, ..., chunk, L] tempts the layout assigner to put the
     # 16-wide head dim on the 128-lane axis (8x HBM padding -> OOM at
     # batch 32); the carry keeps the natural (L, L) tiling.
-    acc0 = jnp.zeros((num_heads, batch, seq_len, seq_len) if hbll
-                     else (batch, num_heads, seq_len, seq_len), out_dtype)
+    acc0 = jnp.zeros((batch, num_heads, seq_len, seq_len), out_dtype)
 
     # gather from TRANSPOSED tables so every intermediate keeps L (divisible
     # by 128) on the lane axis: `table[idx]` puts the 16-wide head dim there
@@ -259,7 +250,7 @@ def encoder_position_bias_chunked(
                     + jnp.take(th, bh, axis=1)
                     + jnp.take(tv, bv, axis=1))        # [H, B, chunk, L]
         full = jnp.where(key_mask[None, :, None, :], full, mask_value)
-        tile = (full if hbll else jnp.moveaxis(full, 0, 1)).astype(out_dtype)
+        tile = jnp.moveaxis(full, 0, 1).astype(out_dtype)
         acc = jax.lax.dynamic_update_slice(
             acc, tile, (0, 0, idx * chunk, 0))
         return acc, None

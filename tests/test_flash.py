@@ -45,40 +45,3 @@ class TestFlashAttention:
         q = jnp.zeros((1, 300, 2, 64))
         with pytest.raises(ValueError):
             flash_attention_bias(q, q, q, jnp.zeros((1, 2, 300, 300)))
-
-
-class TestHbllBias:
-    def test_flash_hbll_matches_bhll(self):
-        """[H, B, L, L] bias (chunked-builder natural order) indexed
-        (h, b, q) in-kernel must equal the [B, H, L, L] path."""
-        rng = np.random.RandomState(2)
-        B, L, H, D = 2, 256, 4, 64
-        q = jnp.asarray(rng.randn(B, L, H, D).astype(np.float32))
-        k = jnp.asarray(rng.randn(B, L, H, D).astype(np.float32))
-        v = jnp.asarray(rng.randn(B, L, H, D).astype(np.float32))
-        bias = jnp.asarray(rng.randn(B, H, L, L).astype(np.float32)) * 2
-        ref = flash_attention_bias(q, k, v, bias, block_q=128, block_k=128)
-        got = flash_attention_bias(q, k, v, jnp.moveaxis(bias, 1, 0),
-                                   block_q=128, block_k=128, bias_hbll=True)
-        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
-                                   atol=2e-5, rtol=1e-4)
-
-    def test_chunked_hbll_is_transposed_bhll(self):
-        from markushgrapher_tpu.ops.relbias import (
-            encoder_position_bias_chunked)
-
-        rng = np.random.RandomState(3)
-        B, L, H = 2, 256, 4
-        bbox = jnp.asarray(rng.rand(B, L, 4).astype(np.float32))
-        mask = jnp.ones((B, L), jnp.int32)
-        t1 = jnp.asarray(rng.randn(32, H).astype(np.float32))
-        th = jnp.asarray(rng.randn(32, H).astype(np.float32))
-        tv = jnp.asarray(rng.randn(32, H).astype(np.float32))
-        bhll = encoder_position_bias_chunked(
-            t1, th, tv, bbox, mask, L, 32, 128, 100, 100, chunk=64,
-            out_dtype=jnp.float32)
-        hbll = encoder_position_bias_chunked(
-            t1, th, tv, bbox, mask, L, 32, 128, 100, 100, chunk=64,
-            out_dtype=jnp.float32, layout="hbll")
-        np.testing.assert_array_equal(
-            np.asarray(hbll), np.moveaxis(np.asarray(bhll), 1, 0))
