@@ -15,10 +15,11 @@ cross-attention kernel; 16 was optimal on the XLA path), BENCH_DECODE_LEN (defau
 BENCH_REPEATS (default 3), BENCH_BEAMS (default 1), BENCH_QUANT_KV (1),
 BENCH_QUANT_W (1), BENCH_INT4 (1), BENCH_FLASH (1), BENCH_INKERNEL_BIAS (0),
 BENCH_BIAS_I8 (1), BENCH_BLOCK_SKIP (0 — measured -19% at b48),
-BENCH_BIAS_KERNEL (0 — one-hot MXU bias builder, unmeasured on TPU),
-BENCH_BIAS_RELAYOUT (kernel|xla), BENCH_CROSS_PACK (0 — pack valid encoder
+BENCH_BIAS_KERNEL (1 — one-hot MXU bias builder; solo 9.70 -> 10.33 at b48),
+BENCH_BIAS_RELAYOUT (kernel|xla), BENCH_CROSS_PACK (1 — pack valid encoder
 positions first and truncate the cross caches to the batch's ceil-256 max
-valid count; realistic pages are ~25-30% padding), BENCH_ENC_PACK (0 — run
+valid count; realistic pages are ~25-30% padding; solo 9.70 -> 10.90, and
+with the bias kernel 11.65), BENCH_ENC_PACK (0 — run
 the whole VTL encoder at the packed 256-bucket; composes with CROSS_PACK).
 
 int4 KV + int8 weights is the default serving config: the end-task
@@ -147,10 +148,11 @@ def main() -> None:
         # DEFAULT (greedy-sequence gate: tests/test_bias_i8.py)
         bias_int8=os.environ.get("BENCH_BIAS_I8", "1") == "1",
         # one-hot MXU bias builder (ops.bias_build): replaces the XLA
-        # gather chain (~320 ms/batch at b48, device trace). Opt-in until
-        # measured on TPU; BENCH_BIAS_RELAYOUT=xla picks the transpose
-        # fallback if the in-kernel relayout doesn't lower
-        bias_kernel=os.environ.get("BENCH_BIAS_KERNEL", "0") == "1",
+        # gather chain (~320 ms/batch at b48, device trace). DEFAULT:
+        # measured 9.70 -> 10.33 solo at b48 (chain r3h R3), composing to
+        # 11.65 with cross packing; BENCH_BIAS_RELAYOUT=xla picks the
+        # transpose fallback if the in-kernel relayout doesn't lower
+        bias_kernel=os.environ.get("BENCH_BIAS_KERNEL", "1") == "1",
         bias_kernel_relayout=os.environ.get("BENCH_BIAS_RELAYOUT", "kernel"),
         # int4 KV (cross slabs + self rings): halves the dominant slab
         # traffic vs int8; DEFAULT since the CXSMILES exact-match gate
@@ -194,13 +196,14 @@ def main() -> None:
 
     num_beams = int(os.environ.get("BENCH_BEAMS", "1"))
 
-    # BENCH_CROSS_PACK=1: pack valid encoder positions first and truncate
-    # the cross caches to the batch's (ceil-256) max valid count — realistic
-    # pages are ~25-30% padding (text mostly pad), and the cross slabs are
-    # the decode's dominant HBM traffic. One tiny device program computes
-    # the combined-mask valid counts before the timed loop.
+    # BENCH_CROSS_PACK (DEFAULT): pack valid encoder positions first and
+    # truncate the cross caches to the batch's (ceil-256) max valid count —
+    # realistic pages are ~25-30% padding (text mostly pad), and the cross
+    # slabs are the decode's dominant HBM traffic. Measured 9.70 -> 10.90
+    # solo at b48 (chain r3h R4), 11.65 with the bias kernel (R5). One tiny
+    # device program computes the valid counts before the timed loop.
     cross_pack_len = None
-    if os.environ.get("BENCH_CROSS_PACK", "0") == "1":
+    if os.environ.get("BENCH_CROSS_PACK", "1") == "1":
         from markushgrapher_tpu.models.markushgrapher import (
             encoder_valid_max)
 

@@ -33,10 +33,11 @@ print per-stage standalone throughputs to stderr), BENCH_DEVICE_PIXELS (1:
 upload each image once as uint8; stage 2 reuses stage 1's device-resident
 pixels via data/device_pixels.py — no per-stage f32 re-upload),
 BENCH_BIAS_I8 (1: int8 encoder bias slab, the driver-default encoder
-config), BENCH_BIAS_KERNEL (0: one-hot MXU bias builder),
-BENCH_BIAS_RELAYOUT (kernel|xla), BENCH_CROSS_PACK (0: pack + truncate the
-MG cross caches to the warmup batch's valid bound), BENCH_ENC_PACK (0: run
-the whole MG VTL encoder at the packed bucket; composes with CROSS_PACK).
+config), BENCH_BIAS_KERNEL (1: one-hot MXU bias builder, +6.5% on the MG
+stage bench), BENCH_BIAS_RELAYOUT (kernel|xla), BENCH_CROSS_PACK (1: pack +
+truncate the MG cross caches to the warmup batch's valid bound),
+BENCH_ENC_PACK (1: run the whole MG VTL encoder at the packed bucket;
+ENC_PACK+CROSS_PACK measured 6.75 -> 7.14 pipelined, chain r3h R8/R9).
 """
 
 from __future__ import annotations
@@ -208,7 +209,7 @@ def main() -> None:
                                 bias_int8=os.environ.get(
                                     "BENCH_BIAS_I8", "1") == "1",
                                 bias_kernel=os.environ.get(
-                                    "BENCH_BIAS_KERNEL", "0") == "1",
+                                    "BENCH_BIAS_KERNEL", "1") == "1",
                                 bias_kernel_relayout=os.environ.get(
                                     "BENCH_BIAS_RELAYOUT", "kernel"),
                                 int4_cross=int4 and quant_kv,
@@ -246,8 +247,8 @@ def main() -> None:
     # caches already compacted). Both resolve on the warmup batch before
     # stage2's first trace; later batches are overflow-checked in-graph
     # (a bigger batch would silently drop valid keys — poison instead).
-    cross_pack = os.environ.get("BENCH_CROSS_PACK", "0") == "1"
-    enc_pack = os.environ.get("BENCH_ENC_PACK", "0") == "1"
+    cross_pack = os.environ.get("BENCH_CROSS_PACK", "1") == "1"
+    enc_pack = os.environ.get("BENCH_ENC_PACK", "1") == "1"
     cross_pack_len = [None]
     mg_model = [model]
     enc_pack_len = [0]

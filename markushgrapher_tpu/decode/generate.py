@@ -175,12 +175,23 @@ def _pick_self_seg(max_len: int) -> int:
     if jax.default_backend() == "tpu":
         import os
 
-        seg = int(os.environ.get("BEAM_SELF_SEG", "128"))
+        env = os.environ.get("BEAM_SELF_SEG")
+        if env is None:
+            # defaults from the b16 beam-5 sweep (chain r3h R11-13):
+            # seg=512 (one whole-ring segment at the 512 serving length)
+            # 2.68 img/s vs 1.74 at 128 and 1.52 at 256 — the per-reorder
+            # copy of a larger segment beats the kernel row_map indirection
+            # on many small segments. Non-128-multiple max_len falls back
+            # to the whole-ring gather path.
+            if max_len % 512 == 0:
+                return 512
+            return 128 if max_len % 128 == 0 else 0
+        seg = int(env)
         if seg % 128 or (seg and max_len % seg):
             raise ValueError(
                 f"BEAM_SELF_SEG={seg} must be a 128-multiple dividing "
                 f"max_len={max_len}")
-        return seg if max_len % 128 == 0 else 0
+        return seg
     for seg in (128, 4, 2, 1):
         if max_len % seg == 0:
             return seg

@@ -58,8 +58,10 @@ def main() -> None:
         cfg = MarkushGrapherConfig()
 
     # reference recipe: bf16 training (config/train.yaml:63), OCSR encoder
-    # frozen (train.yaml:26-28)
-    model = MarkushGrapherModel(cfg, dtype=jnp.bfloat16)
+    # frozen (train.yaml:26-28). remat=True matches train_main (TrainConfig
+    # default) — without it the backward keeps every layer's f32
+    # [B,16,1536,1536] score temp live and OOMs at batch 8
+    model = MarkushGrapherModel(cfg, dtype=jnp.bfloat16, remat=True)
     tcfg = TrainConfig(gradient_accumulation_steps=1, warmup_steps=10,
                        max_steps=1000)
     mesh = mesh_lib.create_mesh()  # single chip -> 1x1
