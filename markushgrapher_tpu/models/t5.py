@@ -105,6 +105,43 @@ def _flash_ok(q: jnp.ndarray, k: jnp.ndarray) -> bool:
             and k.shape[1] % FLASH_BLOCK_Q == 0)
 
 
+def _train_chunk_q(qlen: int) -> Optional[int]:
+    """Query-block size for the memory-efficient training attention, or None
+    for the dense path. Only long encoder sequences (text+image VTL rows,
+    e.g. 512+1024=1536) need it: the dense path saves f32 [B,H,Q,K] scores
+    per layer for backward, which OOMs real-TPU training at b8/1536."""
+    if qlen > 512 and qlen % 512 == 0:
+        return 512
+    return None
+
+
+def _attention_chunked_q(q, k, v, bias, chunk: int, out_dtype):
+    """Memory-efficient training attention: lax.scan over query blocks with a
+    rematerialized body, so neither forward residuals nor backward temps ever
+    hold the full [B,H,Q,K] scores/probs (the f32 [8,16,1536,1536] temps that
+    OOMed the b8/1536 train bench). Math is identical to the dense path:
+    f32 score accumulation, f32 softmax, probs cast to the compute dtype.
+
+    q: [B,Q,H,D]; k,v: [B,K,H,D]; bias: [B or 1, H, Q, K] additive or None.
+    """
+    nchunk = q.shape[1] // chunk
+
+    def body(carry, i):
+        qb = jax.lax.dynamic_slice_in_dim(q, i * chunk, chunk, axis=1)
+        s = jnp.einsum("bqhd,bkhd->bhqk", qb, k,
+                       preferred_element_type=jnp.float32)
+        if bias is not None:
+            bb = jax.lax.dynamic_slice_in_dim(bias, i * chunk, chunk, axis=2)
+            s = s + bb.astype(jnp.float32)
+        p = jax.nn.softmax(s, axis=-1).astype(out_dtype)
+        return carry, jnp.einsum("bhqk,bkhd->bqhd", p, v)
+
+    _, outs = jax.lax.scan(jax.checkpoint(body), None,
+                           jnp.arange(nchunk, dtype=jnp.int32))
+    # [nchunk, B, chunk, H, D] -> [B, Q, H, D]
+    return jnp.moveaxis(outs, 0, 1).reshape(q.shape)
+
+
 class RMSNorm(nn.Module):
     """T5 layer norm: rms scaling only, no mean subtraction, f32 accumulation."""
 
@@ -174,6 +211,7 @@ class Attention(nn.Module):
         #   from relbias.encoder_position_bias_chunked_i8
         use_flash: bool = False,
         relbias: Optional[dict] = None,  # in-kernel bias inputs (flash only)
+        chunk_q: Optional[int] = None,   # training: query-block scan size
     ) -> jnp.ndarray:
         q = self.q(x)  # [B, Q, H, Dk]
         if kv is None:
@@ -196,6 +234,9 @@ class Attention(nn.Module):
                 flash_attention_bias)
 
             out = flash_attention_bias(q, k, v, bias)
+        elif (chunk_q is not None and not bias_quantized
+              and q.shape[1] % chunk_q == 0):
+            out = _attention_chunked_q(q, k, v, bias, chunk_q, self.dtype)
         else:
             if bias_quantized:
                 from markushgrapher_tpu.ops.relbias import mask_bias
@@ -255,11 +296,14 @@ class EncoderLayer(nn.Module):
     @nn.compact
     def __call__(self, x, bias, relbias=None, deterministic: bool = True):
         h = RMSNorm(eps=self.eps, dtype=self.dtype, name="ln_attn")(x)
-        # flash kernel is forward-only: inference path only
+        # flash kernel is forward-only: inference path only. Training uses the
+        # chunked-q scan on long rows so backward never holds [B,H,Q,K] f32.
         h = Attention(self.d_model, self.num_heads, self.d_kv, self.dtype,
                       name="attn")(h, bias=bias,
                                    use_flash=self.flash and deterministic,
-                                   relbias=relbias if deterministic else None)
+                                   relbias=relbias if deterministic else None,
+                                   chunk_q=(None if deterministic
+                                            else _train_chunk_q(x.shape[1])))
         x = x + nn.Dropout(self.dropout_rate)(h, deterministic=deterministic)
         h = RMSNorm(eps=self.eps, dtype=self.dtype, name="ln_ff")(x)
         h = FeedForward(self.d_model, self.d_ff, self.ff_proj, self.dtype,
