@@ -23,8 +23,10 @@ transformers libraries (absent in this environment):
    Markush layer uses) with added-token splitting before sentencepiece
    segmentation, exactly like HF slow/fast tokenizers.
 
-Normalization caveat: T5's precompiled nmt_nfkc charsmap is approximated by
-NFKC + whitespace collapse; identical on ASCII (all chemistry grammars here).
+Normalization: when the `.model` ships a precompiled nmt_nfkc charsmap
+(NormalizerSpec field 2) it is applied verbatim via a darts-clone
+double-array reader (`PrecompiledCharsmap`) — checkpoint-exact off-ASCII.
+Without one, NFKC + whitespace collapse approximates it (ASCII-identical).
 """
 
 from __future__ import annotations
@@ -133,6 +135,8 @@ def parse_model_proto(data: bytes) -> dict:
             for f2, w2, v2 in _iter_fields(val, 0, len(val)):
                 if f2 == 1 and w2 == 2:
                     normalizer["name"] = v2.decode("utf-8")
+                elif f2 == 2 and w2 == 2:
+                    normalizer["precompiled_charsmap"] = v2
                 elif f2 == 3 and w2 == 0:
                     normalizer["add_dummy_prefix"] = bool(v2)
                 elif f2 == 4 and w2 == 0:
@@ -147,6 +151,7 @@ def write_model_proto(
     model_type: int = 1,
     unk_id: int = 2,
     add_dummy_prefix: bool = True,
+    charsmap: Optional[bytes] = None,
 ) -> bytes:
     """Serialize a minimal ModelProto (testing + vocab-export utility)."""
 
@@ -173,8 +178,85 @@ def write_model_proto(
         body += vi(3, ptype)
         out += ld(1, body)
     out += ld(2, vi(3, model_type) + vi(40, unk_id))
-    out += ld(3, ld(1, b"nmt_nfkc") + vi(3, int(add_dummy_prefix)) + vi(4, 1) + vi(5, 1))
+    norm = ld(1, b"nmt_nfkc")
+    if charsmap is not None:
+        norm += ld(2, charsmap)
+    out += ld(3, norm + vi(3, int(add_dummy_prefix)) + vi(4, 1) + vi(5, 1))
     return out
+
+
+# ---------------------------------------------------------------------------
+# Precompiled charsmap (nmt_nfkc normalization, checkpoint fidelity)
+# ---------------------------------------------------------------------------
+
+
+class PrecompiledCharsmap:
+    """Sentencepiece precompiled normalization map (NormalizerSpec field 2).
+
+    Published checkpoints ship their full nmt_nfkc rule set as a
+    darts-clone double-array trie over UTF-8 prefixes plus a blob of
+    NUL-terminated replacement strings; applying it verbatim reproduces the
+    checkpoint tokenizer's normalization exactly — including the off-ASCII
+    cases the NFKC approximation in `SPMTokenizer._normalize` can miss.
+    Blob layout (sentencepiece normalizer.cc DecodePrecompiledCharsMap):
+    [uint32 trie_size][trie units, uint32 each][replacement blob].
+    """
+
+    def __init__(self, blob: bytes):
+        (n,) = struct.unpack("<I", blob[:4])
+        if n % 4 or 4 + n > len(blob):
+            raise ValueError("malformed precompiled_charsmap blob")
+        self._units = struct.unpack(f"<{n // 4}I", blob[4:4 + n])
+        self._norm = blob[4 + n:]
+
+    @staticmethod
+    def _offset(unit: int) -> int:
+        # darts-clone DoubleArrayUnit::offset()
+        return (unit >> 10) << ((unit & 0x200) >> 6)
+
+    def _longest_match(self, data: bytes, start: int) -> Tuple[int, int]:
+        """Longest trie match at data[start:]: (value, length) or (-1, 0).
+
+        darts-clone commonPrefixSearch with XOR addressing; sentencepiece's
+        NormalizePrefix keeps the longest reported rule.
+        """
+        units = self._units
+        node_pos = self._offset(units[0])
+        best_val, best_len = -1, 0
+        for i in range(start, len(data)):
+            c = data[i]
+            node_pos ^= c
+            if node_pos >= len(units):
+                break
+            unit = units[node_pos]
+            if (unit & 0x800000FF) != c:  # label() mismatch (bit31 = leaf)
+                break
+            node_pos ^= self._offset(unit)
+            if (unit >> 8) & 1:  # has_leaf
+                best_val = units[node_pos] & 0x7FFFFFFF
+                best_len = i - start + 1
+        return best_val, best_len
+
+    def normalize(self, text: str) -> str:
+        """Transduce text through the rule trie (unmatched chars copy)."""
+        data = text.encode("utf-8")
+        out = bytearray()
+        i, n = 0, len(data)
+        while i < n:
+            val, ln = self._longest_match(data, i)
+            if ln:
+                end = self._norm.index(b"\0", val)
+                out += self._norm[val:end]
+                i += ln
+            else:
+                # copy one UTF-8 char unchanged (inputs are python str, so
+                # the byte stream is always valid UTF-8)
+                b0 = data[i]
+                step = 1 if b0 < 0x80 else 2 if b0 < 0xE0 else \
+                    3 if b0 < 0xF0 else 4
+                out += data[i:i + step]
+                i += step
+        return out.decode("utf-8")
 
 
 # ---------------------------------------------------------------------------
@@ -279,7 +361,11 @@ class SPMTokenizer:
         pad_id: int = 0,
         eos_id: int = 1,
         add_dummy_prefix: bool = True,
+        charsmap: Optional[bytes] = None,
     ):
+        # real nmt_nfkc rules when the checkpoint ships them; the NFKC
+        # approximation below otherwise (ASCII-identical either way)
+        self.charsmap = PrecompiledCharsmap(charsmap) if charsmap else None
         self.sp_pieces = list(pieces)
         self.model = UnigramModel(self.sp_pieces, unk_id=unk_id)
         self.added_tokens = dict(added_tokens or {})
@@ -307,13 +393,18 @@ class SPMTokenizer:
     # -- normalization ------------------------------------------------------
 
     def _normalize(self, text: str) -> str:
-        # nmt_nfkc approximation: NFKC + control-char strip + ws collapse
-        text = unicodedata.normalize("NFKC", text)
-        text = "".join(
-            " " if (c in "\t\n\r\v\f") else c
-            for c in text
-            if unicodedata.category(c) != "Cc" or c in "\t\n\r"
-        )
+        if self.charsmap is not None:
+            # checkpoint-exact: transduce through the shipped rule trie,
+            # then remove_extra_whitespaces (collapse + strip)
+            text = self.charsmap.normalize(text)
+        else:
+            # nmt_nfkc approximation: NFKC + control strip + ws collapse
+            text = unicodedata.normalize("NFKC", text)
+            text = "".join(
+                " " if (c in "\t\n\r\v\f") else c
+                for c in text
+                if unicodedata.category(c) != "Cc" or c in "\t\n\r"
+            )
         text = re.sub(r" +", " ", text).strip(" ")
         return text
 
@@ -404,6 +495,7 @@ def load_sentencepiece_model(
         pad_id=pad_id if pad_id >= 0 else 0,
         eos_id=eos_id if eos_id >= 0 else 1,
         add_dummy_prefix=proto["normalizer"].get("add_dummy_prefix", True),
+        charsmap=proto["normalizer"].get("precompiled_charsmap"),
     )
     # control pieces (<pad>, </s>, ...) never match text segments
     for p, t in ptypes.items():

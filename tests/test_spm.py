@@ -10,6 +10,7 @@ import json
 import os
 import random
 import string
+import struct
 
 import pytest
 
@@ -300,3 +301,68 @@ class TestBPEFallback:
         assert ours.num_other == 2
         rt = ours.decode(ours.encode("hello world", add_eos=False))
         assert rt.strip() == "hello world"
+
+
+class TestPrecompiledCharsmap:
+    """The darts-clone charsmap reader (spm.PrecompiledCharsmap) against a
+    hand-built double-array: rule bytes are laid out with the real XOR
+    addressing and unit encoding (offset<<10 | has_leaf<<8 | label), so the
+    traversal path — root offset, label check incl. the bit-31 leaf mask,
+    has_leaf -> value at the offset-xored position — is exercised exactly as
+    a sentencepiece-shipped nmt_nfkc blob would."""
+
+    @staticmethod
+    def _blob():
+        # rules: b"A" -> "a" (value 0), NBSP b"\xc2\xa0" -> " " (value 2),
+        # b"AB" -> "!" (value 4, longest-match check)
+        # Children hang off the POST-offset position ((p^offset)^label) and
+        # a node's leaf value unit sits at p^offset itself — the traversal
+        # state advances through the offset before the next label xor.
+        units = [0] * 1024
+        units[0] = 256 << 10                      # root offset 256
+        # 'A' (0x41): node at 256^0x41=321, offset 320 -> state 1;
+        # leaf value at 1, child 'B' at 1^0x42=67
+        units[321] = (320 << 10) | 0x100 | 0x41
+        units[1] = 0x80000000 | 0                 # value 0 -> "a"
+        # 'A''B': node at 67, offset 65 -> leaf at 67^65=2
+        units[67] = (65 << 10) | 0x100 | 0x42
+        units[2] = 0x80000000 | 4                 # value 4 -> "!"
+        # 0xC2: node at 256^0xC2=450, offset 512 -> state 962 (no leaf);
+        # 0xA0 child at 962^0xA0=866, offset 865 -> leaf at 866^865=3
+        units[450] = (512 << 10) | 0xC2
+        units[866] = (865 << 10) | 0x100 | 0xA0
+        units[3] = 0x80000000 | 6                 # value 6 -> " "
+        trie = struct.pack(f"<{len(units)}I", *units)
+        norm = b"a\x00!\x00!\x00 \x00"            # offsets 0, 2, 4, 6
+        return struct.pack("<I", len(trie)) + trie + norm
+
+    def test_longest_match_and_copy(self):
+        cm = spm.PrecompiledCharsmap(self._blob())
+        # single-byte rule, unmatched copy, longest match beats prefix
+        assert cm.normalize("AxA") == "axa"
+        assert cm.normalize("AB") == "!"
+        # multi-byte rule: NBSP -> plain space; unmatched multi-byte copies
+        assert cm.normalize("A B") == "a B"
+        assert cm.normalize("é") == "é"
+
+    def test_tokenizer_uses_charsmap(self, tmp_path):
+        pieces = [("<pad>", 0.0, spm.PIECE_CONTROL),
+                  ("</s>", 0.0, spm.PIECE_CONTROL),
+                  ("<unk>", 0.0, spm.PIECE_UNKNOWN),
+                  ("▁a", -1.0, spm.PIECE_NORMAL),
+                  ("▁A", -1.0, spm.PIECE_NORMAL),
+                  ("▁b", -1.5, spm.PIECE_NORMAL)]
+        blob = self._blob()
+        path = tmp_path / "spiece.model"
+        path.write_bytes(spm.write_model_proto(pieces, charsmap=blob))
+        tok = spm.load_sentencepiece_model(str(path))
+        assert tok.charsmap is not None
+        # "A" normalizes to "a" under the charsmap (NFKC would keep "A");
+        # NBSP becomes a word separator via the " " rule + ws collapse
+        assert tok.tokenize("A b") == ["▁a", "▁b"]
+        # without a charsmap the same model keeps "A"
+        path2 = tmp_path / "plain.model"
+        path2.write_bytes(spm.write_model_proto(pieces))
+        tok2 = spm.load_sentencepiece_model(str(path2))
+        assert tok2.charsmap is None
+        assert tok2.tokenize("A b") == ["▁A", "▁b"]
