@@ -18,11 +18,15 @@ work the reference also does; it runs on a thread pool and is overlapped
 with device work in the (default) pipelined stream.
 
 The two stages run at INDEPENDENT batch sizes: OCR streams at
-BENCH_E2E_BATCH (16) while MarkushGrapher runs at its measured optimum
+BENCH_E2E_BATCH (48) while MarkushGrapher runs at its measured optimum
 BENCH_MG_BATCH (48) — the stream accumulates OCR outputs until an MG batch
-fills.
+fills. Both default to 48: the OCR decode step is scheduling-bound, so its
+per-image device time drops steeply with batch (b48 standalone 14.85 vs
+~7 img/s at b16, chain r3i R1) — and on ONE chip the two stages' device
+times ADD (pipelining hides only host work), so the e2e ceiling is
+1/(t_ocr + t_mg) per image, which b48 minimizes (7.19 pipelined vs 7.14).
 
-Env: BENCH_E2E_BATCH (16), BENCH_MG_BATCH (48), BENCH_OCR_TOKENS (512),
+Env: BENCH_E2E_BATCH (48), BENCH_MG_BATCH (48), BENCH_OCR_TOKENS (512),
 BENCH_DECODE_LEN (512), BENCH_REPEATS (2), BENCH_QUANT_KV (1),
 BENCH_QUANT_W (1), BENCH_INT4 (1, both stages; BENCH_OCR_INT4 overrides
 stage 1), BENCH_OCR_MEGA (0: stage-1 whole-step decode megakernel,
@@ -97,7 +101,7 @@ def main() -> None:
     from markushgrapher_tpu.ocr.grammar import cells_from_prediction
     from markushgrapher_tpu.ocr.vlm import ChemicalOCRModel, OCRConfig
 
-    ocr_batch = int(os.environ.get("BENCH_E2E_BATCH", "16"))
+    ocr_batch = int(os.environ.get("BENCH_E2E_BATCH", "48"))
     mg_batch = int(os.environ.get("BENCH_MG_BATCH",
                                   os.environ.get("BENCH_E2E_BATCH", "48")))
     ocr_tokens = int(os.environ.get("BENCH_OCR_TOKENS", "512"))
