@@ -92,6 +92,21 @@ def main() -> None:
     state, metrics = trainer.train_step(state, batch, jax.random.PRNGKey(1))
     float(metrics["loss"])  # compile + warmup fence
 
+    # real per-step FLOPs from the compiled program (the AOT compile hits
+    # the persistent cache; lower() only reads avals, donation-safe)
+    flops = None
+    try:
+        from markushgrapher_tpu.train.trainer import _to_jnp
+
+        ca = trainer._step_fn.lower(
+            state, _to_jnp(batch), jax.random.PRNGKey(1)).compile(
+        ).cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        flops = float(ca.get("flops", 0.0)) or None
+    except Exception:
+        pass
+
     times = []
     for i in range(repeats):
         t0 = time.perf_counter()
@@ -103,13 +118,23 @@ def main() -> None:
 
     n_chips = max(1, len(jax.devices()))
     value = batch_size / best / n_chips
-    print(json.dumps({
+    # efficiency denominators: processed tokens (VTL encoder rows + decoder)
+    # and achieved MFU vs the v5e bf16 peak (197 TFLOP/s/chip)
+    vtl_tokens = seq + cfg.vtl.num_patches
+    tokens_per_sec = batch_size * (vtl_tokens + dec_len) / best / n_chips
+    out = {
         "metric": "train_examples_per_sec_per_chip",
         "value": round(value, 4),
         "unit": f"ex/s/chip (batch={batch_size}, seq={seq}, dec={dec_len}, "
                 f"{jax.devices()[0].platform})",
         "vs_baseline": round(value / 1.0, 4),  # proxy: reference bs3 1-GPU
-    }))
+        "step_time_s": round(best, 4),
+        "tokens_per_sec_per_chip": round(tokens_per_sec, 1),
+    }
+    if flops is not None:
+        out["flops_per_step"] = flops
+        out["mfu_vs_v5e_bf16_peak"] = round(flops / best / 197e12 / n_chips, 4)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
