@@ -9,9 +9,10 @@ file order] (`set_vocabulary`, :237-285) — so running published checkpoints
 requires importing the *actual* shipped files with the *actual* dispatch.
 
 This module reproduces that selection and ordering against any vocabulary
-directory (the reference's `data/vocabulary/`, or a user copy). The directory
-is located by, in order: an explicit argument, `$MARKUSHGRAPHER_VOCAB_DIR`,
-the reference snapshot path if present.
+directory. The directory is located by, in order: an explicit argument,
+`$MARKUSHGRAPHER_VOCAB_DIR`, the vendored snapshot shipped with this package
+(`vendor/vocabulary/`, golden-tested byte-equal to the reference's files —
+see `vendor/README.md`), the reference mount path if present.
 """
 
 from __future__ import annotations
@@ -20,11 +21,14 @@ import json
 import os
 from typing import Dict, List, Optional, Tuple
 
+_VENDORED_VOCAB_DIR = os.path.join(os.path.dirname(__file__), "vendor",
+                                   "vocabulary")
 _REFERENCE_VOCAB_DIR = "/root/reference/data/vocabulary"
 
 
 def find_vocab_dir(vocab_dir: Optional[str] = None) -> Optional[str]:
-    for cand in (vocab_dir, os.environ.get("MARKUSHGRAPHER_VOCAB_DIR"), _REFERENCE_VOCAB_DIR):
+    for cand in (vocab_dir, os.environ.get("MARKUSHGRAPHER_VOCAB_DIR"),
+                 _VENDORED_VOCAB_DIR, _REFERENCE_VOCAB_DIR):
         if cand and os.path.isdir(cand):
             return cand
     return None

@@ -1,37 +1,31 @@
 """Table-structure token registry for MDU (document-understanding) tasks.
 
 Equivalent of the reference's TOKEN_REGISTRY
-(/root/reference/markushgrapher/core/common/utils.py:23-152): 127 table
+(/root/reference/markushgrapher/core/common/utils.py:23-152): 126 table
 structure tokens (OTSL cell markers, HTML-ish table tags, colspan/rowspan
-attributes) mapped onto reserved `<other_N>` ids. These ids are reused
-contextually — MDU table tasks and Markush (CX)SMILES tasks never share a
-batch, so both vocabularies map from `<other_0>` like the reference does.
+attributes) mapped onto reserved `<other_N>` ids. The reference's id
+assignment is historical accretion, not a formula (e.g. `xcel=<other_125>`,
+`colspan="20"=<other_126>`, rowspan 50+ skips `<other_97>`), so the exact
+table is vendored as a data artifact (`vendor/token_registry.json`, see
+`vendor/README.md`) and golden-tested id-for-id against the reference when
+it is mounted — MDU-table checkpoints require byte-exact ids. These ids are
+reused contextually: MDU table tasks and Markush (CX)SMILES tasks never
+share a batch, so both vocabularies map from `<other_0>` like the reference
+does.
 """
 
 from __future__ import annotations
 
-from typing import Dict, List
-
-# OTSL cell markers + table tags + span attributes (the reference's set)
-_BASE_TOKENS: List[str] = [
-    "ecel", "fcel", "lcel", "ucel", "nl",
-    "<tr>", "<td>", "</td>", "</tr>", "<td",
-]
-_SPAN_TOKENS: List[str] = [">"]
-for n in list(range(2, 21)):
-    _SPAN_TOKENS.append(f' colspan="{n}"')
-for n in list(range(2, 21)):
-    _SPAN_TOKENS.append(f' rowspan="{n}"')
-_EXTRA_TOKENS: List[str] = [
-    "xcel", "ched", "rhed", "srow", "<table>", "</table>", "<thead>",
-    "</thead>", "<tbody>", "</tbody>", "<th>", "</th>", "<caption>",
-    "</caption>",
-]
+import json
+import os
+from typing import Dict
 
 
 def build_token_registry() -> Dict[str, str]:
-    tokens = _BASE_TOKENS + _SPAN_TOKENS + _EXTRA_TOKENS
-    return {tok: f"<other_{i}>" for i, tok in enumerate(tokens)}
+    path = os.path.join(os.path.dirname(__file__), "vendor",
+                        "token_registry.json")
+    with open(path, encoding="utf-8") as f:
+        return json.load(f)
 
 
 TOKEN_REGISTRY: Dict[str, str] = build_token_registry()
