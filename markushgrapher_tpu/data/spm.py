@@ -31,6 +31,7 @@ Without one, NFKC + whitespace collapse approximates it (ASCII-identical).
 
 from __future__ import annotations
 
+import base64
 import json
 import os
 import re
@@ -152,6 +153,7 @@ def write_model_proto(
     unk_id: int = 2,
     add_dummy_prefix: bool = True,
     charsmap: Optional[bytes] = None,
+    remove_extra_whitespaces: bool = True,
 ) -> bytes:
     """Serialize a minimal ModelProto (testing + vocab-export utility)."""
 
@@ -181,7 +183,8 @@ def write_model_proto(
     norm = ld(1, b"nmt_nfkc")
     if charsmap is not None:
         norm += ld(2, charsmap)
-    out += ld(3, norm + vi(3, int(add_dummy_prefix)) + vi(4, 1) + vi(5, 1))
+    out += ld(3, norm + vi(3, int(add_dummy_prefix))
+              + vi(4, int(remove_extra_whitespaces)) + vi(5, 1))
     return out
 
 
@@ -233,6 +236,10 @@ class PrecompiledCharsmap:
                 break
             node_pos ^= self._offset(unit)
             if (unit >> 8) & 1:  # has_leaf
+                if node_pos >= len(units):  # truncated blob, not a miss
+                    raise ValueError(
+                        "malformed precompiled_charsmap blob: leaf value "
+                        f"position {node_pos} out of range")
                 best_val = units[node_pos] & 0x7FFFFFFF
                 best_len = i - start + 1
         return best_val, best_len
@@ -245,7 +252,11 @@ class PrecompiledCharsmap:
         while i < n:
             val, ln = self._longest_match(data, i)
             if ln:
-                end = self._norm.index(b"\0", val)
+                end = self._norm.find(b"\0", val)
+                if val >= len(self._norm) or end < 0:
+                    raise ValueError(
+                        "malformed precompiled_charsmap blob: replacement "
+                        f"at {val} missing NUL terminator")
                 out += self._norm[val:end]
                 i += ln
             else:
@@ -362,10 +373,12 @@ class SPMTokenizer:
         eos_id: int = 1,
         add_dummy_prefix: bool = True,
         charsmap: Optional[bytes] = None,
+        remove_extra_whitespaces: bool = True,
     ):
         # real nmt_nfkc rules when the checkpoint ships them; the NFKC
         # approximation below otherwise (ASCII-identical either way)
         self.charsmap = PrecompiledCharsmap(charsmap) if charsmap else None
+        self.remove_extra_whitespaces = remove_extra_whitespaces
         self.sp_pieces = list(pieces)
         self.model = UnigramModel(self.sp_pieces, unk_id=unk_id)
         self.added_tokens = dict(added_tokens or {})
@@ -405,7 +418,8 @@ class SPMTokenizer:
                 for c in text
                 if unicodedata.category(c) != "Cc" or c in "\t\n\r"
             )
-        text = re.sub(r" +", " ", text).strip(" ")
+        if self.remove_extra_whitespaces:  # NormalizerSpec field 4
+            text = re.sub(r" +", " ", text).strip(" ")
         return text
 
     # -- core ---------------------------------------------------------------
@@ -496,6 +510,8 @@ def load_sentencepiece_model(
         eos_id=eos_id if eos_id >= 0 else 1,
         add_dummy_prefix=proto["normalizer"].get("add_dummy_prefix", True),
         charsmap=proto["normalizer"].get("precompiled_charsmap"),
+        remove_extra_whitespaces=proto["normalizer"].get(
+            "remove_extra_whitespaces", True),
     )
     # control pieces (<pad>, </s>, ...) never match text segments
     for p, t in ptypes.items():
@@ -587,6 +603,16 @@ def load_hf_tokenizer_json(path: str) -> SPMTokenizer:
         p.get("type") == "Metaspace" and p.get("prepend_scheme", "always") != "never"
         for p in prepends
     )
+    # checkpoint-exact normalization: HF serializes the sentencepiece
+    # precompiled_charsmap as base64 in a Precompiled normalizer (possibly
+    # inside a Sequence) — the primary published-checkpoint path must use
+    # the real rule trie, not the NFKC approximation
+    charsmap = None
+    norm = spec.get("normalizer") or {}
+    for n in [norm] + list(norm.get("normalizers", [])):
+        if n.get("type") == "Precompiled" and n.get("precompiled_charsmap"):
+            charsmap = base64.b64decode(n["precompiled_charsmap"])
+            break
     return SPMTokenizer(
         pieces,
         added_tokens=added,
@@ -594,6 +620,7 @@ def load_hf_tokenizer_json(path: str) -> SPMTokenizer:
         pad_id=ids.get("<pad>", 0),
         eos_id=ids.get("</s>", 1),
         add_dummy_prefix=add_prefix or not prepends[0],
+        charsmap=charsmap,
     )
 
 

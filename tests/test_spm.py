@@ -366,3 +366,75 @@ class TestPrecompiledCharsmap:
         tok2 = spm.load_sentencepiece_model(str(path2))
         assert tok2.charsmap is None
         assert tok2.tokenize("A b") == ["▁A", "▁b"]
+
+
+class TestCharsmapRobustness:
+    """Round-3 advisor findings: tokenizer.json Precompiled extraction
+    (medium), clean errors on malformed blobs (low), and
+    remove_extra_whitespaces threading (low)."""
+
+    _blob = staticmethod(TestPrecompiledCharsmap._blob)
+
+    def test_tokenizer_json_extracts_charsmap(self, tmp_path):
+        """The primary published-checkpoint path (tokenizer.json) must use
+        the shipped Precompiled rules, both bare and inside a Sequence."""
+        import base64
+        import json as _json
+
+        vocab = [["<pad>", 0.0], ["</s>", 0.0], ["<unk>", 0.0],
+                 ["▁a", -1.0], ["▁A", -1.0], ["▁b", -1.5]]
+        b64 = base64.b64encode(self._blob()).decode("ascii")
+        for norm in (
+            {"type": "Precompiled", "precompiled_charsmap": b64},
+            {"type": "Sequence", "normalizers": [
+                {"type": "Replace", "pattern": {"String": "\n"},
+                 "content": " "},
+                {"type": "Precompiled", "precompiled_charsmap": b64}]},
+        ):
+            spec = {"model": {"type": "Unigram", "vocab": vocab,
+                              "unk_id": 2},
+                    "normalizer": norm,
+                    "pre_tokenizer": {"type": "Metaspace"},
+                    "added_tokens": []}
+            path = tmp_path / "tokenizer.json"
+            path.write_text(_json.dumps(spec))
+            tok = spm.load_hf_tokenizer_json(str(path))
+            assert tok.charsmap is not None
+            # "A" -> "a" comes only from the charsmap rules (NFKC keeps "A")
+            assert tok.tokenize("A b") == ["▁a", "▁b"]
+
+    def test_malformed_blob_raises_cleanly(self):
+        # leaf-value position past the unit array: clean ValueError, not
+        # IndexError
+        units = [0] * 70
+        units[0] = 0  # root offset 0
+        units[0x41] = (4096 << 10) | 0x100 | 0x41  # leaf at 0x41^4096: OOR
+        trie = struct.pack(f"<{len(units)}I", *units)
+        cm = spm.PrecompiledCharsmap(struct.pack("<I", len(trie)) + trie)
+        with pytest.raises(ValueError, match="malformed precompiled"):
+            cm.normalize("A")
+        # replacement section missing its NUL terminator
+        blob = self._blob()
+        cm2 = spm.PrecompiledCharsmap(blob[:-1])  # strips the " " rule NUL
+        with pytest.raises(ValueError, match="NUL"):
+            cm2.normalize("\u00a0")  # NBSP hits the truncated rule
+
+    def test_remove_extra_whitespaces_threaded(self, tmp_path):
+        pieces = [("<pad>", 0.0, spm.PIECE_CONTROL),
+                  ("</s>", 0.0, spm.PIECE_CONTROL),
+                  ("<unk>", 0.0, spm.PIECE_UNKNOWN),
+                  ("▁a", -1.0, spm.PIECE_NORMAL),
+                  ("▁", -2.0, spm.PIECE_NORMAL)]
+        path = tmp_path / "keep_ws.model"
+        path.write_bytes(spm.write_model_proto(
+            pieces, remove_extra_whitespaces=False))
+        tok = spm.load_sentencepiece_model(str(path))
+        assert tok.remove_extra_whitespaces is False
+        # a double space survives normalization -> an empty word segments
+        # to a bare meta-space piece; the default collapse drops it
+        assert tok.tokenize("a  a") == ["▁a", "▁", "▁a"]
+        path2 = tmp_path / "collapse.model"
+        path2.write_bytes(spm.write_model_proto(pieces))
+        tok2 = spm.load_sentencepiece_model(str(path2))
+        assert tok2.remove_extra_whitespaces is True
+        assert tok2.tokenize("a  a") == ["▁a", "▁a"]
