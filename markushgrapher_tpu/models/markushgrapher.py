@@ -24,11 +24,13 @@ from typing import Any, Dict, Optional, Tuple
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from markushgrapher_tpu.config import MarkushGrapherConfig
 from markushgrapher_tpu.models.swin import SwinEncoder
 from markushgrapher_tpu.models.t5 import (Decoder, Encoder, _deq,
-                                           _quantize_w, param_with_axes)
+                                           _quantize_w, _train_chunk_q,
+                                           param_with_axes)
 from markushgrapher_tpu.ops import bias_build, relbias
 from markushgrapher_tpu.ops.fusion import combine_image_text_embeddings
 
@@ -59,6 +61,33 @@ def encoder_valid_max(cfg: MarkushGrapherConfig, bbox: jnp.ndarray,
         mols = (cfg.swin.image_size // cfg.swin.patch_size
                 // 2 ** (len(cfg.swin.depths) - 1)) ** 2
     return int(_vmax(bbox, attention_mask)) + mols
+
+
+def encoder_valid_counts(cfg: MarkushGrapherConfig, bbox,
+                         attention_mask,
+                         include_molscribe: bool = True) -> np.ndarray:
+    """PER-SAMPLE valid encoder position counts [B] (host np.int32).
+
+    Same mask construction as encoder_valid_max but without the batch max —
+    the input to length-bucketed batching (data.bucketing): samples grouped
+    by valid count let dense and sparse pages each pack to their own static
+    length instead of every batch paying the densest page's."""
+    n = cfg.vtl.num_patches_side
+
+    @jax.jit
+    def _vcounts(bb, am):
+        dummy_t = jnp.zeros(am.shape + (1,), jnp.float32)
+        dummy_p = jnp.zeros((am.shape[0], n * n, 1), jnp.float32)
+        _, _, fm = combine_image_text_embeddings(
+            dummy_p, dummy_t, bb.astype(jnp.float32), am, n)
+        return jnp.sum(fm, axis=1).astype(jnp.int32)
+
+    mols = 0
+    if include_molscribe and cfg.architecture_variant != "none":
+        mols = (cfg.swin.image_size // cfg.swin.patch_size
+                // 2 ** (len(cfg.swin.depths) - 1)) ** 2
+    return np.asarray(_vcounts(jnp.asarray(bbox),
+                               jnp.asarray(attention_mask))) + mols
 
 
 class CellEmbeddings(nn.Module):
@@ -336,6 +365,21 @@ class MarkushGrapherModel(nn.Module):
                     vtl.rel2d_scaling_factor, vtl.rel2d_max_distance,
                     positions=positions)
                 e2 = self.encoder(embeds, pos_bias, None, deterministic)
+            elif not deterministic and _train_chunk_q(seq_len):
+                # fused-bias training: the bias is computed per query chunk
+                # INSIDE the remat'd chunked-q attention scan — the one-shot
+                # builder's [B,L,L,16] gather transients lane-pad 8x (18 GB
+                # at b16/1536, the round-3/4 train OOM) and even the
+                # assembled [B,H,L,L] bias + its gradient are dead weight
+                fused = relbias.encoder_bias_fused(
+                    self.enc_bias_1d, self.enc_bias_h, self.enc_bias_v,
+                    full_bbox.astype(jnp.float32), full_mask, seq_len,
+                    _train_chunk_q(seq_len),
+                    vtl.relative_attention_num_buckets,
+                    vtl.relative_attention_max_distance,
+                    vtl.rel2d_scaling_factor, vtl.rel2d_max_distance,
+                    positions=positions)
+                e2 = self.encoder(embeds, fused, None, deterministic)
             else:
                 pos_bias = relbias.encoder_position_bias(
                     self.enc_bias_1d, self.enc_bias_h, self.enc_bias_v,

@@ -109,13 +109,22 @@ def _train_chunk_q(qlen: int) -> Optional[int]:
     """Query-block size for the memory-efficient training attention, or None
     for the dense path. Only long encoder sequences (text+image VTL rows,
     e.g. 512+1024=1536) need it: the dense path saves f32 [B,H,Q,K] scores
-    per layer for backward, which OOMs real-TPU training at b8/1536."""
-    if qlen > 512 and qlen % 512 == 0:
-        return 512
+    per layer for backward, which OOMs real-TPU training at b8/1536.
+
+    Default block 256: the fused-bias scan's per-chunk temps (gather
+    transients + their backward) scale with B*chunk*L — 512 left b8/1536
+    617 MB over the v5e HBM budget (AOT probe, round 4), 256 fits.
+    MARKUSH_TRAIN_CHUNK_Q overrides for experiments."""
+    import os
+
+    blk = int(os.environ.get("MARKUSH_TRAIN_CHUNK_Q", "256"))
+    if qlen > 512 and qlen % blk == 0:
+        return blk
     return None
 
 
-def _attention_chunked_q(q, k, v, bias, chunk: int, out_dtype):
+def _attention_chunked_q(q, k, v, bias, chunk: int, out_dtype,
+                         bias_fn=None, bias_xs=()):
     """Memory-efficient training attention: lax.scan over query blocks with a
     rematerialized body, so neither forward residuals nor backward temps ever
     hold the full [B,H,Q,K] scores/probs (the f32 [8,16,1536,1536] temps that
@@ -123,21 +132,29 @@ def _attention_chunked_q(q, k, v, bias, chunk: int, out_dtype):
     f32 score accumulation, f32 softmax, probs cast to the compute dtype.
 
     q: [B,Q,H,D]; k,v: [B,K,H,D]; bias: [B or 1, H, Q, K] additive or None.
+    bias_fn/bias_xs (fused-bias training, ops.relbias
+    encoder_bias_chunk_closure): per-chunk scan inputs [nchunk, ...] and a
+    closure producing this chunk's f32 [B,H,chunk,K] bias inside the
+    remat'd body — the full bias (whose padded gather transients OOMed
+    training even after score chunking) never exists.
     """
     nchunk = q.shape[1] // chunk
 
-    def body(carry, i):
+    def body(carry, xs):
+        i = xs[0]
         qb = jax.lax.dynamic_slice_in_dim(q, i * chunk, chunk, axis=1)
         s = jnp.einsum("bqhd,bkhd->bhqk", qb, k,
                        preferred_element_type=jnp.float32)
-        if bias is not None:
+        if bias_fn is not None:
+            s = s + bias_fn(*xs[1:])
+        elif bias is not None:
             bb = jax.lax.dynamic_slice_in_dim(bias, i * chunk, chunk, axis=2)
             s = s + bb.astype(jnp.float32)
         p = jax.nn.softmax(s, axis=-1).astype(out_dtype)
         return carry, jnp.einsum("bhqk,bkhd->bqhd", p, v)
 
-    _, outs = jax.lax.scan(jax.checkpoint(body), None,
-                           jnp.arange(nchunk, dtype=jnp.int32))
+    xs = (jnp.arange(nchunk, dtype=jnp.int32),) + tuple(bias_xs)
+    _, outs = jax.lax.scan(jax.checkpoint(body), None, xs)
     # [nchunk, B, chunk, H, D] -> [B, Q, H, D]
     return jnp.moveaxis(outs, 0, 1).reshape(q.shape)
 
@@ -218,6 +235,10 @@ class Attention(nn.Module):
             kv = self.compute_kv(x)
         k, v = kv
         bias_quantized = isinstance(bias, tuple)
+        # fused-bias training: bias arrives as a relbias.FusedBias pytree —
+        # only ever passed when chunk_q engages (models.markushgrapher
+        # gates on _train_chunk_q). Duck-typed to avoid an import cycle.
+        bias_fused = hasattr(bias, "chunk_bias")
         if use_flash and relbias is not None:
             from markushgrapher_tpu.ops.flash_relbias import (
                 flash_attention_relbias)
@@ -234,6 +255,11 @@ class Attention(nn.Module):
                 flash_attention_bias)
 
             out = flash_attention_bias(q, k, v, bias)
+        elif (chunk_q is not None and bias_fused
+              and q.shape[1] % chunk_q == 0):
+            out = _attention_chunked_q(q, k, v, None, chunk_q, self.dtype,
+                                       bias_fn=bias.chunk_bias,
+                                       bias_xs=bias.xs)
         elif (chunk_q is not None and not bias_quantized
               and q.shape[1] % chunk_q == 0):
             out = _attention_chunked_q(q, k, v, bias, chunk_q, self.dtype)

@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+from flax import struct
 
 
 def relative_position_bucket(
@@ -173,6 +174,88 @@ def _combined_table(t1, th, tv, num_buckets: int) -> jnp.ndarray:
     return (t1[:, ci % num_buckets]
             + th[:, (ci // num_buckets) % num_buckets]
             + tv[:, ci // (num_buckets ** 2)])       # [H, nb^3]
+
+
+@struct.dataclass
+class FusedBias:
+    """Fused-training bias: per-query-chunk inputs for the chunked-q
+    attention scan (models.t5._attention_chunked_q), so the full [B,H,L,L]
+    bias never materializes — forward or backward. The one-shot builder's
+    `table[buckets]` gathers put the 16-wide head dim minormost and XLA:TPU
+    lane-pads it 8x ([B,L,L,16] f32 -> 18 GB at b16/1536: the round-3 train
+    OOM); here each chunk gathers from TRANSPOSED tables (L stays on lanes)
+    and the remat'd scan body recomputes it in backward, where the table
+    gradients accumulate across chunks automatically.
+
+    A pytree (flax.struct) rather than a closure so it can ride through
+    nn.remat / lax.scan argument flattening. `xs` are [n_chunks, ...] scan
+    inputs; `chunk_bias(*xs_i)` -> f32 [B, H, chunk, L] masked additive
+    bias for one chunk. Math matches encoder_position_bias + masking (same
+    bucket fns, same f32 add order)."""
+
+    t1: jnp.ndarray           # transposed tables [H, num_buckets]
+    th: jnp.ndarray
+    tv: jnp.ndarray
+    positions: jnp.ndarray    # [L] shared or [B, L] per-row
+    hx: jnp.ndarray           # [B, L] bbox centers
+    vy: jnp.ndarray
+    key_mask: jnp.ndarray     # [B, L] bool
+    pos_chunks: jnp.ndarray   # [n_chunks, (B,) chunk]
+    hx_chunks: jnp.ndarray    # [n_chunks, B, chunk]
+    vy_chunks: jnp.ndarray
+    num_buckets: int = struct.field(pytree_node=False, default=32)
+    max_distance_1d: int = struct.field(pytree_node=False, default=128)
+    rel2d_scaling: int = struct.field(pytree_node=False, default=100)
+    max_distance_2d: int = struct.field(pytree_node=False, default=100)
+    mask_value: float = struct.field(pytree_node=False, default=-1e9)
+
+    @property
+    def xs(self):
+        return (self.pos_chunks, self.hx_chunks, self.vy_chunks)
+
+    def chunk_bias(self, pos_q, hx_q, vy_q) -> jnp.ndarray:
+        b1, bh, bv = _chunk_buckets(
+            self.positions, self.hx, self.vy, pos_q, hx_q, vy_q,
+            num_buckets=self.num_buckets,
+            max_distance_1d=self.max_distance_1d,
+            rel2d_scaling=self.rel2d_scaling,
+            max_distance_2d=self.max_distance_2d)
+        t1g = jnp.take(self.t1, b1, axis=1)     # [H, chunk|B,chunk, L]
+        full = ((t1g[:, None] if b1.ndim == 2 else t1g)
+                + jnp.take(self.th, bh, axis=1)
+                + jnp.take(self.tv, bv, axis=1))  # [H, B, chunk, L]
+        full = jnp.where(self.key_mask[None, :, None, :],
+                         full.astype(jnp.float32), self.mask_value)
+        return jnp.moveaxis(full, 0, 1)         # [B, H, chunk, L]
+
+
+def encoder_bias_fused(
+    bias_1d_table: jnp.ndarray,   # [num_buckets, H]
+    bias_h_table: jnp.ndarray,
+    bias_v_table: jnp.ndarray,
+    bbox: jnp.ndarray,            # [B, L, 4]
+    attention_mask: jnp.ndarray,  # [B, L]
+    seq_len: int,
+    chunk: int,
+    num_buckets: int,
+    max_distance_1d: int,
+    rel2d_scaling: int,
+    max_distance_2d: int,
+    positions: jnp.ndarray | None = None,
+    mask_value: float = -1e9,
+) -> FusedBias:
+    """Build the FusedBias pytree for the fused-training attention path."""
+    (chunk, n_chunks, positions, hx, vy,
+     pos_chunks, hx_chunks, vy_chunks) = _bias_chunks(
+        bbox, seq_len, chunk, positions)
+    return FusedBias(
+        t1=bias_1d_table.T, th=bias_h_table.T, tv=bias_v_table.T,
+        positions=positions, hx=hx, vy=vy,
+        key_mask=attention_mask > 0,
+        pos_chunks=pos_chunks, hx_chunks=hx_chunks, vy_chunks=vy_chunks,
+        num_buckets=num_buckets, max_distance_1d=max_distance_1d,
+        rel2d_scaling=rel2d_scaling, max_distance_2d=max_distance_2d,
+        mask_value=mask_value)
 
 
 def encoder_position_bias_chunked(

@@ -17,13 +17,25 @@ utils_evaluation.py:269-272). The TPU-native equivalents:
   XLA decode path (`mxu_decode=False` on the model): a pallas custom call
   inside a GSPMD program would force a full re-gather.
 
-Both compile and run on a virtual CPU mesh (tests, driver dryrun) and on a
+- `StagedServe` — STAGE parallelism: the ChemicalOCR program on one submesh
+  and the MarkushGrapher program on a disjoint submesh of the same device
+  set, with the host stream (OCR ids -> text -> cells -> MG batch) between
+  them. Single-chip e2e is additivity-bound at 1/(t_ocr + t_mg) per image
+  (bench_e2e measurements, README "e2e is SINGLE-CHIP bound"); disjoint
+  submeshes overlap the stages so steady-state throughput approaches the
+  min-stage bound instead. Reference analog: the TWO-PROCESS pipeline
+  (/root/reference/scripts/inference/inference.sh:149-251), which achieves
+  stage overlap with two GPUs + a filesystem handoff.
+
+All compile and run on a virtual CPU mesh (tests, driver dryrun) and on a
 real TPU pod slice unchanged.
 """
 
 from __future__ import annotations
 
-from typing import Any, Dict, Tuple
+from typing import Any, Callable, Dict, Iterable, List, Optional, Tuple
+
+import numpy as np
 
 import jax
 import jax.numpy as jnp
@@ -39,6 +51,26 @@ _ENCODE_KEYS = ("input_ids", "bbox", "attention_mask", "pixel_values",
 def _encode(model, params, batch):
     return model.apply(params, *(batch[k] for k in _ENCODE_KEYS),
                        method=type(model).encode)
+
+
+def _mg_local(model, max_length, num_beams, eos_id, quant_cross_kv,
+              quant_weights):
+    """Per-shard MarkushGrapher serve body (encode + greedy/beam decode,
+    full single-chip path incl. pallas kernels)."""
+
+    def local(params, batch):
+        enc, enc_mask = _encode(model, params, batch)
+        if num_beams > 1:
+            return beam_generate(model, params, enc, enc_mask, max_length,
+                                 num_beams=num_beams, eos_id=eos_id,
+                                 quant_cross_kv=quant_cross_kv,
+                                 quant_weights=quant_weights)
+        ids = greedy_generate(model, params, enc, enc_mask, max_length,
+                              eos_id=eos_id, quant_cross_kv=quant_cross_kv,
+                              quant_weights=quant_weights)
+        return ids, jnp.zeros((ids.shape[0],), jnp.float32)
+
+    return local
 
 
 def dp_serve(
@@ -62,18 +94,8 @@ def dp_serve(
     if b % n:
         raise ValueError(f"batch {b} not divisible by mesh size {n}")
 
-    def local(params, batch):
-        enc, enc_mask = _encode(model, params, batch)
-        if num_beams > 1:
-            return beam_generate(model, params, enc, enc_mask, max_length,
-                                 num_beams=num_beams, eos_id=eos_id,
-                                 quant_cross_kv=quant_cross_kv,
-                                 quant_weights=quant_weights)
-        ids = greedy_generate(model, params, enc, enc_mask, max_length,
-                              eos_id=eos_id, quant_cross_kv=quant_cross_kv,
-                              quant_weights=quant_weights)
-        return ids, jnp.zeros((ids.shape[0],), jnp.float32)
-
+    local = _mg_local(model, max_length, num_beams, eos_id, quant_cross_kv,
+                      quant_weights)
     fn = jax.shard_map(local, mesh=mesh, in_specs=(P(), spec),
                        out_specs=(spec, spec), check_vma=False)
     with mesh:
@@ -139,6 +161,16 @@ def dp_serve_ocr(
         raise ValueError(
             f"batch {pixel_values.shape[0]} not divisible by mesh size {n}")
 
+    local = _ocr_local(model, max_new_tokens, eos_id, pad_id, quant_kv)
+    fn = jax.shard_map(local, mesh=mesh, in_specs=(P(), spec, spec),
+                       out_specs=spec, check_vma=False)
+    with mesh:
+        return jax.jit(fn)(params, pixel_values, prompt_ids)
+
+
+def _ocr_local(model, max_new_tokens, eos_id, pad_id, quant_kv):
+    """Per-shard ChemicalOCR decode body (prefill + while_loop greedy)."""
+
     def local(params, pixel_values, prompt_ids):
         logits, caches, prefix_len = model.apply(
             params, pixel_values, prompt_ids,
@@ -168,7 +200,122 @@ def dp_serve_ocr(
         _, _, _, _, out = jax.lax.while_loop(cond, body, state)
         return out
 
-    fn = jax.shard_map(local, mesh=mesh, in_specs=(P(), spec, spec),
-                       out_specs=spec, check_vma=False)
-    with mesh:
-        return jax.jit(fn)(params, pixel_values, prompt_ids)
+    return local
+
+
+class StagedServe:
+    """Stage-parallel multi-chip serving: OCR chips ‖ MarkushGrapher chips.
+
+    Splits `devices` into two disjoint data-parallel submeshes: the first
+    `n_ocr` run the ChemicalOCR program, the rest run the MarkushGrapher
+    program. `run()` streams feeds through both with the host transform
+    (OCR ids -> text -> cells -> encoded MG batch) in between: OCR batch
+    i+1 is dispatched BEFORE batch i's ids are read back, and each MG batch
+    dispatches asynchronously, so the two programs execute concurrently on
+    their own chips. Steady-state throughput is bound by the slower stage
+    (1/max(t_ocr, t_mg)) instead of the single-chip sum (1/(t_ocr+t_mg)).
+
+    Measured single-chip stage times (bench_e2e, b48/512-step, round 3):
+    OCR 14.85 img/s, MG 10.35 img/s -> additivity bound 6.1 (measured
+    pipelined 7.19 with partial host overlap); a 1+1 staged split projects
+    to ~min(14.85, 10.35) ≈ 10.3 img/s on 2 chips.
+    """
+
+    def __init__(
+        self,
+        ocr_model: Any,
+        ocr_params: Any,
+        mg_model: Any,
+        mg_params: Any,
+        devices: List[Any],
+        n_ocr: int,
+        *,
+        ocr_max_new_tokens: int,
+        mg_max_length: int,
+        ocr_eos_id: int = 2,
+        ocr_pad_id: int = 0,
+        ocr_quant_kv: bool = False,
+        mg_num_beams: int = 1,
+        mg_eos_id: int = 1,
+        quant_cross_kv: bool = True,
+        quant_weights: bool = False,
+    ):
+        if not 0 < n_ocr < len(devices):
+            raise ValueError(
+                f"n_ocr={n_ocr} must split {len(devices)} devices into two "
+                "non-empty stages")
+        self.mesh_ocr = Mesh(np.asarray(devices[:n_ocr]), ("data",))
+        self.mesh_mg = Mesh(np.asarray(devices[n_ocr:]), ("data",))
+        self.n_ocr = n_ocr
+        self.n_mg = len(devices) - n_ocr
+        # params live replicated on their OWN submesh only
+        self._ocr_params = jax.device_put(
+            ocr_params, NamedSharding(self.mesh_ocr, P()))
+        self._mg_params = jax.device_put(
+            mg_params, NamedSharding(self.mesh_mg, P()))
+
+        ocr_body = _ocr_local(ocr_model, ocr_max_new_tokens, ocr_eos_id,
+                              ocr_pad_id, ocr_quant_kv)
+        self._ocr_fn = jax.jit(jax.shard_map(
+            ocr_body, mesh=self.mesh_ocr,
+            in_specs=(P(), P("data"), P("data")), out_specs=P("data"),
+            check_vma=False))
+        mg_body = _mg_local(mg_model, mg_max_length, mg_num_beams, mg_eos_id,
+                            quant_cross_kv, quant_weights)
+        self._mg_fn = jax.jit(jax.shard_map(
+            mg_body, mesh=self.mesh_mg,
+            in_specs=(P(), P("data")), out_specs=(P("data"), P("data")),
+            check_vma=False))
+
+    def _put_ocr(self, pixel_values, prompt_ids):
+        if pixel_values.shape[0] % self.n_ocr:
+            raise ValueError(
+                f"OCR batch {pixel_values.shape[0]} not divisible by "
+                f"{self.n_ocr} OCR devices")
+        s = NamedSharding(self.mesh_ocr, P("data"))
+        return (jax.device_put(pixel_values, s),
+                jax.device_put(prompt_ids, s))
+
+    def ocr_step(self, pixel_values, prompt_ids) -> jnp.ndarray:
+        """Dispatch one OCR batch on the OCR submesh (async)."""
+        pix, prompt = self._put_ocr(pixel_values, prompt_ids)
+        return self._ocr_fn(self._ocr_params, pix, prompt)
+
+    def mg_step(self, batch: Dict[str, Any]) -> Tuple[jnp.ndarray,
+                                                      jnp.ndarray]:
+        """Dispatch one MarkushGrapher batch on the MG submesh (async)."""
+        b = batch["input_ids"].shape[0]
+        if b % self.n_mg:
+            raise ValueError(
+                f"MG batch {b} not divisible by {self.n_mg} MG devices")
+        s = NamedSharding(self.mesh_mg, P("data"))
+        batch = {k: jax.device_put(jnp.asarray(v), s)
+                 for k, v in batch.items()}
+        return self._mg_fn(self._mg_params, batch)
+
+    def run(
+        self,
+        feeds: Iterable[Tuple[Any, Any]],
+        host_transform: Callable[[np.ndarray], Dict[str, Any]],
+    ) -> List[Tuple[np.ndarray, np.ndarray]]:
+        """Stream (pixel_values, prompt_ids) feeds through both stages.
+
+        host_transform maps one OCR id batch (host np.ndarray) to one MG
+        input batch. Returns the list of (ids, scores) per feed, read back
+        to host. Overlap: while feed i's ids transfer/transform on the
+        host and its MG program runs on the MG chips, feed i+1's OCR
+        program is already running on the OCR chips.
+        """
+        feeds = list(feeds)
+        results: List[Any] = []
+        pending: Optional[jnp.ndarray] = None
+        for i, (pix, prompt) in enumerate(feeds):
+            ocr_ids = self.ocr_step(pix, prompt)
+            if pending is not None:
+                results.append(self.mg_step(host_transform(
+                    np.asarray(pending))))
+            pending = ocr_ids
+        if pending is not None:
+            results.append(self.mg_step(host_transform(np.asarray(pending))))
+        return [(np.asarray(ids), np.asarray(scores))
+                for ids, scores in results]

@@ -49,9 +49,11 @@ def test_chunked_matches_dense_forward_and_grad(bias_batch):
 
 
 def test_train_chunk_policy():
-    # long VTL rows chunk at 512; serving/decoder lengths stay dense
-    assert _train_chunk_q(1536) == 512
-    assert _train_chunk_q(1024) == 512
+    # long VTL rows chunk at 256 (fused-bias temps scale with B*chunk*L;
+    # 512 was 617 MB over v5e HBM at b8/1536 — round-4 AOT probe);
+    # serving/decoder lengths stay dense
+    assert _train_chunk_q(1536) == 256
+    assert _train_chunk_q(1024) == 256
     assert _train_chunk_q(512) is None
     assert _train_chunk_q(8) is None
 
@@ -78,3 +80,113 @@ def test_encoder_train_step_uses_chunked_path_and_trains():
     # deterministic (serving) apply must be unchanged: dense/flash dispatch
     y_det = enc.apply(params, x, bias, None, True)
     assert np.all(np.isfinite(np.asarray(y_det)))
+
+
+class TestFusedBiasTraining:
+    """Fused-bias chunked attention (relbias.encoder_bias_chunk_closure +
+    _attention_chunked_q bias_fn): the per-chunk bias computed inside the
+    remat'd scan must reproduce the dense builder's attention output and
+    gradients — including the bias TABLE gradients, which accumulate
+    across scan chunks in backward."""
+
+    def _inputs(self, B=2, L=16, H=3, D=4, nb=8):
+        rng = np.random.default_rng(7)
+        q = jnp.asarray(rng.normal(size=(B, L, H, D)), jnp.float32)
+        k = jnp.asarray(rng.normal(size=(B, L, H, D)), jnp.float32)
+        v = jnp.asarray(rng.normal(size=(B, L, H, D)), jnp.float32)
+        t1 = jnp.asarray(rng.normal(size=(nb, H)), jnp.float32)
+        th = jnp.asarray(rng.normal(size=(nb, H)), jnp.float32)
+        tv = jnp.asarray(rng.normal(size=(nb, H)), jnp.float32)
+        bbox = jnp.asarray(rng.random(size=(B, L, 4)), jnp.float32)
+        mask = jnp.asarray(rng.random(size=(B, L)) > 0.2, jnp.int32)
+        return q, k, v, t1, th, tv, bbox, mask
+
+    def test_matches_dense_forward_and_table_grads(self):
+        from markushgrapher_tpu.ops import relbias
+
+        B, L, H, D, nb = 2, 16, 3, 4, 8
+        q, k, v, t1, th, tv, bbox, mask = self._inputs(B, L, H, D, nb)
+        kw = dict(seq_len=L, num_buckets=nb, max_distance_1d=32,
+                  rel2d_scaling=10, max_distance_2d=20)
+
+        def loss_dense(q, k, v, t1, th, tv):
+            bias = relbias.encoder_position_bias(
+                t1, th, tv, bbox, L, nb, 32, 10, 20)
+            bias = jnp.where(
+                (mask > 0)[:, None, None, :], bias, -1e9)
+            return jnp.sum(jnp.sin(_dense(q, k, v, bias, jnp.float32)))
+
+        def loss_fused(q, k, v, t1, th, tv):
+            fb = relbias.encoder_bias_fused(
+                t1, th, tv, bbox, mask, chunk=4, **kw)
+            out = _attention_chunked_q(q, k, v, None, 4, jnp.float32,
+                                       bias_fn=fb.chunk_bias, bias_xs=fb.xs)
+            return jnp.sum(jnp.sin(out))
+
+        args = (q, k, v, t1, th, tv)
+        ld, gd = jax.value_and_grad(loss_dense, argnums=tuple(range(6)))(*args)
+        lf, gf = jax.value_and_grad(loss_fused, argnums=tuple(range(6)))(*args)
+        np.testing.assert_allclose(ld, lf, rtol=1e-6)
+        for a, b in zip(gd, gf):
+            np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-6)
+
+    def test_packed_positions_supported(self):
+        from markushgrapher_tpu.ops import relbias
+
+        B, L, H, D, nb = 2, 16, 3, 4, 8
+        q, k, v, t1, th, tv, bbox, mask = self._inputs(B, L, H, D, nb)
+        rng = np.random.default_rng(3)
+        positions = jnp.asarray(
+            np.sort(rng.choice(64, size=(B, L), replace=False, axis=None)
+                    .reshape(B, L) if False else
+                    np.stack([rng.choice(64, size=L, replace=False)
+                              for _ in range(B)]), axis=1), jnp.int32)
+        fb = relbias.encoder_bias_fused(
+            t1, th, tv, bbox, mask, seq_len=L, chunk=4, num_buckets=nb,
+            max_distance_1d=32, rel2d_scaling=10, max_distance_2d=20,
+            positions=positions)
+        out = _attention_chunked_q(q, k, v, None, 4, jnp.float32,
+                                   bias_fn=fb.chunk_bias, bias_xs=fb.xs)
+        ref_bias = relbias.encoder_position_bias(
+            t1, th, tv, bbox, L, nb, 32, 10, 20, positions=positions)
+        ref_bias = jnp.where((mask > 0)[:, None, None, :], ref_bias, -1e9)
+        ref = _dense(q, k, v, ref_bias, jnp.float32)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-6)
+
+
+def test_train_step_fused_bias_full_wiring():
+    """One real train_step through a config whose VTL length (512 text +
+    1024 patches = 1536) engages the fused-bias chunked path — the flagship
+    training shape at toy widths."""
+    import jax as _jax
+
+    from markushgrapher_tpu.config import (MarkushGrapherConfig, SwinConfig,
+                                           TrainConfig, VTLConfig)
+    from markushgrapher_tpu.models.markushgrapher import MarkushGrapherModel
+    from markushgrapher_tpu.parallel import mesh as mesh_lib
+    from markushgrapher_tpu.train.trainer import Trainer
+
+    cfg = MarkushGrapherConfig(
+        vtl=VTLConfig(vocab_size=512, d_model=16, d_kv=4, d_ff=32,
+                      num_layers=1, num_decoder_layers=1, num_heads=2,
+                      image_size=512, patch_size=16, dropout_rate=0.0),
+        swin=SwinConfig(image_size=16, patch_size=2, embed_dim=8,
+                        depths=(1,), num_heads=(2,), window_size=4),
+        max_seq_length=512, max_seq_length_decoder=8)
+    model = MarkushGrapherModel(cfg, dtype=jnp.float32, remat=True)
+    trainer = Trainer(model=model, cfg=TrainConfig(max_steps=2),
+                      mesh=mesh_lib.create_mesh())
+    rng = np.random.default_rng(0)
+    B = 8  # conftest forces an 8-CPU mesh; batch shards over 'data'
+    batch = dict(
+        input_ids=rng.integers(3, 500, size=(B, 512)).astype(np.int32),
+        bbox=rng.random((B, 512, 4)).astype(np.float32),
+        attention_mask=np.ones((B, 512), np.int32),
+        labels=rng.integers(3, 500, size=(B, 8)).astype(np.int32),
+        pixel_values=rng.random((B, 512, 512, 3)).astype(np.float32),
+        ocsr_pixel_values=rng.random((B, 16, 16, 3)).astype(np.float32),
+    )
+    state = trainer.init_state(_jax.random.PRNGKey(0), batch)
+    state, metrics = trainer.train_step(state, batch, _jax.random.PRNGKey(1))
+    assert np.isfinite(float(metrics["loss"]))
