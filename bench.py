@@ -249,12 +249,40 @@ def main() -> None:
     value = images_per_sec / n_chips
     metric = ("images_per_sec_per_chip_e2e_greedy512" if num_beams <= 1
               else f"images_per_sec_per_chip_e2e_beam{num_beams}x512")
+
+    # Efficiency denominators (VERDICT r3 #8): analytic decode HBM traffic
+    # per step under the current quant config, and the achieved bandwidth
+    # LOWER bound (the encoder's ~20% of wall time is inside `best`, so
+    # true decode GB/s is higher). The measured DMA floor on this kernel
+    # stack is ~455 GB/s (scripts/microbench_cross.py slice-compute probe).
+    vtl = cfg.vtl
+    rows = batch_size * max(1, num_beams)
+    kv_width = vtl.num_heads * vtl.d_kv
+    kv_bytes = 0.5 if (os.environ.get("BENCH_INT4", "1") == "1"
+                       and quant_kv) else (1.0 if quant_kv else 2.0)
+    pack = cross_pack_len or (cfg.encoder_total_len)
+    # cross slabs are beam-shared ([B]-row even under beams)
+    cross_gb = (vtl.num_decoder_layers * 2 * batch_size * pack * kv_width
+                * kv_bytes) / 1e9
+    self_gb = (vtl.num_decoder_layers * 2 * rows * decode_len * kv_width
+               * kv_bytes) / 1e9
+    w_bytes = (weight_bits / 8) if quant_w else 2.0
+    per_layer_w = (4 + 2) * vtl.d_model * kv_width + 2 * vtl.d_model * vtl.d_ff
+    weights_gb = (vtl.num_decoder_layers * per_layer_w * w_bytes
+                  + vtl.d_model * vtl.vocab_size * (1.0 if quant_w else 2.0)
+                  ) / 1e9
+    traffic_gb = cross_gb + self_gb + weights_gb
+    step_s = best / decode_len
     print(json.dumps({
         "metric": metric,
         "value": round(value, 4),
         "unit": f"img/s/chip (batch={batch_size}, {decode_len} decode steps, "
                 f"{jax.devices()[0].platform})",
         "vs_baseline": round(value / BASELINE_IMAGES_PER_SEC, 4),
+        "step_ms_incl_encoder": round(step_s * 1e3, 3),
+        "decode_traffic_gb_per_step_est": round(traffic_gb, 4),
+        "hbm_gbps_lower_bound": round(traffic_gb / step_s, 1),
+        "dma_floor_gbps_measured": 455,
     }))
 
 

@@ -373,6 +373,118 @@ def main() -> None:
     # read so the chip never idles (production serving shape).
     pipelined = os.environ.get("BENCH_PIPELINED", "1") == "1"
     depth = int(os.environ.get("BENCH_PIPELINE_DEPTH", "4"))
+    # BENCH_MG_BUCKETS>=2: length-bucketed MG batching (round-3 weak #2 —
+    # one dense page forces every batch to the full pack length). The
+    # stream sorts all samples by VTL valid count and chunks consecutive
+    # mg_batch groups; each group's pack lengths round up from ITS densest
+    # page, so sparse groups run shorter programs (one compile per distinct
+    # length pair). Pixels ride a device-side uint8 pool + per-group gather
+    # since groups cross OCR batch boundaries. Requires BENCH_DEVICE_PIXELS.
+    mg_buckets = int(os.environ.get("BENCH_MG_BUCKETS", "0"))
+    if mg_buckets and not device_pixels:
+        raise ValueError("BENCH_MG_BUCKETS needs BENCH_DEVICE_PIXELS=1")
+
+    n_side_b = cfg.vtl.num_patches_side
+    vtl_total = cfg.max_seq_length + n_side_b * n_side_b
+    mols_tokens = (cfg.ocsr_tokens if cfg.architecture_variant != "none"
+                   else 0)
+    stage2b_cache = {}
+
+    def make_stage2b(enc_len: int, cross_len):
+        key = (enc_len, cross_len)
+        if key in stage2b_cache:
+            return stage2b_cache[key]
+        m = model.clone(encoder_pack_len=enc_len) if enc_len else model
+
+        @jax.jit
+        def fn(params, batch, pixpool, idx):
+            p = jnp.take(pixpool, idx, axis=0)
+            pixel_values = vtl_from_uint8(p, cfg.vtl.image_size)
+            ocsr_pixel_values = ocsr_from_uint8(p, cfg.swin.image_size)
+            enc, enc_mask = m.apply(
+                params, batch["input_ids"], batch["bbox"],
+                batch["attention_mask"], pixel_values,
+                ocsr_pixel_values, method=MarkushGrapherModel.encode)
+            out = greedy_generate(m, params, enc, enc_mask, decode_len,
+                                  eos_id=-1, quant_cross_kv=quant_kv,
+                                  quant_weights=quant_w,
+                                  weight_bits=weight_bits,
+                                  act_quant=act_quant,
+                                  cross_pack_len=cross_len)
+            checksum = jnp.sum(out).astype(jnp.int32)
+            if cross_len is not None or enc_len:
+                from markushgrapher_tpu.ops.fusion import (
+                    combine_image_text_embeddings)
+
+                am = batch["attention_mask"]
+                _, _, fm = combine_image_text_embeddings(
+                    jnp.zeros((am.shape[0], n_side_b * n_side_b, 1),
+                              jnp.float32),
+                    jnp.zeros(am.shape + (1,), jnp.float32),
+                    batch["bbox"].astype(jnp.float32), am, n_side_b)
+                vtl_valid = jnp.max(jnp.sum(fm, axis=1))
+                ok = jnp.bool_(True)
+                if enc_len:
+                    ok = ok & (vtl_valid <= enc_len)
+                if cross_len is not None:
+                    mols = enc.shape[1] - (enc_len or vtl_total)
+                    ok = ok & (vtl_valid + mols <= cross_len)
+                checksum = jnp.where(ok, checksum, -1)
+            return checksum
+
+        stage2b_cache[key] = fn
+        return fn
+
+    def stream_bucketed(n_mg: int) -> float:
+        from markushgrapher_tpu.models.markushgrapher import (
+            encoder_valid_counts)
+
+        total_ocr = n_mg * ratio
+        t0 = time.perf_counter()
+        futs = [engine.generate_batch_async(prep_ocr(), return_pixels=True)]
+        dispatched = 1
+        samples = []
+        pixbatches = []
+        while futs:
+            ids, px = futs.pop(0)
+            if dispatched < total_ocr:
+                futs.append(engine.generate_batch_async(prep_ocr(),
+                                                        return_pixels=True))
+                dispatched += 1
+            samples.extend(host_encode_samples(engine.decode_ids(ids)))
+            pixbatches.append(px)
+        pixpool = jnp.concatenate(pixbatches, 0)
+        host = collator(samples)
+        counts = encoder_valid_counts(
+            cfg, host["bbox"], host["attention_mask"],
+            include_molscribe=False)
+        order = np.argsort(counts, kind="stable")
+        mg_outs = []
+        lens_used = []
+        for s in range(0, len(order), mg_batch):
+            grp = order[s:s + mg_batch]
+            mx = int(counts[grp].max())
+            enc_len = -(-(mx + 64) // 256) * 256
+            if enc_len >= vtl_total or not enc_pack:
+                enc_len = 0
+            cross_len = None
+            if cross_pack:
+                cross_len = -(-(mx + mols_tokens + 64) // 256) * 256
+                if cross_len >= vtl_total + mols_tokens:
+                    cross_len = None
+            lens_used.append((enc_len, cross_len))
+            fn = make_stage2b(enc_len, cross_len)
+            gb = {k: jnp.asarray(host[k][grp])
+                  for k in ("input_ids", "bbox", "attention_mask")}
+            mg_outs.append(fn(params, gb, pixpool,
+                              jnp.asarray(grp, jnp.int32)))
+        for o in mg_outs:
+            v = int(o)
+            assert v >= 0, "bucket pack overflow (should be impossible: " \
+                           "lengths are sized from this group's counts)"
+        dt = time.perf_counter() - t0
+        print(f"buckets: {lens_used}", file=sys.stderr, flush=True)
+        return dt
 
     def stream(n_mg: int) -> float:
         total_ocr = n_mg * ratio
@@ -418,7 +530,10 @@ def main() -> None:
                        "encoder positions than the warmup bound"
         return v
 
-    pipeline()  # compile + warm both programs
+    if mg_buckets >= 2:
+        stream_bucketed(depth)  # compile + warm every bucket program
+    else:
+        pipeline()  # compile + warm both programs
 
     if diag:
         # OCR stage standalone: fenced by the host readback in decode_ids
@@ -456,7 +571,9 @@ def main() -> None:
 
     times = []
     for _ in range(repeats):
-        if pipelined:
+        if mg_buckets >= 2:
+            times.append(stream_bucketed(depth) / depth)
+        elif pipelined:
             times.append(stream(depth) / depth)
         else:
             t0 = time.perf_counter()

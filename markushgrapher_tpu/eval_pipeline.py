@@ -56,6 +56,16 @@ class EvalConfig:
     # valid count — size via models.markushgrapher.encoder_valid_max on a
     # representative batch, rounded up (e.g. to 256)
     cross_pack_len: int = 0
+    # length-bucketed batching (0 = off, else number of buckets >= 2): a
+    # first pass computes per-sample valid counts and groups samples into
+    # static pack-length buckets (data.bucketing) so one dense page no
+    # longer forces every batch to the full length — the round-3 finding
+    # that packing disengages at realistic diversity (MG 10.35 in-e2e vs
+    # 11.65 driver). Each bucket's cross_pack_len compiles its own decode
+    # program. Overrides cross_pack_len (which becomes the cap if set).
+    length_buckets: int = 0
+    bucket_round_to: int = 256   # pack lengths round up to this multiple
+    bucket_margin: int = 64      # headroom above each sample's valid count
     # write N debug figures per run (reference writes <=100 eval PNGs,
     # curriculumTrainer.py:199-204, utils_display.py)
     save_visualizations: int = 0
@@ -91,7 +101,7 @@ class Evaluator:
         self.abbreviation = abbreviation or Abbreviation()
         self._generate = None
 
-    def _build_generate(self):
+    def _build_generate(self, pack_len: Optional[int]):
         model, cfg = self.model, self.cfg
 
         @jax.jit
@@ -100,14 +110,22 @@ class Evaluator:
                             num_beams=cfg.num_beams,
                             quant_cross_kv=cfg.quant_kv,
                             quant_weights=cfg.quant_weights,
-                            cross_pack_len=cfg.cross_pack_len or None)
-        self._generate = fn
+                            cross_pack_len=pack_len)
+        return fn
 
     # -- generation -------------------------------------------------------
 
-    def generate_batch(self, batch: Dict[str, np.ndarray]) -> np.ndarray:
+    def generate_batch(self, batch: Dict[str, np.ndarray],
+                       cross_pack_len: Optional[int] = None) -> np.ndarray:
+        """cross_pack_len overrides cfg.cross_pack_len for this batch (the
+        length-bucketed loop passes each bucket's length); each distinct
+        value compiles once (cached)."""
+        pack = (cross_pack_len if cross_pack_len is not None
+                else (self.cfg.cross_pack_len or None))
         if self._generate is None:
-            self._build_generate()
+            self._generate = {}
+        if pack not in self._generate:
+            self._generate[pack] = self._build_generate(pack)
         model_batch = {k: jnp.asarray(v) for k, v in batch.items()
                        if k in ("input_ids", "bbox", "attention_mask",
                                 "pixel_values", "ocsr_pixel_values")}
@@ -115,7 +133,7 @@ class Evaluator:
         # exceeds it would silently drop valid keys (wrong predictions, no
         # error). Guard every batch with the same tiny host-readback program
         # the packers are sized with (jit-cached; one scalar per batch).
-        pack_lens = [pl for pl in (self.cfg.cross_pack_len,
+        pack_lens = [pl for pl in (pack,
                                    getattr(self.model, "encoder_pack_len", 0))
                      if pl]
         if pack_lens:
@@ -129,7 +147,7 @@ class Evaluator:
                     f"packed length {min(pack_lens)} < batch valid count "
                     f"{mv}: raise cross_pack_len/encoder_pack_len (size via "
                     "models.markushgrapher.encoder_valid_max, rounded up)")
-        out = self._generate(self.params, model_batch)
+        out = self._generate[pack](self.params, model_batch)
         return np.asarray(jax.device_get(out))
 
     # -- the loop -----------------------------------------------------------
@@ -181,7 +199,7 @@ class Evaluator:
         batch_samples: List[Dict] = []
         batch_meta: List[Dict] = []
 
-        def flush():
+        def flush(pack_len: Optional[int] = None):
             nonlocal batch_samples, batch_meta
             if not batch_samples:
                 return
@@ -193,7 +211,7 @@ class Evaluator:
                 while len(samples) < cfg.batch_size:
                     samples.append(samples[-1])
                 batch = collator.__call__(samples)
-                ids_out = self.generate_batch(batch)
+                ids_out = self.generate_batch(batch, cross_pack_len=pack_len)
                 for k, i in enumerate(todo):
                     text = self.mt.decode(ids_out[k])
                     cached[batch_meta[i]["id"]] = text
@@ -201,14 +219,14 @@ class Evaluator:
                 self._score_one(m, cached[m["id"]], predictions, per_sample)
             batch_samples, batch_meta = [], []
 
-        for idx in range(n):
+        def push(idx: int, vis_rank: int, pack_len: Optional[int]) -> None:
             item = dataset[idx]
             meta = {
                 "id": item.pop("id", idx),
                 "gt_cxsmiles_opt": dataset.source[idx].get("cxsmiles_opt", ""),
                 "gt_annotation": dataset.source[idx].get("annotation", ""),
             }
-            if idx < cfg.save_visualizations:
+            if vis_rank < cfg.save_visualizations:
                 from markushgrapher_tpu.data.dataset import resize_image
 
                 meta["cells"] = list(dataset.source[idx].get("cells") or [])
@@ -219,11 +237,24 @@ class Evaluator:
             batch_samples.append(item)
             batch_meta.append(meta)
             if len(batch_samples) == cfg.batch_size:
-                flush()
+                flush(pack_len)
                 if cfg.cache_predictions:
                     with open(cache_path, "wb") as f:
                         pickle.dump(cached, f)
-        flush()
+
+        if cfg.length_buckets >= 2:
+            # bucket-major order: every batch is homogeneous in pack length
+            # and flushes at bucket boundaries (batches never span buckets)
+            for rank, (pack_len, idxs) in enumerate(
+                    self._assign_buckets(dataset, n, collator)):
+                for k, idx in enumerate(idxs):
+                    push(int(idx), k if rank == 0 else cfg.save_visualizations,
+                         pack_len)
+                flush(pack_len)
+        else:
+            for idx in range(n):
+                push(idx, idx, None)
+            flush()
         if cfg.cache_predictions:
             with open(cache_path, "wb") as f:
                 pickle.dump(cached, f)
@@ -236,6 +267,38 @@ class Evaluator:
         self._write_artifacts(benchmark_name, predictions, scores, n)
         return EvalResult(scores=scores, predictions=predictions,
                           per_sample=per_sample)
+
+    def _assign_buckets(self, dataset, n: int, collator: DataCollator):
+        """First pass: per-sample valid counts (bbox/attention_mask only,
+        chunked device calls; items are variable-length pre-collation) ->
+        static pack-length buckets. A bucket whose length reaches the
+        unpacked encoder length runs unpacked (None)."""
+        from markushgrapher_tpu.data.bucketing import bucket_pack_lengths
+        from markushgrapher_tpu.models.markushgrapher import (
+            encoder_valid_counts)
+
+        cfg_m = self.model.cfg
+        counts = np.zeros(n, np.int64)
+        chunk, base = [], 0
+        for idx in range(n):
+            item = dataset[idx]
+            chunk.append({k: item[k] for k in ("bbox", "attention_mask")})
+            if len(chunk) == 64 or idx == n - 1:
+                cb = collator(chunk)
+                c = encoder_valid_counts(cfg_m, cb["bbox"],
+                                         cb["attention_mask"])
+                counts[base:base + len(chunk)] = c
+                base += len(chunk)
+                chunk = []
+        cap = self.cfg.cross_pack_len or None
+        buckets = bucket_pack_lengths(counts, self.cfg.length_buckets,
+                                      round_to=self.cfg.bucket_round_to,
+                                      margin=self.cfg.bucket_margin, cap=cap)
+        total = cfg_m.encoder_total_len
+        out = [(None if ln >= total else ln, idxs) for ln, idxs in buckets]
+        logger.info("length buckets: %s",
+                    [(ln, len(idxs)) for ln, idxs in out])
+        return out
 
     # -- scoring -------------------------------------------------------------
 
