@@ -190,6 +190,31 @@ class TestQuantizationGate:
                               weight_bits=4)
         assert _exact_matches(out, o["samples"], o["mt"]) >= f32_exact
 
+    def test_beam5_int4_kv_int8_weights(self, overfit):
+        """Beam-5 is the reference's shipped predict mode
+        (/root/reference/config/predict.yaml:8), and under beam the int4
+        self rings run a DIFFERENT path than greedy (copy-on-write ring
+        segments + shared cross slabs, decode/generate.py beam_generate) —
+        so the greedy gate does not cover it. Bound: quantized beam-5
+        retains every exact match of the f32 beam-5 decode."""
+        from markushgrapher_tpu.decode.generate import beam_generate
+
+        o = overfit
+        ref_ids, _ = beam_generate(o["model"], o["params"], o["enc"],
+                                   o["enc_mask"], MAXDEC, num_beams=5,
+                                   eos_id=1)
+        f32_beam_exact = _exact_matches(ref_ids, o["samples"], o["mt"])
+        assert f32_beam_exact == N_UNIQUE  # memorized corpus: beam finds it
+        i4_model = MarkushGrapherModel(o["cfg"], dtype=jnp.float32,
+                                       int4_cross=True)
+        out_ids, scores = beam_generate(i4_model, o["params"], o["enc"],
+                                        o["enc_mask"], MAXDEC, num_beams=5,
+                                        eos_id=1, quant_cross_kv=True,
+                                        quant_weights=True)
+        assert np.all(np.isfinite(np.asarray(scores)))
+        assert _exact_matches(out_ids, o["samples"], o["mt"]) \
+            >= f32_beam_exact
+
     def test_full_decode_stack(self, overfit, f32_exact):
         """The round-3 candidate combined default: int4 KV + W8A8 decode
         dots + packed cross caches. Gate: zero lost CXSMILES exact matches.
