@@ -15,35 +15,9 @@ import sys
 from typing import Dict, Optional
 
 
-def build_ocr_configs(overrides: Optional[Dict] = None):
-    """(OCRConfig, OCREngineConfig) with flat-key overrides.
-
-    Keys: `vision.<field>` / `text.<field>` for the submodel configs, bare
-    field names for OCRConfig / OCREngineConfig (`max_new_tokens` sets both).
-    Unknown keys raise — a typo'd override must not silently serve the
-    full-size model."""
-    from dataclasses import fields
-
-    from markushgrapher_tpu.ocr.engine import OCREngineConfig
-    from markushgrapher_tpu.ocr.vlm import (OCRConfig, OCRTextConfig,
-                                            OCRVisionConfig)
-
-    ov = dict(overrides or {})
-    vis = {k[len("vision."):]: ov.pop(k) for k in list(ov)
-           if k.startswith("vision.")}
-    txt = {k[len("text."):]: ov.pop(k) for k in list(ov)
-           if k.startswith("text.")}
-    top_names = {f.name for f in fields(OCRConfig)} - {"vision", "text"}
-    eng_names = {f.name for f in fields(OCREngineConfig)}
-    top = {k: ov.pop(k) for k in list(ov) if k in top_names}
-    eng = {k: ov.pop(k) for k in list(ov) if k in eng_names}
-    if "max_new_tokens" in top:
-        eng.setdefault("max_new_tokens", top["max_new_tokens"])
-    if ov:
-        raise ValueError(f"unknown OCR override keys: {sorted(ov)}")
-    cfg = OCRConfig(vision=OCRVisionConfig(**vis), text=OCRTextConfig(**txt),
-                    **top)
-    return cfg, OCREngineConfig(**eng)
+# moved into the package so the staged driver shares it; re-exported here
+# for script-level callers
+from markushgrapher_tpu.ocr.engine import build_ocr_configs  # noqa: F401,E402
 
 
 def main(dataset_dir: str, output_dir: str,

@@ -39,10 +39,18 @@ def main() -> None:
     ap.add_argument("--max_eval_samples", type=int, default=None)
     ap.add_argument("--checkpoint", default="")
     ap.add_argument("--ocr_params", default=None)
+    ap.add_argument("--staged", type=int, default=0, metavar="N_OCR",
+                    help="stage-parallel serving: pin ChemicalOCR to N_OCR "
+                         "devices and MarkushGrapher to the rest, streaming "
+                         "in memory (needs >= 2 jax devices; replaces the "
+                         "sequential on-disk handoff)")
     ap.add_argument("--set", dest="overrides", action="append", default=[],
                     help="extra predict-config overrides, key=value "
                          "(repeatable); values parsed as YAML")
     args = ap.parse_args()
+    if args.staged and args.skip_ocr:
+        ap.error("--staged streams OCR in-process; incompatible with "
+                 "--skip_ocr")
 
     run_dir = args.output or os.path.join(
         "runs", datetime.datetime.now().strftime("run_%Y%m%d_%H%M%S"))
@@ -74,7 +82,9 @@ def main() -> None:
             predict_overrides.append((key, yaml.safe_load(value)))
 
     # -- stage 1: ChemicalOCR ---------------------------------------------------
-    if args.skip_ocr:
+    if args.staged:
+        ocr_dir = ds_dir  # no on-disk handoff: OCR streams in-process
+    elif args.skip_ocr:
         ocr_dir = ds_dir
     else:
         from apply_ocr import main as apply_ocr
@@ -109,9 +119,17 @@ def main() -> None:
     with open(predict_yaml, "w") as f:
         yaml.safe_dump(predict_cfg, f)
 
-    from markushgrapher_tpu import eval_main
+    if args.staged:
+        from markushgrapher_tpu import staged_inference
 
-    scores = eval_main.main(predict_yaml)
+        scores = staged_inference.main(predict_yaml, ds_dir,
+                                       n_ocr=args.staged,
+                                       ocr_params_path=args.ocr_params,
+                                       ocr_overrides=ocr_overrides)
+    else:
+        from markushgrapher_tpu import eval_main
+
+        scores = eval_main.main(predict_yaml)
     print("scores:", {k: round(v, 4) for k, v in scores.items()})
     print(f"artifacts in {run_dir}/predictions")
 

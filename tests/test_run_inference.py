@@ -111,3 +111,48 @@ def test_driver_images_with_ocr(image_dir, tmp_path, monkeypatch):
     files = os.listdir(pred_dir)
     assert any(f.startswith("predictions_") for f in files), files
     assert any(f.startswith("scores_") for f in files), files
+
+
+def test_driver_images_staged(image_dir, tmp_path, monkeypatch):
+    """The STAGE-PARALLEL branch (--staged N): ChemicalOCR pinned to N
+    devices, MarkushGrapher to the rest (parallel/serve.py:StagedServe),
+    streaming in memory instead of the on-disk handoff — the multi-chip
+    escape hatch for the single-chip additivity bound. Runs on the
+    conftest's virtual 8-CPU mesh."""
+    out = str(tmp_path / "run_staged")
+    script = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "scripts", "run_inference.py")
+    argv = [
+        "run_inference.py", "--images", image_dir, "--output", out,
+        "--max_eval_samples", "2", "--staged", "4",
+        # tiny ChemicalOCR (random init, smoke mode)
+        "--set", "ocr.vision.image_size=32",
+        "--set", "ocr.vision.d_model=32", "--set", "ocr.vision.num_layers=1",
+        "--set", "ocr.vision.num_heads=2", "--set", "ocr.vision.d_ff=64",
+        "--set", "ocr.text.vocab_size=33104", "--set", "ocr.text.d_model=32",
+        "--set", "ocr.text.num_layers=1", "--set", "ocr.text.num_heads=4",
+        "--set", "ocr.text.num_kv_heads=2", "--set", "ocr.text.d_ff=64",
+        "--set", "ocr.text.max_position=256",
+        "--set", "ocr.pixel_shuffle_factor=2",
+        "--set", "ocr.max_new_tokens=8", "--set", "ocr.batch_size=2",
+        # tiny MarkushGrapher
+        "--set", "architecture_variant=none",
+        "--set", "d_model=64", "--set", "num_layers=1",
+        "--set", "num_heads=2", "--set", "d_ff=128",
+        "--set", "image_size=64",
+        "--set", "max_seq_length=64", "--set", "max_seq_length_decoder=12",
+        "--set", "per_device_eval_batch_size=2",
+    ]
+    monkeypatch.setattr(sys, "argv", argv)
+    runpy.run_path(script, run_name="__main__")
+
+    # no on-disk OCR handoff in staged mode
+    assert not os.path.isdir(os.path.join(out, "dataset_ocr"))
+    pred_dir = os.path.join(out, "predictions")
+    files = os.listdir(pred_dir)
+    assert any(f.startswith("predictions_") for f in files), files
+    assert any(f.startswith("scores_") for f in files), files
+    with open(os.path.join(pred_dir,
+                           [f for f in files if f.startswith("scores_")][0])) as f:
+        scores = json.load(f)
+    assert scores.get("mdu_staged_devices") == 8.0
