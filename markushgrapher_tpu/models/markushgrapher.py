@@ -366,20 +366,45 @@ class MarkushGrapherModel(nn.Module):
                     positions=positions)
                 e2 = self.encoder(embeds, pos_bias, None, deterministic)
             elif not deterministic and _train_chunk_q(seq_len):
-                # fused-bias training: the bias is computed per query chunk
-                # INSIDE the remat'd chunked-q attention scan — the one-shot
-                # builder's [B,L,L,16] gather transients lane-pad 8x (18 GB
-                # at b16/1536, the round-3/4 train OOM) and even the
-                # assembled [B,H,L,L] bias + its gradient are dead weight
-                fused = relbias.encoder_bias_fused(
-                    self.enc_bias_1d, self.enc_bias_h, self.enc_bias_v,
-                    full_bbox.astype(jnp.float32), full_mask, seq_len,
-                    _train_chunk_q(seq_len),
-                    vtl.relative_attention_num_buckets,
-                    vtl.relative_attention_max_distance,
-                    vtl.rel2d_scaling_factor, vtl.rel2d_max_distance,
-                    positions=positions)
-                e2 = self.encoder(embeds, fused, None, deterministic)
+                # long-sequence TRAINING: the one-shot builder's [B,L,L,16]
+                # gather transients lane-pad 8x (18 GB at b16/1536 — the
+                # round-3/4 train OOM). Default: build the shared bias ONCE
+                # per step with the lane-friendly chunked builder (bf16
+                # [B,H,L,L], the same builder serving uses) and let the
+                # chunked-q attention slice it — all 24 layers share one
+                # bias, so building it inside every layer's attention scan
+                # (MARKUSH_TRAIN_BIAS=fused, relbias.FusedBias) pays 24x
+                # redundant gathers fwd+bwd: measured 17.9 s/step (1.6%
+                # MFU) on v5e at b8/1536. `fused` stays as the lower-memory
+                # fallback.
+                import os as _os
+
+                if _os.environ.get("MARKUSH_TRAIN_BIAS",
+                                   "materialized") == "fused":
+                    fused = relbias.encoder_bias_fused(
+                        self.enc_bias_1d, self.enc_bias_h, self.enc_bias_v,
+                        full_bbox.astype(jnp.float32), full_mask, seq_len,
+                        _train_chunk_q(seq_len),
+                        vtl.relative_attention_num_buckets,
+                        vtl.relative_attention_max_distance,
+                        vtl.rel2d_scaling_factor, vtl.rel2d_max_distance,
+                        positions=positions)
+                    e2 = self.encoder(embeds, fused, None, deterministic)
+                else:
+                    # remat the build: backward recomputes it (~tens of ms)
+                    # instead of saving the scan's per-chunk gather
+                    # residuals (~1 GB at b8/1536)
+                    build = jax.checkpoint(
+                        lambda t1, th, tv: relbias.encoder_position_bias_chunked(
+                            t1, th, tv, full_bbox.astype(jnp.float32),
+                            full_mask, seq_len,
+                            vtl.relative_attention_num_buckets,
+                            vtl.relative_attention_max_distance,
+                            vtl.rel2d_scaling_factor,
+                            vtl.rel2d_max_distance, positions=positions))
+                    pos_bias = build(self.enc_bias_1d, self.enc_bias_h,
+                                     self.enc_bias_v)
+                    e2 = self.encoder(embeds, pos_bias, None, deterministic)
             else:
                 pos_bias = relbias.encoder_position_bias(
                     self.enc_bias_1d, self.enc_bias_h, self.enc_bias_v,

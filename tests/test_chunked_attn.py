@@ -155,10 +155,17 @@ class TestFusedBiasTraining:
                                    rtol=1e-5, atol=1e-6)
 
 
-def test_train_step_fused_bias_full_wiring():
+import pytest as _pytest
+
+
+@_pytest.mark.parametrize("bias_mode", ["materialized", "fused"])
+def test_train_step_fused_bias_full_wiring(bias_mode, monkeypatch):
     """One real train_step through a config whose VTL length (512 text +
-    1024 patches = 1536) engages the fused-bias chunked path — the flagship
-    training shape at toy widths."""
+    1024 patches = 1536) engages the long-sequence training path — the
+    flagship training shape at toy widths. Covers both the default
+    build-once materialized bias and the lower-memory per-chunk fused
+    fallback (MARKUSH_TRAIN_BIAS=fused)."""
+    monkeypatch.setenv("MARKUSH_TRAIN_BIAS", bias_mode)
     import jax as _jax
 
     from markushgrapher_tpu.config import (MarkushGrapherConfig, SwinConfig,
