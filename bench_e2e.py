@@ -535,6 +535,7 @@ def main() -> None:
     else:
         pipeline()  # compile + warm both programs
 
+    diag_fields = {}
     if diag:
         # OCR stage standalone: fenced by the host readback in decode_ids
         t0 = time.perf_counter()
@@ -560,14 +561,14 @@ def main() -> None:
         t0 = time.perf_counter()
         int(stage2(params, batch1, pix1))
         mg_dt = time.perf_counter() - t0
-        print(json.dumps({
-            "diag": "per-stage img/s/chip",
-            "ocr": round(mg_batch / ocr_dt, 3),
-            "host_encode": round(mg_batch / (enc_dt * ratio), 3),
-            "mg": round(mg_batch / mg_dt, 3),
-            "mg_first_call_s": round(mg_first, 2),
-            "stage2_compiles": stage2._cache_size(),
-        }), file=sys.stderr, flush=True)
+        diag_fields.update(
+            ocr_img_s=round(mg_batch / ocr_dt, 3),
+            host_encode_img_s=round(mg_batch / (enc_dt * ratio), 3),
+            mg_img_s=round(mg_batch / mg_dt, 3))
+        print(json.dumps(dict(diag="per-stage img/s/chip", **diag_fields,
+                              mg_first_call_s=round(mg_first, 2),
+                              stage2_compiles=stage2._cache_size())),
+              file=sys.stderr, flush=True)
 
     times = []
     for _ in range(repeats):
@@ -593,6 +594,9 @@ def main() -> None:
                 f"{decode_len} tok @b{mg_batch}, "
                 f"{jax.devices()[0].platform})",
         "vs_baseline": round(value / BASELINE_IMAGES_PER_SEC, 4),
+        # per-stage standalone rates when BENCH_DIAG=1 (the additivity
+        # denominator: single-chip e2e ceiling = 1/(1/ocr + 1/mg))
+        **diag_fields,
     }))
 
 
