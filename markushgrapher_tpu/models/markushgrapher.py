@@ -379,16 +379,23 @@ class MarkushGrapherModel(nn.Module):
                 # fallback.
                 import os as _os
 
-                if _os.environ.get("MARKUSH_TRAIN_BIAS",
-                                   "materialized") == "fused":
+                mode = _os.environ.get("MARKUSH_TRAIN_BIAS", "onehot")
+                bias_args = (
+                    self.enc_bias_1d, self.enc_bias_h, self.enc_bias_v,
+                    full_bbox.astype(jnp.float32), full_mask, seq_len,
+                    _train_chunk_q(seq_len),
+                    vtl.relative_attention_num_buckets,
+                    vtl.relative_attention_max_distance,
+                    vtl.rel2d_scaling_factor, vtl.rel2d_max_distance)
+                if (mode == "onehot"
+                        and vtl.relative_attention_num_buckets ** 3 - 1
+                        <= 32767):
+                    fused = relbias.encoder_bias_fused_onehot(
+                        *bias_args, positions=positions)
+                    e2 = self.encoder(embeds, fused, None, deterministic)
+                elif mode in ("fused", "onehot"):
                     fused = relbias.encoder_bias_fused(
-                        self.enc_bias_1d, self.enc_bias_h, self.enc_bias_v,
-                        full_bbox.astype(jnp.float32), full_mask, seq_len,
-                        _train_chunk_q(seq_len),
-                        vtl.relative_attention_num_buckets,
-                        vtl.relative_attention_max_distance,
-                        vtl.rel2d_scaling_factor, vtl.rel2d_max_distance,
-                        positions=positions)
+                        *bias_args, positions=positions)
                     e2 = self.encoder(embeds, fused, None, deterministic)
                 else:
                     # remat the build: backward recomputes it (~tens of ms)

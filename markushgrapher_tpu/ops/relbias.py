@@ -229,6 +229,97 @@ class FusedBias:
         return jnp.moveaxis(full, 0, 1)         # [B, H, chunk, L]
 
 
+@struct.dataclass
+class FusedBiasOneHot:
+    """MXU formulation of the fused-training bias: bucket indices are
+    computed ONCE per step (combined int16 [B,L,L] — integer, no gradient)
+    and each attention chunk expands its slice to one-hots dotted with the
+    [num_buckets, H] tables. Forward AND backward are small-K matmuls (the
+    table gradient is onehot^T @ grad), so no gathers/scatters appear
+    anywhere — the gather-based FusedBias measured 17.9 s/step at b8/1536
+    (24 layers x 6 chunks x 3 gathers, fwd + remat + scatter-bwd), and the
+    materialized build-once bias OOMs b8 (+1.2 GB bias + 1.2 GB grad +
+    builder residuals: 20.48 of 15.75 GiB). Same trick as the serving
+    bias builder (ops/bias_build.py) but in differentiable jnp.
+
+    xs carries the pre-chunked indices [n_chunks, B, chunk, L] int16;
+    chunk_bias(c) -> f32 [B, H, chunk, L] masked additive bias."""
+
+    t1: jnp.ndarray           # tables [num_buckets, H]
+    th: jnp.ndarray
+    tv: jnp.ndarray
+    key_mask: jnp.ndarray     # [B, L] bool
+    c_chunks: jnp.ndarray     # [n_chunks, B, chunk, L] int16 combined
+    num_buckets: int = struct.field(pytree_node=False, default=32)
+    mask_value: float = struct.field(pytree_node=False, default=-1e9)
+
+    @property
+    def xs(self):
+        return (self.c_chunks,)
+
+    def chunk_bias(self, c) -> jnp.ndarray:
+        nb = self.num_buckets
+        c = c.astype(jnp.int32)
+        parts = ((self.t1, c % nb), (self.th, (c // nb) % nb),
+                 (self.tv, c // (nb * nb)))
+        full = None
+        for table, idx in parts:
+            oh = jax.nn.one_hot(idx, nb, dtype=jnp.float32)
+            # [H,nb] x [B,chunk,L,nb] -> [H,B,chunk,L]: L stays minormost
+            # (an '...h'-minormost output would lane-pad 16 -> 128, 8x)
+            p = jnp.einsum("hn,bqln->hbql", table.T.astype(jnp.float32), oh)
+            full = p if full is None else full + p
+        full = jnp.where(self.key_mask[None, :, None, :], full,
+                         self.mask_value)
+        return jnp.moveaxis(full, 0, 1)         # [B, H, chunk, L]
+
+
+def encoder_bias_fused_onehot(
+    bias_1d_table: jnp.ndarray,
+    bias_h_table: jnp.ndarray,
+    bias_v_table: jnp.ndarray,
+    bbox: jnp.ndarray,            # [B, L, 4]
+    attention_mask: jnp.ndarray,  # [B, L]
+    seq_len: int,
+    chunk: int,
+    num_buckets: int,
+    max_distance_1d: int,
+    rel2d_scaling: int,
+    max_distance_2d: int,
+    positions: jnp.ndarray | None = None,
+    mask_value: float = -1e9,
+) -> FusedBiasOneHot:
+    """Build FusedBiasOneHot: full-sequence bucket math once (same bucket
+    fns as encoder_position_bias — identical values), combined to int16."""
+    if num_buckets ** 3 - 1 > 32767:  # nb=32 -> max index 32767: fits
+        raise ValueError(f"num_buckets {num_buckets}^3 exceeds int16")
+    if seq_len % chunk:
+        chunk = seq_len
+    if positions is None:
+        b1 = bucket_1d(seq_len, bidirectional=True, num_buckets=num_buckets,
+                       max_distance=max_distance_1d)[None]       # [1, L, L]
+    else:
+        rel = positions[:, None, :] - positions[:, :, None]
+        b1 = relative_position_bucket(
+            rel, bidirectional=True, num_buckets=num_buckets,
+            max_distance=max_distance_1d)                        # [B, L, L]
+    hx = (bbox[..., 0] + bbox[..., 2]) / 2.0
+    vy = (bbox[..., 1] + bbox[..., 3]) / 2.0
+    bh = bucket_2d(hx, scaling_factor=rel2d_scaling,
+                   num_buckets=num_buckets, max_distance=max_distance_2d)
+    bv = bucket_2d(vy, scaling_factor=rel2d_scaling,
+                   num_buckets=num_buckets, max_distance=max_distance_2d)
+    c = (b1 + num_buckets * bh + num_buckets * num_buckets * bv
+         ).astype(jnp.int16)                                     # [B, L, L]
+    batch = c.shape[0]
+    c_chunks = jnp.moveaxis(
+        c.reshape(batch, seq_len // chunk, chunk, seq_len), 1, 0)
+    return FusedBiasOneHot(
+        t1=bias_1d_table, th=bias_h_table, tv=bias_v_table,
+        key_mask=attention_mask > 0, c_chunks=c_chunks,
+        num_buckets=num_buckets, mask_value=mask_value)
+
+
 def encoder_bias_fused(
     bias_1d_table: jnp.ndarray,   # [num_buckets, H]
     bias_h_table: jnp.ndarray,

@@ -130,6 +130,75 @@ class TestFusedBiasTraining:
         for a, b in zip(gd, gf):
             np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-6)
 
+    def test_onehot_matches_dense_forward_and_table_grads(self):
+        """FusedBiasOneHot (MXU one-hot dots, precombined int16 indices)
+        must match the dense builder's attention output and table grads —
+        it is the default training bias path."""
+        from markushgrapher_tpu.ops import relbias
+
+        B, L, H, D, nb = 2, 16, 3, 4, 8
+        q, k, v, t1, th, tv, bbox, mask = self._inputs(B, L, H, D, nb)
+        kw = dict(seq_len=L, num_buckets=nb, max_distance_1d=32,
+                  rel2d_scaling=10, max_distance_2d=20)
+
+        def loss_dense(q, k, v, t1, th, tv):
+            bias = relbias.encoder_position_bias(
+                t1, th, tv, bbox, L, nb, 32, 10, 20)
+            bias = jnp.where((mask > 0)[:, None, None, :], bias, -1e9)
+            return jnp.sum(jnp.sin(_dense(q, k, v, bias, jnp.float32)))
+
+        def loss_oh(q, k, v, t1, th, tv):
+            fb = relbias.encoder_bias_fused_onehot(
+                t1, th, tv, bbox, mask, chunk=4, **kw)
+            out = _attention_chunked_q(q, k, v, None, 4, jnp.float32,
+                                       bias_fn=fb.chunk_bias, bias_xs=fb.xs)
+            return jnp.sum(jnp.sin(out))
+
+        args = (q, k, v, t1, th, tv)
+        ld, gd = jax.value_and_grad(loss_dense, argnums=tuple(range(6)))(*args)
+        lo, go = jax.value_and_grad(loss_oh, argnums=tuple(range(6)))(*args)
+        np.testing.assert_allclose(ld, lo, rtol=1e-6)
+        for a, b in zip(gd, go):
+            np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-6)
+
+    def test_onehot_int16_bound(self):
+        from markushgrapher_tpu.ops import relbias
+
+        _, _, _, t1, th, tv, bbox, mask = self._inputs(nb=8)
+        # nb=32 (flagship): max combined index 31*(1+32+1024)=32767 fits
+        t32 = jnp.zeros((32, 3), jnp.float32)
+        fb = relbias.encoder_bias_fused_onehot(
+            t32, t32, t32, bbox, mask, seq_len=16, chunk=4, num_buckets=32,
+            max_distance_1d=128, rel2d_scaling=100, max_distance_2d=100)
+        assert fb.c_chunks.dtype == jnp.int16
+        with pytest.raises(ValueError, match="int16"):
+            relbias.encoder_bias_fused_onehot(
+                t32, t32, t32, bbox, mask, seq_len=16, chunk=4,
+                num_buckets=33, max_distance_1d=128, rel2d_scaling=100,
+                max_distance_2d=100)
+
+    def test_onehot_packed_positions(self):
+        from markushgrapher_tpu.ops import relbias
+
+        B, L, H, D, nb = 2, 16, 3, 4, 8
+        q, k, v, t1, th, tv, bbox, mask = self._inputs(B, L, H, D, nb)
+        rng = np.random.default_rng(3)
+        positions = jnp.asarray(
+            np.sort(np.stack([rng.choice(64, size=L, replace=False)
+                              for _ in range(B)]), axis=1), jnp.int32)
+        fb = relbias.encoder_bias_fused_onehot(
+            t1, th, tv, bbox, mask, seq_len=L, chunk=4, num_buckets=nb,
+            max_distance_1d=32, rel2d_scaling=10, max_distance_2d=20,
+            positions=positions)
+        out = _attention_chunked_q(q, k, v, None, 4, jnp.float32,
+                                   bias_fn=fb.chunk_bias, bias_xs=fb.xs)
+        ref_bias = relbias.encoder_position_bias(
+            t1, th, tv, bbox, L, nb, 32, 10, 20, positions=positions)
+        ref_bias = jnp.where((mask > 0)[:, None, None, :], ref_bias, -1e9)
+        ref = _dense(q, k, v, ref_bias, jnp.float32)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-6)
+
     def test_packed_positions_supported(self):
         from markushgrapher_tpu.ops import relbias
 
@@ -158,7 +227,7 @@ class TestFusedBiasTraining:
 import pytest as _pytest
 
 
-@_pytest.mark.parametrize("bias_mode", ["materialized", "fused"])
+@_pytest.mark.parametrize("bias_mode", ["onehot", "materialized", "fused"])
 def test_train_step_fused_bias_full_wiring(bias_mode, monkeypatch):
     """One real train_step through a config whose VTL length (512 text +
     1024 patches = 1536) engages the long-sequence training path — the
