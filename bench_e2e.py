@@ -459,17 +459,30 @@ def main() -> None:
             cfg, host["bbox"], host["attention_mask"],
             include_molscribe=False)
         order = np.argsort(counts, kind="stable")
+        groups = [order[s:s + mg_batch]
+                  for s in range(0, len(order), mg_batch)]
+        # quantize each group's pack length UP to one of <= mg_buckets
+        # targets so compile count stays bounded (each distinct pair is a
+        # separate XLA program, ~8 min on the tunnel)
+        from markushgrapher_tpu.data.bucketing import bucket_pack_lengths
+
+        gmax = [int(counts[g].max()) for g in groups]
+        gbuckets = bucket_pack_lengths(gmax, mg_buckets, round_to=256,
+                                       margin=64, cap=vtl_total)
+        glen = {}
+        for ln, gidx in gbuckets:
+            for gi in gidx:
+                glen[int(gi)] = ln
         mg_outs = []
         lens_used = []
-        for s in range(0, len(order), mg_batch):
-            grp = order[s:s + mg_batch]
-            mx = int(counts[grp].max())
-            enc_len = -(-(mx + 64) // 256) * 256
+        for gi, grp in enumerate(groups):
+            enc_len = glen[gi]
             if enc_len >= vtl_total or not enc_pack:
                 enc_len = 0
             cross_len = None
             if cross_pack:
-                cross_len = -(-(mx + mols_tokens + 64) // 256) * 256
+                base = glen[gi] if glen[gi] < vtl_total else vtl_total
+                cross_len = -(-(base + mols_tokens) // 256) * 256
                 if cross_len >= vtl_total + mols_tokens:
                     cross_len = None
             lens_used.append((enc_len, cross_len))
