@@ -549,6 +549,13 @@ def main() -> None:
         pipeline()  # compile + warm both programs
 
     diag_fields = {}
+    if diag and mg_buckets >= 2:
+        # the bucketed warmup never resolves the default stage2 pack
+        # lengths — timing it here would compile and measure an unpacked
+        # program the benchmark never runs; per-bucket lens print instead
+        print("diag: skipped under BENCH_MG_BUCKETS (per-bucket lengths "
+              "are printed by the stream)", file=sys.stderr, flush=True)
+        diag = False
     if diag:
         # OCR stage standalone: fenced by the host readback in decode_ids
         t0 = time.perf_counter()

@@ -35,6 +35,50 @@ FIX_CXSMILES = True
 INPUT_ENCODING_TRAINING_DATASET = "mdu_3005"
 
 
+def build_input_tokenizer(registry, dargs, test_ds):
+    """GT/input-annotation tokenizer pinned to mdu_3005 encoding (reference
+    eval.py:39,58-77); shares the dataset tokenizer's base vocab."""
+    from markushgrapher_tpu.data.markush_tokenizer import MarkushTokenizer
+
+    ds_cfg = registry.configs[dargs.dataset_name]
+    return MarkushTokenizer(
+        tokenizer=test_ds.markush_tokenizer.tokenizer,
+        encode_position=ds_cfg.get("encode_position", False),
+        encode_index=ds_cfg.get("encode_index", False),
+        condense_labels=ds_cfg.get("condense_labels", True),
+        training_dataset_name=INPUT_ENCODING_TRAINING_DATASET,
+        vocab_dir=ds_cfg.get("vocab_dir"))
+
+
+def load_eval_params(model, margs, dargs, targs, test_ds, mesh):
+    """Init sharded params on `mesh` and restore the configured checkpoint
+    (margs.model_name_or_path, else the last under targs.output_dir) —
+    the one checkpoint-restore recipe shared by the sequential eval
+    (main) and the stage-parallel driver (staged_inference.py)."""
+    from markushgrapher_tpu.parallel import mesh as mesh_lib
+    from markushgrapher_tpu.train.checkpoint import Checkpointer
+
+    ckpt = margs.model_name_or_path or last_checkpoint(targs.output_dir)
+    sample = dict(test_ds[0])
+    sample.pop("id", None)
+    batch = DataCollator(
+        max_length=dargs.max_seq_length,
+        max_length_decoder=dargs.max_seq_length_decoder)([sample])
+    batch = {k: jnp.asarray(v) for k, v in batch.items()}
+    params = mesh_lib.init_sharded_params(
+        model, jax.random.PRNGKey(0), batch, mesh)
+    if ckpt and os.path.isdir(ckpt):
+        logger.info("loading checkpoint %s", ckpt)
+        ckptr = Checkpointer(os.path.dirname(ckpt) or ".")
+        abstract = jax.tree.map(
+            lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype,
+                                           sharding=x.sharding), params)
+        params = ckptr.restore_params(ckpt, abstract)
+    else:
+        logger.warning("no checkpoint found; evaluating random init")
+    return params
+
+
 def main(config_path: Optional[str] = None,
          params=None) -> Dict[str, float]:
     setup_logging()
@@ -61,40 +105,13 @@ def main(config_path: Optional[str] = None,
     # second one pinned to mdu_3005 encoding parses ground-truth annotations.
     # They share one base tokenizer; they differ only when the vocabularies
     # split (e.g. mdu_300's comma substituent separator).
-    from markushgrapher_tpu.data.markush_tokenizer import MarkushTokenizer
-
-    ds_cfg = registry.configs[dargs.dataset_name]
-    input_mt = MarkushTokenizer(
-        tokenizer=test_ds.markush_tokenizer.tokenizer,
-        encode_position=ds_cfg.get("encode_position", False),
-        encode_index=ds_cfg.get("encode_index", False),
-        condense_labels=ds_cfg.get("condense_labels", True),
-        training_dataset_name=INPUT_ENCODING_TRAINING_DATASET,
-        vocab_dir=ds_cfg.get("vocab_dir"))
+    input_mt = build_input_tokenizer(registry, dargs, test_ds)
 
     if params is None:
         from markushgrapher_tpu.parallel import mesh as mesh_lib
-        from markushgrapher_tpu.train.checkpoint import Checkpointer
 
-        ckpt = margs.model_name_or_path or last_checkpoint(targs.output_dir)
-        mesh = mesh_lib.create_mesh()
-        sample = test_ds[0]
-        sample.pop("id", None)
-        batch = DataCollator(
-            max_length=dargs.max_seq_length,
-            max_length_decoder=dargs.max_seq_length_decoder)([sample])
-        batch = {k: jnp.asarray(v) for k, v in batch.items()}
-        params = mesh_lib.init_sharded_params(
-            model, jax.random.PRNGKey(0), batch, mesh)
-        if ckpt and os.path.isdir(ckpt):
-            logger.info("loading checkpoint %s", ckpt)
-            ckptr = Checkpointer(os.path.dirname(ckpt) or ".")
-            abstract = jax.tree.map(
-                lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype,
-                                               sharding=x.sharding), params)
-            params = ckptr.restore_params(ckpt, abstract)
-        else:
-            logger.warning("no checkpoint found; evaluating random init")
+        params = load_eval_params(model, margs, dargs, targs, test_ds,
+                                  mesh_lib.create_mesh())
 
     eval_cfg = EvalConfig(
         max_length=dargs.max_seq_length_decoder,

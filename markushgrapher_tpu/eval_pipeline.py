@@ -244,12 +244,12 @@ class Evaluator:
 
         if cfg.length_buckets >= 2:
             # bucket-major order: every batch is homogeneous in pack length
-            # and flushes at bucket boundaries (batches never span buckets)
-            for rank, (pack_len, idxs) in enumerate(
-                    self._assign_buckets(dataset, n, collator)):
-                for k, idx in enumerate(idxs):
-                    push(int(idx), k if rank == 0 else cfg.save_visualizations,
-                         pack_len)
+            # and flushes at bucket boundaries (batches never span buckets).
+            # vis_rank stays the DATASET index so save_visualizations draws
+            # the same first-N samples as the unbucketed loop.
+            for pack_len, idxs in self._assign_buckets(dataset, n, collator):
+                for idx in idxs:
+                    push(int(idx), int(idx), pack_len)
                 flush(pack_len)
         else:
             for idx in range(n):
@@ -272,7 +272,14 @@ class Evaluator:
         """First pass: per-sample valid counts (bbox/attention_mask only,
         chunked device calls; items are variable-length pre-collation) ->
         static pack-length buckets. A bucket whose length reaches the
-        unpacked encoder length runs unpacked (None)."""
+        unpacked encoder length runs unpacked (None).
+
+        Cost note: this pass runs dataset.__getitem__ once more per sample
+        (host encode, incl. image resizes) purely for the count — the
+        second pass re-materializes items for the model inputs. Holding
+        items instead would pin all pixel arrays (~3 MB each) in memory;
+        the TPU decode dominates eval wall time, so the extra host pass is
+        the cheaper trade."""
         from markushgrapher_tpu.data.bucketing import bucket_pack_lengths
         from markushgrapher_tpu.models.markushgrapher import (
             encoder_valid_counts)

@@ -21,6 +21,8 @@ from __future__ import annotations
 
 from typing import Any, Dict, Optional, Tuple
 
+import functools
+
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
@@ -63,6 +65,15 @@ def encoder_valid_max(cfg: MarkushGrapherConfig, bbox: jnp.ndarray,
     return int(_vmax(bbox, attention_mask)) + mols
 
 
+@functools.partial(jax.jit, static_argnums=(2,))
+def _valid_counts_jit(bb, am, n_side):
+    dummy_t = jnp.zeros(am.shape + (1,), jnp.float32)
+    dummy_p = jnp.zeros((am.shape[0], n_side * n_side, 1), jnp.float32)
+    _, _, fm = combine_image_text_embeddings(
+        dummy_p, dummy_t, bb.astype(jnp.float32), am, n_side)
+    return jnp.sum(fm, axis=1).astype(jnp.int32)
+
+
 def encoder_valid_counts(cfg: MarkushGrapherConfig, bbox,
                          attention_mask,
                          include_molscribe: bool = True) -> np.ndarray:
@@ -71,23 +82,16 @@ def encoder_valid_counts(cfg: MarkushGrapherConfig, bbox,
     Same mask construction as encoder_valid_max but without the batch max —
     the input to length-bucketed batching (data.bucketing): samples grouped
     by valid count let dense and sparse pages each pack to their own static
-    length instead of every batch paying the densest page's."""
-    n = cfg.vtl.num_patches_side
-
-    @jax.jit
-    def _vcounts(bb, am):
-        dummy_t = jnp.zeros(am.shape + (1,), jnp.float32)
-        dummy_p = jnp.zeros((am.shape[0], n * n, 1), jnp.float32)
-        _, _, fm = combine_image_text_embeddings(
-            dummy_p, dummy_t, bb.astype(jnp.float32), am, n)
-        return jnp.sum(fm, axis=1).astype(jnp.int32)
-
+    length instead of every batch paying the densest page's. The jitted
+    program is module-level so loop callers (Evaluator._assign_buckets,
+    bench_e2e.stream_bucketed) don't retrace per call."""
     mols = 0
     if include_molscribe and cfg.architecture_variant != "none":
         mols = (cfg.swin.image_size // cfg.swin.patch_size
                 // 2 ** (len(cfg.swin.depths) - 1)) ** 2
-    return np.asarray(_vcounts(jnp.asarray(bbox),
-                               jnp.asarray(attention_mask))) + mols
+    return np.asarray(_valid_counts_jit(jnp.asarray(bbox),
+                                        jnp.asarray(attention_mask),
+                                        cfg.vtl.num_patches_side)) + mols
 
 
 class CellEmbeddings(nn.Module):

@@ -31,7 +31,7 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
-def main(config_path: str, ds_dir: str, n_ocr: int = 1,
+def main(config_path: str, n_ocr: int = 1,
          ocr_params_path: Optional[str] = None,
          ocr_overrides: Optional[Dict] = None) -> Dict[str, float]:
     import jax
@@ -42,12 +42,12 @@ def main(config_path: str, ds_dir: str, n_ocr: int = 1,
     from markushgrapher_tpu.data.collator import DataCollator
     from markushgrapher_tpu.data.dataset import DatasetRegistry, resize_image
     from markushgrapher_tpu.data.encode import SampleEncoder
-    from markushgrapher_tpu.data.markush_tokenizer import MarkushTokenizer
     from markushgrapher_tpu.data.vocab import MGTokenizer
-    from markushgrapher_tpu.eval_main import (
-        INPUT_ENCODING_TRAINING_DATASET, FIX_CXSMILES, REMOVE_STEREO)
-    from markushgrapher_tpu.eval_pipeline import (EvalConfig, EvalResult,
-                                                  Evaluator, aggregate_scores)
+    from markushgrapher_tpu.eval_main import (FIX_CXSMILES, REMOVE_STEREO,
+                                              build_input_tokenizer,
+                                              load_eval_params)
+    from markushgrapher_tpu.eval_pipeline import (EvalConfig, Evaluator,
+                                                  aggregate_scores)
     from markushgrapher_tpu.models.markushgrapher import MarkushGrapherModel
     from markushgrapher_tpu.ocr.engine import (DEFAULT_PROMPT,
                                                build_ocr_configs,
@@ -55,7 +55,6 @@ def main(config_path: str, ds_dir: str, n_ocr: int = 1,
     from markushgrapher_tpu.ocr.vlm import ChemicalOCRModel
     from markushgrapher_tpu.parallel import mesh as mesh_lib
     from markushgrapher_tpu.parallel.serve import StagedServe
-    from markushgrapher_tpu.train.checkpoint import last_checkpoint
 
     devices = jax.devices()
     if len(devices) < 2:
@@ -85,35 +84,13 @@ def main(config_path: str, ds_dir: str, n_ocr: int = 1,
         image_size=dargs.image_size,
         max_seq_length=dargs.max_seq_length,
         max_seq_length_decoder=dargs.max_seq_length_decoder)
-    ds_cfg = registry.configs[dargs.dataset_name]
-    input_mt = MarkushTokenizer(
-        tokenizer=test_ds.markush_tokenizer.tokenizer,
-        encode_position=ds_cfg.get("encode_position", False),
-        encode_index=ds_cfg.get("encode_index", False),
-        condense_labels=ds_cfg.get("condense_labels", True),
-        training_dataset_name=INPUT_ENCODING_TRAINING_DATASET,
-        vocab_dir=ds_cfg.get("vocab_dir"))
+    input_mt = build_input_tokenizer(registry, dargs, test_ds)
 
-    sample0 = dict(test_ds[0])
-    sample0.pop("id", None)
     collator = DataCollator(max_length=dargs.max_seq_length,
                             max_length_decoder=dargs.max_seq_length_decoder)
-    init_batch = {k: jnp.asarray(v) for k, v in collator([sample0]).items()}
     mesh1 = mesh_lib.create_mesh(data=1, model=1, devices=devices[:1])
-    mg_params = mesh_lib.init_sharded_params(
-        mg_model, jax.random.PRNGKey(0), init_batch, mesh1)
-    ckpt = margs.model_name_or_path or last_checkpoint(targs.output_dir)
-    if ckpt and os.path.isdir(ckpt):
-        from markushgrapher_tpu.train.checkpoint import Checkpointer
-
-        logger.info("loading checkpoint %s", ckpt)
-        ckptr = Checkpointer(os.path.dirname(ckpt) or ".")
-        abstract = jax.tree.map(
-            lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype,
-                                           sharding=x.sharding), mg_params)
-        mg_params = ckptr.restore_params(ckpt, abstract)
-    else:
-        logger.warning("no checkpoint found; serving random init")
+    mg_params = load_eval_params(mg_model, margs, dargs, targs, test_ds,
+                                 mesh1)
     mg_host = jax.tree.map(np.asarray, mesh_lib.unbox(mg_params))
     mg_host = jax.tree.map(
         lambda x: x.astype(np.float32).astype(jnp.bfloat16)

@@ -122,8 +122,7 @@ def main() -> None:
     if args.staged:
         from markushgrapher_tpu import staged_inference
 
-        scores = staged_inference.main(predict_yaml, ds_dir,
-                                       n_ocr=args.staged,
+        scores = staged_inference.main(predict_yaml, n_ocr=args.staged,
                                        ocr_params_path=args.ocr_params,
                                        ocr_overrides=ocr_overrides)
     else:
