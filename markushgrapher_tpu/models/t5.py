@@ -123,6 +123,17 @@ def _train_chunk_q(qlen: int) -> Optional[int]:
     return None
 
 
+def _train_flash_ok(q, k, bias) -> bool:
+    """Opt-in trainable flash path (MARKUSH_TRAIN_ATTN=flash): the stock
+    pallas kernel needs 128-divisible sequence lengths and a broadcastable
+    [*, H, Q, K] bias tensor."""
+    import os
+
+    return (os.environ.get("MARKUSH_TRAIN_ATTN", "chunked") == "flash"
+            and q.shape[1] % 128 == 0 and k.shape[1] % 128 == 0
+            and hasattr(bias, "shape") and bias.ndim == 4)
+
+
 def _attention_chunked_q(q, k, v, bias, chunk: int, out_dtype,
                          bias_fn=None, bias_xs=()):
     """Memory-efficient training attention: lax.scan over query blocks with a
@@ -154,7 +165,13 @@ def _attention_chunked_q(q, k, v, bias, chunk: int, out_dtype,
         return carry, jnp.einsum("bhqk,bkhd->bqhd", p, v)
 
     xs = (jnp.arange(nchunk, dtype=jnp.int32),) + tuple(bias_xs)
-    _, outs = jax.lax.scan(jax.checkpoint(body), None, xs)
+    # MARKUSH_TRAIN_SCAN_UNROLL>1 lets XLA overlap chunk iterations
+    # (compile-time cost; sweepable on TPU)
+    import os
+
+    unroll = int(os.environ.get("MARKUSH_TRAIN_SCAN_UNROLL", "1"))
+    _, outs = jax.lax.scan(jax.checkpoint(body), None, xs,
+                           unroll=max(1, unroll))
     # [nchunk, B, chunk, H, D] -> [B, Q, H, D]
     return jnp.moveaxis(outs, 0, 1).reshape(q.shape)
 
@@ -255,6 +272,26 @@ class Attention(nn.Module):
                 flash_attention_bias)
 
             out = flash_attention_bias(q, k, v, bias)
+        elif (chunk_q is not None and not bias_fused
+              and not bias_quantized and bias is not None
+              and _train_flash_ok(q, k, bias)):
+            # TRAINABLE flash attention (stock pallas TPU kernel, fwd + bwd
+            # incl. the additive-bias gradient dab): the chunked-q scan
+            # serializes 6 small-dot chunks per layer (~2.6 TFLOP/s inside
+            # the scans, round-4 trace); the flash kernels tile the whole
+            # [Q,K] plane. Needs a materialized bias tensor
+            # (MARKUSH_TRAIN_BIAS=materialized + MARKUSH_TRAIN_ATTN=flash).
+            from jax.experimental.pallas.ops.tpu.flash_attention import (
+                flash_attention as tpu_flash_attention)
+
+            ab = jnp.broadcast_to(
+                bias, (q.shape[0],) + bias.shape[1:]).astype(jnp.float32)
+            out = tpu_flash_attention(
+                jnp.transpose(q, (0, 2, 1, 3)),
+                jnp.transpose(k, (0, 2, 1, 3)),
+                jnp.transpose(v, (0, 2, 1, 3)),
+                ab=ab, sm_scale=1.0)       # T5: no 1/sqrt(d)
+            out = jnp.transpose(out, (0, 2, 1, 3)).astype(self.dtype)
         elif (chunk_q is not None and bias_fused
               and q.shape[1] % chunk_q == 0):
             out = _attention_chunked_q(q, k, v, None, chunk_q, self.dtype,
