@@ -373,14 +373,19 @@ def main() -> None:
     # read so the chip never idles (production serving shape).
     pipelined = os.environ.get("BENCH_PIPELINED", "1") == "1"
     depth = int(os.environ.get("BENCH_PIPELINE_DEPTH", "4"))
-    # BENCH_MG_BUCKETS>=2: length-bucketed MG batching (round-3 weak #2 —
-    # one dense page forces every batch to the full pack length). The
-    # stream sorts all samples by VTL valid count and chunks consecutive
-    # mg_batch groups; each group's pack lengths round up from ITS densest
-    # page, so sparse groups run shorter programs (one compile per distinct
-    # length pair). Pixels ride a device-side uint8 pool + per-group gather
-    # since groups cross OCR batch boundaries. Requires BENCH_DEVICE_PIXELS.
-    mg_buckets = int(os.environ.get("BENCH_MG_BUCKETS", "0"))
+    # BENCH_MG_BUCKETS>=2 (DEFAULT 2 in the pipelined stream): length-
+    # bucketed MG batching (round-3 weak #2 — one dense page forces every
+    # batch to the full pack length). The stream sorts all samples by VTL
+    # valid count and chunks consecutive mg_batch groups; each group's pack
+    # lengths round up from ITS densest page, so sparse groups run shorter
+    # programs (one compile per distinct length pair). Pixels ride a
+    # device-side uint8 pool + per-group gather since groups cross OCR
+    # batch boundaries. Requires BENCH_DEVICE_PIXELS. Measured (chain r4c):
+    # 7.28 default -> 7.49 bucketed at b48 (3 of 4 groups pack 1280/1536,
+    # the densest group unpacked).
+    mg_buckets = int(os.environ.get("BENCH_MG_BUCKETS",
+                                    "2" if pipelined and device_pixels
+                                    else "0"))
     if mg_buckets and not device_pixels:
         raise ValueError("BENCH_MG_BUCKETS needs BENCH_DEVICE_PIXELS=1")
 
