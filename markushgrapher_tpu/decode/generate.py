@@ -304,9 +304,16 @@ def beam_generate(
         (step, tok, caches, rowmap, run_scores, run_seqs,
          fin_scores, fin_seqs, fin_flags, heur_unsat, _) = state
 
+        # n_seg == 1 (seg == max_length, the measured serving default): the
+        # per-step COW gather physically reorders the whole live ring, so
+        # the consumed rowmap is ALWAYS the identity — pass None and let
+        # the self kernel run the greedy (non-scalar-prefetch) specs.
+        # Greedy self costs 0.054 ms/layer at 48 rows vs 0.30 ms/layer for
+        # the rowmap kernel at 80 rows (round-4 traces) — the indirection
+        # is the difference, not the traffic.
         logits, caches = model.apply(
             params, tok, caches, step, bias_full, cross_bias, qw,
-            rowmap if seg else None,
+            rowmap if seg and n_seg > 1 else None,
             method=type(model).decode_step)
         logp = jax.nn.log_softmax(logits[:, -1].astype(jnp.float32), axis=-1)
         vocab = logp.shape[-1]

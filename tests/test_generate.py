@@ -18,7 +18,7 @@ from markushgrapher_tpu.models.markushgrapher import MarkushGrapherModel
 from markushgrapher_tpu.ops.relbias import mask_bias
 
 
-def tiny_cfg():
+def tiny_cfg(max_dec: int = 8):
     return MarkushGrapherConfig(
         vtl=VTLConfig(vocab_size=32, d_model=16, d_kv=4, d_ff=32, num_layers=1,
                       num_decoder_layers=2, num_heads=2, image_size=32,
@@ -27,7 +27,7 @@ def tiny_cfg():
                         depths=(1,), num_heads=(2,), window_size=4),
         architecture_variant="none",
         max_seq_length=4,
-        max_seq_length_decoder=8,
+        max_seq_length_decoder=max_dec,
     )
 
 

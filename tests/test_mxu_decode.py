@@ -385,3 +385,53 @@ class TestMosaicLegality:
             ("ks", (1, 16, 128), (48, 16, 1792)),    # 128-lane blocks
             ("bias", (1, 16, 128), (48, 16, 1792)),
         ])
+
+
+class TestBeamSingleSegment:
+    def test_nseg1_matches_plain_gather_beam(self):
+        """At seg == max_length (n_seg == 1, the measured serving default)
+        the per-step COW gather physically reorders the whole ring, so the
+        kernel now runs WITHOUT the scalar-prefetch row map (greedy specs).
+        Must match the share-nothing reference beam (full cache gather,
+        share_cross=False path) token-for-token."""
+        import os
+        import sys
+
+        sys.path.insert(0, os.path.dirname(__file__))
+        from test_generate import tiny_cfg
+
+        from markushgrapher_tpu.decode.generate import beam_generate
+        from markushgrapher_tpu.models.markushgrapher import (
+            MarkushGrapherModel)
+
+        cfg = tiny_cfg(max_dec=128)
+        rng = np.random.RandomState(11)
+        batch = dict(
+            input_ids=jnp.asarray(rng.randint(3, 30, size=(2, 4))),
+            bbox=jnp.asarray(rng.rand(2, 4, 4).astype(np.float32)),
+            attention_mask=jnp.ones((2, 4), jnp.int32),
+            labels=jnp.asarray(rng.randint(3, 30, size=(2, 128))),
+            pixel_values=jnp.asarray(
+                rng.rand(2, 32, 32, 3).astype(np.float32)),
+        )
+        # kernel model: shared slabs + single-segment COW rings (rowmap
+        # dropped); reference model: XLA decode path, full per-step gather
+        model = MarkushGrapherModel(cfg, dtype=jnp.float32)
+        params = model.init(jax.random.PRNGKey(0), **batch)
+        enc, enc_mask = model.apply(
+            params, batch["input_ids"], batch["bbox"],
+            batch["attention_mask"], batch["pixel_values"], None,
+            method=MarkushGrapherModel.encode)
+        ids_k, sc_k = beam_generate(model, params, enc, enc_mask, 128,
+                                    num_beams=3, eos_id=-1,
+                                    quant_cross_kv=True)
+        xla_model = MarkushGrapherModel(cfg, dtype=jnp.float32,
+                                        mxu_decode=False)
+        ids_r, sc_r = beam_generate(xla_model, params, enc, enc_mask, 128,
+                                    num_beams=3, eos_id=-1,
+                                    quant_cross_kv=True)
+        np.testing.assert_array_equal(np.asarray(ids_k), np.asarray(ids_r))
+        # kernel bf16 dots vs the XLA f32 path drift ~1e-3 in the summed
+        # log-probs over 128 steps; token choices are the real gate
+        np.testing.assert_allclose(np.asarray(sc_k), np.asarray(sc_r),
+                                   atol=3e-3)
