@@ -62,22 +62,40 @@ fn = sorted(glob.glob(TRACE + "/plugins/profile/*/*.trace.json.gz"))[-1]
 with gzip.open(fn) as f:
     tr = json.load(f)
 evs = [e for e in tr["traceEvents"]
-       if e.get("ph") == "X" and e.get("pid") == 3]
+       if e.get("ph") == "X" and e.get("pid") == 3
+       and not e["name"].startswith("jit_")]
+# Chrome events NEST (a while region contains its body's fusions on the
+# same tid) — summing everything double-counts. Compute each event's
+# SELF time: duration minus directly-contained children.
+by_tid = collections.defaultdict(list)
+for e in evs:
+    by_tid[e.get("tid", 0)].append(e)
+self_dur = {}
+for tid, lst in by_tid.items():
+    lst.sort(key=lambda e: (e["ts"], -e.get("dur", 0)))
+    stack = []
+    for e in lst:
+        ts, dur = e["ts"], e.get("dur", 0)
+        while stack and ts >= stack[-1][0] + stack[-1][1]:
+            stack.pop()
+        key = id(e)
+        self_dur[key] = dur
+        if stack:
+            self_dur[stack[-1][2]] -= dur
+        stack.append((ts, dur, key))
 agg = collections.Counter()
 cnt = collections.Counter()
 meta = {}
 for e in evs:
     n = e["name"]
-    if n.startswith(("jit_",)):
-        continue
-    agg[n] += e.get("dur", 0)
+    agg[n] += max(0, self_dur.get(id(e), e.get("dur", 0)))
     cnt[n] += 1
     ln = (e.get("args") or {}).get("long_name", "")
     if ln and n not in meta:
         meta[n] = ln[:200]
 total = sum(agg.values())
-print(f"leaf total: {total/1e3:.1f} ms")
-print("--- top ops (ms):")
+print(f"self-time total: {total/1e3:.1f} ms")
+print("--- top ops (self ms):")
 for i, (n, dur) in enumerate(agg.most_common(30)):
     print(f"{dur/1e3:9.2f} x{cnt[n]:6d} {n[:48]:48s} "
           f"{meta.get(n, '')[:110]}")
@@ -85,6 +103,6 @@ for i, (n, dur) in enumerate(agg.most_common(30)):
 fam = collections.Counter()
 for n, d in agg.items():
     fam[n.split(".")[0].split("_")[0]] += d
-print("--- by family (ms):")
+print("--- by family (self ms):")
 for n, d in fam.most_common(15):
     print(f"{d/1e3:9.2f} {n}")
