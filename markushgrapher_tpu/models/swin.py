@@ -191,11 +191,18 @@ class SwinEncoder(nn.Module):
 
         resolution = h // p
         dim = cfg.embed_dim
+        # Training rematerializes each block: without it every block's f32
+        # window-attention scores are saved for backward (24 x 108 MB padded
+        # at b12 stage2 alone, round-4 AOT probe) — recomputing the ~90 ms
+        # Swin forward is far cheaper than holding ~2.6 GB of residuals.
+        # Inference keeps the plain blocks (no backward, full fusion).
+        block_cls = (SwinBlock if deterministic
+                     else nn.remat(SwinBlock, static_argnums=(2,)))
         for stage, (depth, heads) in enumerate(zip(cfg.depths, cfg.num_heads)):
             window = min(cfg.window_size, resolution)
             for blk in range(depth):
                 shift = 0 if (blk % 2 == 0 or window == resolution) else window // 2
-                x = SwinBlock(dim, heads, resolution, window, shift,
+                x = block_cls(dim, heads, resolution, window, shift,
                               cfg.mlp_ratio, cfg.layer_norm_eps, self.dtype,
                               name=f"stage{stage}_block{blk}")(x, deterministic)
             if stage < len(cfg.depths) - 1:

@@ -123,6 +123,22 @@ def _train_chunk_q(qlen: int) -> Optional[int]:
     return None
 
 
+def _train_chunk_q_dec(qlen: int) -> Optional[int]:
+    """Decoder-side training chunk gate. The decoder's CROSS attention over a
+    packed encoder materializes f32 [B,H,Q,K_enc] score temps in the remat'd
+    backward (630 MB + 315 MB grad per layer at b12/512x1680 — the buffers
+    that capped real-TPU training at batch 8, round-4 AOT probe); chunking Q
+    bounds them at [B,H,chunk,K]. Tiny test configs (qlen < 512) keep the
+    dense path so parity tests exercise it."""
+    import os
+
+    blk = int(os.environ.get("MARKUSH_TRAIN_CHUNK_Q_DEC",
+                             os.environ.get("MARKUSH_TRAIN_CHUNK_Q", "256")))
+    if blk > 0 and qlen >= 512 and qlen % blk == 0:  # 0 disables (A/B knob)
+        return blk
+    return None
+
+
 def _train_flash_ok(q, k, bias) -> bool:
     """Opt-in trainable flash path (MARKUSH_TRAIN_ATTN=flash): the stock
     pallas kernel needs 128-divisible sequence lengths and a broadcastable
@@ -159,7 +175,13 @@ def _attention_chunked_q(q, k, v, bias, chunk: int, out_dtype,
         if bias_fn is not None:
             s = s + bias_fn(*xs[1:])
         elif bias is not None:
-            bb = jax.lax.dynamic_slice_in_dim(bias, i * chunk, chunk, axis=2)
+            if bias.shape[2] == 1:
+                # Q-broadcast bias (e.g. the decoder cross key mask
+                # [B,1,1,K]) — every chunk sees the same row
+                bb = bias
+            else:
+                bb = jax.lax.dynamic_slice_in_dim(bias, i * chunk, chunk,
+                                                  axis=2)
             s = s + bb.astype(jnp.float32)
         p = jax.nn.softmax(s, axis=-1).astype(out_dtype)
         return carry, jnp.einsum("bhqk,bkhd->bqhd", p, v)
@@ -439,11 +461,13 @@ class DecoderLayer(nn.Module):
 
     def __call__(self, x, enc, self_bias, cross_bias, deterministic: bool = True):
         """Teacher-forced full-sequence pass."""
+        chunk = None if deterministic else _train_chunk_q_dec(x.shape[1])
         h = self.ln_self(x)
-        h = self.self_attn(h, bias=self_bias)
+        h = self.self_attn(h, bias=self_bias, chunk_q=chunk)
         x = x + self.drop(h, deterministic=deterministic)
         h = self.ln_cross(x)
-        h = self.cross_attn(h, kv=self.cross_attn.compute_kv(enc), bias=cross_bias)
+        h = self.cross_attn(h, kv=self.cross_attn.compute_kv(enc),
+                            bias=cross_bias, chunk_q=chunk)
         x = x + self.drop(h, deterministic=deterministic)
         h = self.ln_ff(x)
         x = x + self.drop(self.ff(h, deterministic), deterministic=deterministic)

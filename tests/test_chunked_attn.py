@@ -266,3 +266,72 @@ def test_train_step_fused_bias_full_wiring(bias_mode, monkeypatch):
     state = trainer.init_state(_jax.random.PRNGKey(0), batch)
     state, metrics = trainer.train_step(state, batch, _jax.random.PRNGKey(1))
     assert np.isfinite(float(metrics["loss"]))
+
+
+class TestDecoderChunkedTraining:
+    """Round-4: the decoder's training attentions chunk too (t5.py
+    _train_chunk_q_dec) — the cross-attention over a packed encoder was the
+    largest single training buffer (f32 [B,H,512,1680] = 630 MB + 315 MB
+    grad per layer at b12, AOT probe). Chunked must equal dense in values
+    AND grads, including the Q-broadcast [B,1,1,K] cross key-mask bias."""
+
+    def test_q_broadcast_bias_matches_dense(self):
+        rng = np.random.default_rng(3)
+        B, Q, K, H, D = 2, 8, 12, 3, 4
+        q = jnp.asarray(rng.normal(size=(B, Q, H, D)), jnp.float32)
+        k = jnp.asarray(rng.normal(size=(B, K, H, D)), jnp.float32)
+        v = jnp.asarray(rng.normal(size=(B, K, H, D)), jnp.float32)
+        # cross key-mask bias: [B, 1, 1, K], broadcast over heads and Q
+        bias = jnp.where(jnp.asarray(rng.random(size=(B, 1, 1, K)) > 0.3),
+                         0.0, -1e9).astype(jnp.float32)
+
+        def loss_dense(q, k, v):
+            return jnp.sum(jnp.sin(_dense(q, k, v, bias, jnp.float32)))
+
+        def loss_chunk(q, k, v):
+            return jnp.sum(jnp.sin(
+                _attention_chunked_q(q, k, v, bias, 4, jnp.float32)))
+
+        ld, gd = jax.value_and_grad(loss_dense, argnums=(0, 1, 2))(q, k, v)
+        lc, gc = jax.value_and_grad(loss_chunk, argnums=(0, 1, 2))(q, k, v)
+        np.testing.assert_allclose(ld, lc, rtol=1e-6)
+        for a, b in zip(gd, gc):
+            np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)
+
+    def test_dec_chunk_policy(self):
+        from markushgrapher_tpu.models.t5 import _train_chunk_q_dec
+
+        assert _train_chunk_q_dec(512) == 256   # flagship decoder length
+        assert _train_chunk_q_dec(1024) == 256
+        assert _train_chunk_q_dec(8) is None    # tiny test configs stay dense
+
+    def test_decoder_layer_train_chunk_matches_dense(self, monkeypatch):
+        from markushgrapher_tpu.models.t5 import DecoderLayer
+
+        B, Q, K, H, D = 1, 512, 24, 2, 4
+        layer = DecoderLayer(d_model=8, num_heads=H, d_kv=D, d_ff=16,
+                             dtype=jnp.float32)
+        rng = np.random.default_rng(11)
+        x = jnp.asarray(rng.normal(size=(B, Q, 8)), jnp.float32)
+        enc = jnp.asarray(rng.normal(size=(B, K, 8)), jnp.float32)
+        self_bias = jnp.asarray(rng.normal(size=(1, H, Q, Q)), jnp.float32)
+        cross_bias = jnp.where(
+            jnp.asarray(rng.random(size=(B, 1, 1, K)) > 0.3), 0.0,
+            -1e9).astype(jnp.float32)
+        params = layer.init(jax.random.PRNGKey(0), x, enc, self_bias,
+                            cross_bias, False)
+
+        def loss(p, x):
+            out = layer.apply(p, x, enc, self_bias, cross_bias, False,
+                              rngs={"dropout": jax.random.PRNGKey(1)})
+            return jnp.mean(jnp.square(out))
+
+        monkeypatch.setenv("MARKUSH_TRAIN_CHUNK_Q_DEC", "256")  # 2 chunks
+        lc, gc = jax.value_and_grad(loss, argnums=(0, 1))(params, x)
+        monkeypatch.setenv("MARKUSH_TRAIN_CHUNK_Q_DEC", "511")  # -> dense
+        ld, gd = jax.value_and_grad(loss, argnums=(0, 1))(params, x)
+        np.testing.assert_allclose(float(ld), float(lc), rtol=1e-6)
+        for a, b in zip(jax.tree_util.tree_leaves(gd),
+                        jax.tree_util.tree_leaves(gc)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-4, atol=1e-6)
