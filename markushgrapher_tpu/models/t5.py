@@ -23,6 +23,37 @@ import jax.numpy as jnp
 
 param_with_axes = nn.with_logical_partitioning
 
+# Trace-time tensor-parallel reduce axis (shard_map TP serving). GSPMD
+# partitions the XLA decode path on its own, but the pallas decode kernels
+# are opaque to it — parallel/serve.tp_serve instead runs this stack under
+# shard_map with heads/d_ff param slices per device and activates cross-
+# shard reduction here: every row-parallel projection (attention o, ff wo)
+# produces a partial sum that must be psum'd over the TP axis before the
+# residual add. The flag is read at TRACE time; tp_serve traces its program
+# inside the tp_psum_axis("model") context and nothing else is affected.
+_TP_AXIS: list = [None]
+
+
+class tp_psum_axis:
+    """Context manager: trace row-parallel projections with a psum over
+    `axis` (a mesh axis name visible to the enclosing shard_map)."""
+
+    def __init__(self, axis: Optional[str]):
+        self.axis = axis
+
+    def __enter__(self):
+        self.prev = _TP_AXIS[0]
+        _TP_AXIS[0] = self.axis
+        return self
+
+    def __exit__(self, *exc):
+        _TP_AXIS[0] = self.prev
+        return False
+
+
+def _tp_psum(x: jnp.ndarray) -> jnp.ndarray:
+    return jax.lax.psum(x, _TP_AXIS[0]) if _TP_AXIS[0] else x
+
 
 def _quantize_kv(t: jnp.ndarray):
     """Per-(token, head) symmetric int8 quantization of a [B, K, H, D] cache
@@ -124,17 +155,20 @@ def _train_chunk_q(qlen: int) -> Optional[int]:
 
 
 def _train_chunk_q_dec(qlen: int) -> Optional[int]:
-    """Decoder-side training chunk gate. The decoder's CROSS attention over a
-    packed encoder materializes f32 [B,H,Q,K_enc] score temps in the remat'd
-    backward (630 MB + 315 MB grad per layer at b12/512x1680 — the buffers
-    that capped real-TPU training at batch 8, round-4 AOT probe); chunking Q
-    bounds them at [B,H,chunk,K]. Tiny test configs (qlen < 512) keep the
-    dense path so parity tests exercise it."""
+    """Decoder-side training chunk gate — OPT-IN (MARKUSH_TRAIN_CHUNK_Q_DEC,
+    default off). The decoder's CROSS attention over a packed encoder
+    materializes f32 [B,H,Q,K_enc] score temps in the remat'd backward
+    (630 MB + 315 MB grad per layer at b12/512x1680); chunking Q bounds
+    them at [B,H,chunk,K]. Measured on the real TPU (chain r4e T9/T10,
+    2026-08-19): enabling it at b8 costs 30% (2.446 -> 1.712 ex/s — the
+    chunk scans serialize the decoder's remat'd backward) and the b12 it
+    was meant to unlock still OOMs the runtime compile at 17.3/15.75 GiB,
+    so the default stays dense. Tiny test configs (qlen < 512) always keep
+    the dense path so parity tests exercise it."""
     import os
 
-    blk = int(os.environ.get("MARKUSH_TRAIN_CHUNK_Q_DEC",
-                             os.environ.get("MARKUSH_TRAIN_CHUNK_Q", "256")))
-    if blk > 0 and qlen >= 512 and qlen % blk == 0:  # 0 disables (A/B knob)
+    blk = int(os.environ.get("MARKUSH_TRAIN_CHUNK_Q_DEC", "0"))
+    if blk > 0 and qlen >= 512 and qlen % blk == 0:  # 0 disables
         return blk
     return None
 
@@ -336,7 +370,7 @@ class Attention(nn.Module):
                 scores = scores + bias.astype(jnp.float32)
             probs = jax.nn.softmax(scores, axis=-1).astype(self.dtype)
             out = jnp.einsum("bhqk,bkhd->bqhd", probs, v)
-        return self.o(out)
+        return _tp_psum(self.o(out))
 
 
 class FeedForward(nn.Module):
@@ -364,7 +398,7 @@ class FeedForward(nn.Module):
         else:
             h = jax.nn.relu(dense("wi", self.d_ff, ("embed", "mlp"))(x))
         h = nn.Dropout(self.dropout_rate)(h, deterministic=deterministic)
-        return dense("wo", self.d_model, ("mlp", "embed"))(h)
+        return _tp_psum(dense("wo", self.d_model, ("mlp", "embed"))(h))
 
 
 class EncoderLayer(nn.Module):
@@ -631,13 +665,14 @@ class DecoderLayer(nn.Module):
     def _proj_o(self, out, qw, key, attn):
         """Output projection, optionally against int8 weights."""
         if qw is None:
-            return attn.o(out)
+            return _tp_psum(attn.o(out))
         if "act_s8" in qw:
             y = _dot8(out, qw[key + "_q"], (((2, 3), (0, 1)), ((), ())),
                       act_axes=(-2, -1))
-            return (y * qw[key + "_s"]).astype(self.dtype)
+            return _tp_psum((y * qw[key + "_s"]).astype(self.dtype))
         y = jnp.einsum("bqhd,hdD->bqD", out, _deq(qw[key + "_q"], self.dtype))
-        return (y.astype(jnp.float32) * qw[key + "_s"]).astype(self.dtype)
+        return _tp_psum(
+            (y.astype(jnp.float32) * qw[key + "_s"]).astype(self.dtype))
 
     def _ff_decode(self, h, qw):
         """Decode-step feed-forward, optionally against int8 weights."""
@@ -658,7 +693,7 @@ class DecoderLayer(nn.Module):
                 mid = jax.nn.relu((dg(qw["wi_q"])
                                    * qw["wi_s"]).astype(self.dtype))
             y = _dot8(mid, qw["wo_q"], (((2,), (0,)), ((), ())))
-            return (y * qw["wo_s"]).astype(self.dtype)
+            return _tp_psum((y * qw["wo_s"]).astype(self.dtype))
         if self.ff_proj == "gated-gelu":
             a = jnp.einsum("bqd,df->bqf", h, _deq(qw["wi_0_q"], self.dtype))
             a = jax.nn.gelu((a.astype(jnp.float32)
@@ -671,7 +706,8 @@ class DecoderLayer(nn.Module):
             mid = jax.nn.relu((mid.astype(jnp.float32)
                                * qw["wi_s"]).astype(self.dtype))
         y = jnp.einsum("bqf,fd->bqd", mid, _deq(qw["wo_q"], self.dtype))
-        return (y.astype(jnp.float32) * qw["wo_s"]).astype(self.dtype)
+        return _tp_psum(
+            (y.astype(jnp.float32) * qw["wo_s"]).astype(self.dtype))
 
     def _self_attend_quant(self, h, cache, step, self_bias_row, qw=None,
                            row_map=None):

@@ -141,6 +141,106 @@ def gspmd_serve(
         return run(params, batch)
 
 
+# Subtrees of MarkushGrapherModel params that tensor-parallel serving
+# slices over `model` (the T5/UDOP stack whose num_heads/d_ff shrink in the
+# local config). Everything else — Swin (own per-stage head counts), the
+# MLP projector (own hidden size), embeddings, patch/cell embeds — is
+# replicated and computed redundantly per shard.
+_TP_SHARDED_SUBTREES = frozenset(
+    {"encoder", "decoder", "enc_bias_1d", "enc_bias_h", "enc_bias_v",
+     "dec_bias_1d"})
+
+
+def tp_param_specs(boxed_params) -> Any:
+    """PartitionSpecs for shard_map `in_specs` from a BOXED param tree: in
+    the VTL-stack subtrees (_TP_SHARDED_SUBTREES), each `nn.Partitioned`
+    leaf's flax logical axis names map through mesh.LOGICAL_AXIS_RULES
+    ('heads'/'mlp' -> 'model'); every other leaf is replicated."""
+    import flax.linen as nn
+    from jax.tree_util import DictKey, tree_map_with_path
+
+    from markushgrapher_tpu.parallel import mesh as mesh_lib
+
+    rules = dict(mesh_lib.LOGICAL_AXIS_RULES)
+
+    def spec(path, leaf):
+        sharded = any(isinstance(k, DictKey) and k.key in _TP_SHARDED_SUBTREES
+                      for k in path)
+        if sharded and isinstance(leaf, nn.Partitioned):
+            return P(*(rules.get(n) if n else None for n in leaf.names))
+        return P()
+
+    return tree_map_with_path(spec, boxed_params,
+                              is_leaf=lambda x: isinstance(x, nn.Partitioned))
+
+
+def tp_serve(
+    model: Any,
+    boxed_params: Any,
+    batch: Dict[str, jnp.ndarray],
+    mesh: Mesh,
+    max_length: int,
+    num_beams: int = 1,
+    eos_id: int = 1,
+    quant_cross_kv: bool = True,
+    quant_weights: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Tensor-parallel sharded serving THROUGH the pallas kernel path.
+
+    GSPMD cannot partition pallas custom calls (`gspmd_serve` must fall back
+    to the XLA decode path), so this shards the model MANUALLY with
+    shard_map: attention heads and d_ff split over the mesh's `model` axis
+    (the same logical-axis rules the training shardings use), each device
+    runs the full single-chip serving program — including ops/mxu_decode —
+    on its head slice, and the row-parallel projections (attention o, ff wo)
+    psum their partial sums over `model` (models/t5.tp_psum_axis). The batch
+    shards over `data`, composing TP x DP on one mesh.
+
+    Requires BOXED params (`parallel.mesh.init_sharded_params` /
+    `train.checkpoint` loads) — the Partitioned metadata IS the spec source.
+    num_heads and d_ff must divide by the model-axis size. Head slices keep
+    the kernels Mosaic-legal down to tp=8 at the flagship config (H*Dk
+    512/256/128 lanes for tp 2/4/8).
+    """
+    import dataclasses
+
+    import flax.linen as nn  # noqa: F401  (Partitioned isinstance in specs)
+
+    from markushgrapher_tpu.models.t5 import tp_psum_axis
+    from markushgrapher_tpu.parallel import mesh as mesh_lib
+
+    tp = mesh.shape.get("model", 1)
+    vtl = model.cfg.vtl
+    if vtl.num_heads % tp or vtl.d_ff % tp:
+        raise ValueError(
+            f"num_heads={vtl.num_heads} / d_ff={vtl.d_ff} must divide by "
+            f"model-axis size {tp}")
+    has_data = "data" in mesh.shape and mesh.shape["data"] > 1
+    if has_data and batch["input_ids"].shape[0] % mesh.shape["data"]:
+        raise ValueError(
+            f"batch {batch['input_ids'].shape[0]} not divisible by data-axis "
+            f"size {mesh.shape['data']}")
+
+    local_cfg = dataclasses.replace(
+        model.cfg, vtl=dataclasses.replace(
+            vtl, num_heads=vtl.num_heads // tp, d_ff=vtl.d_ff // tp))
+    local_model = model.clone(cfg=local_cfg)
+
+    pspecs = tp_param_specs(boxed_params)
+    params = mesh_lib.unbox(boxed_params)
+    bspec = P("data") if has_data else P()
+
+    local = _mg_local(local_model, max_length, num_beams, eos_id,
+                      quant_cross_kv, quant_weights)
+    fn = jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(pspecs, {k: bspec for k in batch}),
+        out_specs=(bspec, bspec), check_vma=False)
+    # the TP psum flag is read at TRACE time -> trace inside the context
+    with mesh, tp_psum_axis("model"):
+        return jax.jit(fn)(params, batch)
+
+
 def dp_serve_ocr(
     model: Any,
     params: Any,
