@@ -191,13 +191,18 @@ class SwinEncoder(nn.Module):
 
         resolution = h // p
         dim = cfg.embed_dim
-        # Training rematerializes each block: without it every block's f32
-        # window-attention scores are saved for backward (24 x 108 MB padded
-        # at b12 stage2 alone, round-4 AOT probe) — recomputing the ~90 ms
-        # Swin forward is far cheaper than holding ~2.6 GB of residuals.
-        # Inference keeps the plain blocks (no backward, full fusion).
-        block_cls = (SwinBlock if deterministic
-                     else nn.remat(SwinBlock, static_argnums=(2,)))
+        # OPT-IN training remat (MARKUSH_TRAIN_SWIN_REMAT=1): without it
+        # every block's f32 window-attention scores are saved for backward
+        # (24 x 108 MB padded at b12 stage2 alone, round-4 AOT probe).
+        # Measured with the decoder chunk on the real TPU (chain r4e T9):
+        # the combined memory fixes cost 30% at b8 and b12 still OOMs, so
+        # the default keeps plain blocks; flip this on when training an
+        # UNFROZEN Swin at long sequence instead.
+        import os
+        use_remat = (not deterministic
+                     and os.environ.get("MARKUSH_TRAIN_SWIN_REMAT") == "1")
+        block_cls = (nn.remat(SwinBlock, static_argnums=(2,)) if use_remat
+                     else SwinBlock)
         for stage, (depth, heads) in enumerate(zip(cfg.depths, cfg.num_heads)):
             window = min(cfg.window_size, resolution)
             for blk in range(depth):

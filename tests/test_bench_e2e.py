@@ -35,14 +35,26 @@ def _run(extra_env):
 
 
 def test_pipelined_stream_tiny():
-    """Default path: pipelined stream + device-resident uint8 pixels."""
+    """Default path: pipelined stream + device-resident uint8 pixels +
+    length-bucketed MG batching (the 9516a2b default, which skips diag —
+    per-bucket lengths make per-stage rates incomparable)."""
     out = _run({})
-    diag = next(o for o in out if "diag" in o)
     metric = next(o for o in out if "metric" in o)
     assert metric["metric"] == "images_per_sec_per_chip_e2e_pipelined"
     assert metric["value"] > 0
+    assert not any("diag" in o for o in out)
+
+
+def test_pipelined_diag_unbucketed_tiny():
+    """BENCH_MG_BUCKETS=1 disables bucketing so BENCH_DIAG emits the
+    per-stage standalone rates."""
+    out = _run({"BENCH_MG_BUCKETS": "1"})
+    diag = next(o for o in out if "diag" in o)
+    metric = next(o for o in out if "metric" in o)
+    assert metric["value"] > 0
     # both stages actually ran standalone in diag mode
-    assert diag["ocr"] > 0 and diag["mg"] > 0 and diag["host_encode"] > 0
+    assert (diag["ocr_img_s"] > 0 and diag["mg_img_s"] > 0
+            and diag["host_encode_img_s"] > 0)
 
 
 def test_sequential_host_pixels_tiny():

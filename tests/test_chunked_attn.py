@@ -298,9 +298,11 @@ class TestDecoderChunkedTraining:
         for a, b in zip(gd, gc):
             np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)
 
-    def test_dec_chunk_policy(self):
+    def test_dec_chunk_policy(self, monkeypatch):
         from markushgrapher_tpu.models.t5 import _train_chunk_q_dec
 
+        assert _train_chunk_q_dec(512) is None  # opt-in: default stays dense
+        monkeypatch.setenv("MARKUSH_TRAIN_CHUNK_Q_DEC", "256")
         assert _train_chunk_q_dec(512) == 256   # flagship decoder length
         assert _train_chunk_q_dec(1024) == 256
         assert _train_chunk_q_dec(8) is None    # tiny test configs stay dense
