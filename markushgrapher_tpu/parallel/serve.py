@@ -17,6 +17,12 @@ utils_evaluation.py:269-272). The TPU-native equivalents:
   XLA decode path (`mxu_decode=False` on the model): a pallas custom call
   inside a GSPMD program would force a full re-gather.
 
+- `tp_serve` — shard_map tensor parallelism THROUGH the pallas kernel path:
+  heads/d_ff sliced per device from the params' logical-axis metadata, the
+  row-parallel projections psum over `model` (models/t5.tp_psum_axis), and
+  the batch shards over `data` (TP x DP on one mesh). The manual version of
+  what GSPMD cannot do to a custom call.
+
 - `StagedServe` — STAGE parallelism: the ChemicalOCR program on one submesh
   and the MarkushGrapher program on a disjoint submesh of the same device
   set, with the host stream (OCR ids -> text -> cells -> MG batch) between
