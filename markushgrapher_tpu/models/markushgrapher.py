@@ -391,7 +391,20 @@ class MarkushGrapherModel(nn.Module):
                     vtl.relative_attention_num_buckets,
                     vtl.relative_attention_max_distance,
                     vtl.rel2d_scaling_factor, vtl.rel2d_max_distance)
-                if (mode == "onehot"
+                if (mode == "onehot_mat"
+                        and vtl.relative_attention_num_buckets ** 3 - 1
+                        <= 32767):
+                    # materialized one-hot build (for MARKUSH_TRAIN_ATTN=
+                    # flash, which needs one real [B,H,L,L] tensor):
+                    # checkpointed, so backward recomputes matmuls instead
+                    # of saving chunk transients or gather residuals
+                    build = jax.checkpoint(
+                        lambda t1, th, tv: relbias.encoder_position_bias_onehot(
+                            t1, th, tv, *bias_args[3:], positions=positions))
+                    pos_bias = build(self.enc_bias_1d, self.enc_bias_h,
+                                     self.enc_bias_v)
+                    e2 = self.encoder(embeds, pos_bias, None, deterministic)
+                elif (mode == "onehot"
                         and vtl.relative_attention_num_buckets ** 3 - 1
                         <= 32767):
                     fused = relbias.encoder_bias_fused_onehot(

@@ -320,6 +320,44 @@ def encoder_bias_fused_onehot(
         num_buckets=num_buckets, mask_value=mask_value)
 
 
+def encoder_position_bias_onehot(
+    bias_1d_table: jnp.ndarray,
+    bias_h_table: jnp.ndarray,
+    bias_v_table: jnp.ndarray,
+    bbox: jnp.ndarray,            # [B, L, 4]
+    attention_mask: jnp.ndarray,  # [B, L]
+    seq_len: int,
+    chunk: int,
+    num_buckets: int,
+    max_distance_1d: int,
+    rel2d_scaling: int,
+    max_distance_2d: int,
+    positions: jnp.ndarray | None = None,
+    mask_value: float = -1e9,
+    out_dtype=jnp.bfloat16,
+) -> jnp.ndarray:
+    """MATERIALIZED [B, H, L, L] bias via the one-hot MXU chunk builder.
+
+    encoder_position_bias_chunked's gathers leave scatter-backward
+    residuals that OOM'd b8 training (MARKUSH_TRAIN_BIAS=materialized,
+    20.48/15.75 GiB); this builds the same values with
+    FusedBiasOneHot.chunk_bias — iota-compare one-hots dotted with the
+    [num_buckets, H] tables, so the forward AND the table-gradient
+    backward are matmuls. Wrap the call in jax.checkpoint and the whole
+    build recomputes in backward with no saved per-chunk transients. For
+    the trainable-flash path (MARKUSH_TRAIN_ATTN=flash +
+    MARKUSH_TRAIN_BIAS=onehot_mat), which needs one real bias tensor."""
+    fb = encoder_bias_fused_onehot(
+        bias_1d_table, bias_h_table, bias_v_table, bbox, attention_mask,
+        seq_len, chunk, num_buckets, max_distance_1d, rel2d_scaling,
+        max_distance_2d, positions=positions, mask_value=mask_value)
+    tiles = jax.lax.map(
+        lambda c: fb.chunk_bias(c).astype(out_dtype),
+        fb.c_chunks)                       # [n_chunks, B, H, chunk, L]
+    n, batch, heads, chk, L = tiles.shape
+    return jnp.moveaxis(tiles, 0, 2).reshape(batch, heads, n * chk, L)
+
+
 def encoder_bias_fused(
     bias_1d_table: jnp.ndarray,   # [num_buckets, H]
     bias_h_table: jnp.ndarray,

@@ -161,6 +161,41 @@ class TestFusedBiasTraining:
         for a, b in zip(gd, go):
             np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-6)
 
+    def test_onehot_materialized_matches_dense(self):
+        """encoder_position_bias_onehot (the MARKUSH_TRAIN_BIAS=onehot_mat
+        slab for trainable flash attention) must equal the dense builder
+        in values AND table grads, with no gathers anywhere."""
+        from markushgrapher_tpu.ops import relbias
+
+        B, L, H, D, nb = 2, 16, 3, 4, 8
+        q, k, v, t1, th, tv, bbox, mask = self._inputs(B, L, H, D, nb)
+
+        def build_oh(t1, th, tv):
+            return relbias.encoder_position_bias_onehot(
+                t1, th, tv, bbox, mask, seq_len=L, chunk=4, num_buckets=nb,
+                max_distance_1d=32, rel2d_scaling=10, max_distance_2d=20,
+                out_dtype=jnp.float32)
+
+        def build_dense(t1, th, tv):
+            bias = relbias.encoder_position_bias(
+                t1, th, tv, bbox, L, nb, 32, 10, 20)
+            return jnp.where((mask > 0)[:, None, None, :], bias, -1e9)
+
+        oh = build_oh(t1, th, tv)
+        ref = build_dense(t1, th, tv)
+        assert oh.shape == (B, H, L, L)
+        np.testing.assert_allclose(np.asarray(oh), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-6)
+        loss_oh = lambda *t: jnp.sum(jnp.sin(  # noqa: E731
+            jax.checkpoint(build_oh)(*t)[:, :, :, :8]))
+        loss_d = lambda *t: jnp.sum(jnp.sin(  # noqa: E731
+            build_dense(*t)[:, :, :, :8]))
+        go = jax.grad(loss_oh, argnums=(0, 1, 2))(t1, th, tv)
+        gd = jax.grad(loss_d, argnums=(0, 1, 2))(t1, th, tv)
+        for a, b in zip(go, gd):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-4, atol=1e-6)
+
     def test_onehot_int16_bound(self):
         from markushgrapher_tpu.ops import relbias
 
@@ -227,7 +262,8 @@ class TestFusedBiasTraining:
 import pytest as _pytest
 
 
-@_pytest.mark.parametrize("bias_mode", ["onehot", "materialized", "fused"])
+@_pytest.mark.parametrize("bias_mode", ["onehot", "onehot_mat",
+                                        "materialized", "fused"])
 def test_train_step_fused_bias_full_wiring(bias_mode, monkeypatch):
     """One real train_step through a config whose VTL length (512 text +
     1024 patches = 1536) engages the long-sequence training path — the
