@@ -237,6 +237,16 @@ def main() -> None:
 
     int(run(params, batch))  # compile + warmup, fenced by readback
 
+    # BENCH_PROFILE=<dir>: capture ONE fenced run's device trace (works
+    # through the axon tunnel; parse vm.trace.json.gz, pid 3 = TPU lanes)
+    prof_dir = os.environ.get("BENCH_PROFILE")
+    if prof_dir:
+        from markushgrapher_tpu.utils.profiling import trace
+
+        with trace(prof_dir):
+            int(run(params, batch))
+        print(f"profile written to {prof_dir}", flush=True)
+
     times = []
     for _ in range(repeats):
         t0 = time.perf_counter()

@@ -258,20 +258,26 @@ class FusedBiasOneHot:
         return (self.c_chunks,)
 
     def chunk_bias(self, c) -> jnp.ndarray:
-        nb = self.num_buckets
-        c = c.astype(jnp.int32)
-        parts = ((self.t1, c % nb), (self.th, (c // nb) % nb),
-                 (self.tv, c // (nb * nb)))
-        full = None
-        for table, idx in parts:
-            oh = jax.nn.one_hot(idx, nb, dtype=jnp.float32)
-            # [H,nb] x [B,chunk,L,nb] -> [H,B,chunk,L]: L stays minormost
-            # (an '...h'-minormost output would lane-pad 16 -> 128, 8x)
-            p = jnp.einsum("hn,bqln->hbql", table.T.astype(jnp.float32), oh)
-            full = p if full is None else full + p
-        full = jnp.where(self.key_mask[None, :, None, :], full,
-                         self.mask_value)
-        return jnp.moveaxis(full, 0, 1)         # [B, H, chunk, L]
+        return _onehot_tile(self.t1, self.th, self.tv, self.key_mask, c,
+                            self.num_buckets, self.mask_value)
+
+
+def _onehot_tile(t1, th, tv, key_mask, c, num_buckets: int,
+                 mask_value: float) -> jnp.ndarray:
+    """One bias tile [B, H, chunk, L] from tables + combined int16 indices
+    via one-hot MXU dots (see FusedBiasOneHot)."""
+    nb = num_buckets
+    c = c.astype(jnp.int32)
+    parts = ((t1, c % nb), (th, (c // nb) % nb), (tv, c // (nb * nb)))
+    full = None
+    for table, idx in parts:
+        oh = jax.nn.one_hot(idx, nb, dtype=jnp.float32)
+        # [H,nb] x [B,chunk,L,nb] -> [H,B,chunk,L]: L stays minormost
+        # (an '...h'-minormost output would lane-pad 16 -> 128, 8x)
+        p = jnp.einsum("hn,bqln->hbql", table.T.astype(jnp.float32), oh)
+        full = p if full is None else full + p
+    full = jnp.where(key_mask[None, :, None, :], full, mask_value)
+    return jnp.moveaxis(full, 0, 1)             # [B, H, chunk, L]
 
 
 def encoder_bias_fused_onehot(
@@ -351,11 +357,31 @@ def encoder_position_bias_onehot(
         bias_1d_table, bias_h_table, bias_v_table, bbox, attention_mask,
         seq_len, chunk, num_buckets, max_distance_1d, rel2d_scaling,
         max_distance_2d, positions=positions, mask_value=mask_value)
-    tiles = jax.lax.map(
-        lambda c: fb.chunk_bias(c).astype(out_dtype),
-        fb.c_chunks)                       # [n_chunks, B, H, chunk, L]
-    n, batch, heads, chk, L = tiles.shape
-    return jnp.moveaxis(tiles, 0, 2).reshape(batch, heads, n * chk, L)
+    n, batch, chk, L = fb.c_chunks.shape
+    heads = bias_1d_table.shape[-1]
+    # write chunks into the final carry (one [B,H,L,L] buffer) — a stacked
+    # lax.map output needs a full transposed copy on top (2 x 576 MB at
+    # b8/1536, the 1.06 GiB that pushed the b8 probe over HBM)
+    acc0 = jnp.zeros((batch, heads, seq_len, L), out_dtype)
+    # remat each tile: otherwise the scan's backward saves the stacked
+    # one-hot tensors as residuals (3 x bf16 [n,B,chunk,L,32] = 3 x 1.12 GB
+    # at b8/1536) — recomputing them from the 6 MB int16 indices is the
+    # whole point of the one-hot formulation
+    tile_fn = jax.checkpoint(
+        lambda t1, th, tv, c: _onehot_tile(
+            t1, th, tv, fb.key_mask, c, num_buckets,
+            mask_value).astype(out_dtype))
+
+    def one_chunk(acc, xs):
+        idx, c = xs
+        tile = tile_fn(fb.t1, fb.th, fb.tv, c)        # [B, H, chunk, L]
+        return jax.lax.dynamic_update_slice(
+            acc, tile, (0, 0, idx * chk, 0)), None
+
+    out, _ = jax.lax.scan(
+        one_chunk, acc0,
+        (jnp.arange(n, dtype=jnp.int32), fb.c_chunks))
+    return out
 
 
 def encoder_bias_fused(
