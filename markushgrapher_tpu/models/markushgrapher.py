@@ -391,9 +391,9 @@ class MarkushGrapherModel(nn.Module):
                     vtl.relative_attention_num_buckets,
                     vtl.relative_attention_max_distance,
                     vtl.rel2d_scaling_factor, vtl.rel2d_max_distance)
-                if (mode == "onehot_mat"
-                        and vtl.relative_attention_num_buckets ** 3 - 1
-                        <= 32767):
+                onehot_fits_int16 = (
+                    vtl.relative_attention_num_buckets ** 3 - 1 <= 32767)
+                if mode == "onehot_mat" and onehot_fits_int16:
                     # materialized one-hot build (for MARKUSH_TRAIN_ATTN=
                     # flash, which needs one real [B,H,L,L] tensor):
                     # checkpointed, so backward recomputes matmuls instead
@@ -404,13 +404,14 @@ class MarkushGrapherModel(nn.Module):
                     pos_bias = build(self.enc_bias_1d, self.enc_bias_h,
                                      self.enc_bias_v)
                     e2 = self.encoder(embeds, pos_bias, None, deterministic)
-                elif (mode == "onehot"
-                        and vtl.relative_attention_num_buckets ** 3 - 1
-                        <= 32767):
+                elif mode == "onehot" and onehot_fits_int16:
                     fused = relbias.encoder_bias_fused_onehot(
                         *bias_args, positions=positions)
                     e2 = self.encoder(embeds, fused, None, deterministic)
-                elif mode in ("fused", "onehot"):
+                elif mode in ("fused", "onehot", "onehot_mat"):
+                    # >int16 bucket space: both one-hot modes fall back to
+                    # the per-chunk gather build (lower memory than the
+                    # gather-based materialized slab)
                     fused = relbias.encoder_bias_fused(
                         *bias_args, positions=positions)
                     e2 = self.encoder(embeds, fused, None, deterministic)

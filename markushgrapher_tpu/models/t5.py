@@ -29,9 +29,14 @@ param_with_axes = nn.with_logical_partitioning
 # shard_map with heads/d_ff param slices per device and activates cross-
 # shard reduction here: every row-parallel projection (attention o, ff wo)
 # produces a partial sum that must be psum'd over the TP axis before the
-# residual add. The flag is read at TRACE time; tp_serve traces its program
-# inside the tp_psum_axis("model") context and nothing else is affected.
-_TP_AXIS: list = [None]
+# residual add. The flag is read at TRACE time and is a ContextVar so a
+# concurrent trace on another thread (pipelined bench dispatch,
+# StagedServe compiles) never sees it; tp_serve traces its program inside
+# the tp_psum_axis("model") context and nothing else is affected.
+import contextvars as _contextvars
+
+_TP_AXIS: _contextvars.ContextVar = _contextvars.ContextVar(
+    "markush_tp_axis", default=None)
 
 
 class tp_psum_axis:
@@ -42,17 +47,17 @@ class tp_psum_axis:
         self.axis = axis
 
     def __enter__(self):
-        self.prev = _TP_AXIS[0]
-        _TP_AXIS[0] = self.axis
+        self._token = _TP_AXIS.set(self.axis)
         return self
 
     def __exit__(self, *exc):
-        _TP_AXIS[0] = self.prev
+        _TP_AXIS.reset(self._token)
         return False
 
 
 def _tp_psum(x: jnp.ndarray) -> jnp.ndarray:
-    return jax.lax.psum(x, _TP_AXIS[0]) if _TP_AXIS[0] else x
+    axis = _TP_AXIS.get()
+    return jax.lax.psum(x, axis) if axis else x
 
 
 def _quantize_kv(t: jnp.ndarray):
@@ -175,13 +180,18 @@ def _train_chunk_q_dec(qlen: int) -> Optional[int]:
 
 def _train_flash_ok(q, k, bias) -> bool:
     """Opt-in trainable flash path (MARKUSH_TRAIN_ATTN=flash): the stock
-    pallas kernel needs 128-divisible sequence lengths and a broadcastable
-    [*, H, Q, K] bias tensor."""
+    pallas kernel needs 128-divisible sequence lengths and a full
+    [*, H, Q, K] bias — batch may broadcast, but H/Q/K must be real (the
+    decoder's [B,1,1,K] cross key mask must NOT take this branch: the
+    kernel rejects ab.shape != (B,H,Q,K))."""
     import os
 
     return (os.environ.get("MARKUSH_TRAIN_ATTN", "chunked") == "flash"
             and q.shape[1] % 128 == 0 and k.shape[1] % 128 == 0
-            and hasattr(bias, "shape") and bias.ndim == 4)
+            and hasattr(bias, "shape") and bias.ndim == 4
+            and bias.shape[1] == q.shape[2]      # H
+            and bias.shape[2] == q.shape[1]      # Q
+            and bias.shape[3] == k.shape[1])     # K
 
 
 def _attention_chunked_q(q, k, v, bias, chunk: int, out_dtype,

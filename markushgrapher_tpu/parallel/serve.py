@@ -215,7 +215,12 @@ def tp_serve(
     from markushgrapher_tpu.models.t5 import tp_psum_axis
     from markushgrapher_tpu.parallel import mesh as mesh_lib
 
-    tp = mesh.shape.get("model", 1)
+    if "model" not in mesh.shape:
+        raise ValueError(
+            "tp_serve needs a mesh with a 'model' axis (the specs and the "
+            "row-parallel psum reference it); use dp_serve for pure data "
+            "parallelism")
+    tp = mesh.shape["model"]
     vtl = model.cfg.vtl
     if vtl.num_heads % tp or vtl.d_ff % tp:
         raise ValueError(

@@ -334,6 +334,21 @@ class TestDecoderChunkedTraining:
         for a, b in zip(gd, gc):
             np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)
 
+    def test_flash_gate_rejects_broadcast_bias(self, monkeypatch):
+        """The decoder's [B,1,1,K] cross key mask must NOT enter the
+        trainable-flash branch — the stock kernel hard-fails on
+        ab.shape != (B,H,Q,K) (review finding, round 4)."""
+        from markushgrapher_tpu.models.t5 import _train_flash_ok
+
+        monkeypatch.setenv("MARKUSH_TRAIN_ATTN", "flash")
+        B, Q, K, H, D = 2, 512, 1536, 16, 64
+        q = jnp.zeros((B, Q, H, D), jnp.float32)
+        k = jnp.zeros((B, K, H, D), jnp.float32)
+        assert _train_flash_ok(q, k, jnp.zeros((B, H, Q, K)))
+        assert _train_flash_ok(q, k, jnp.zeros((1, H, Q, K)))  # batch bcast
+        assert not _train_flash_ok(q, k, jnp.zeros((B, 1, 1, K)))
+        assert not _train_flash_ok(q, k, jnp.zeros((1, H, Q, Q)))
+
     def test_dec_chunk_policy(self, monkeypatch):
         from markushgrapher_tpu.models.t5 import _train_chunk_q_dec
 
