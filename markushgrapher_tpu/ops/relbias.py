@@ -357,31 +357,21 @@ def encoder_position_bias_onehot(
         bias_1d_table, bias_h_table, bias_v_table, bbox, attention_mask,
         seq_len, chunk, num_buckets, max_distance_1d, rel2d_scaling,
         max_distance_2d, positions=positions, mask_value=mask_value)
-    n, batch, chk, L = fb.c_chunks.shape
-    heads = bias_1d_table.shape[-1]
-    # write chunks into the final carry (one [B,H,L,L] buffer) — a stacked
-    # lax.map output needs a full transposed copy on top (2 x 576 MB at
-    # b8/1536, the 1.06 GiB that pushed the b8 probe over HBM)
-    acc0 = jnp.zeros((batch, heads, seq_len, L), out_dtype)
-    # remat each tile: otherwise the scan's backward saves the stacked
-    # one-hot tensors as residuals (3 x bf16 [n,B,chunk,L,32] = 3 x 1.12 GB
-    # at b8/1536) — recomputing them from the 6 MB int16 indices is the
-    # whole point of the one-hot formulation
+    n = fb.c_chunks.shape[0]
+    # remat each tile: otherwise backward saves the stacked one-hot
+    # tensors as residuals (3 x bf16 [n,B,chunk,L,32] = 3 x 1.12 GB at
+    # b8/1536) — recomputing them from the 6 MB int16 indices is the
+    # whole point of the one-hot formulation. Unrolled chunks + one
+    # concatenate (bwd = slicing): a lax.scan carry with
+    # dynamic_update_slice double-buffers under AD, and a stacked lax.map
+    # output needs a transposed copy on top (2 x 576 MB).
     tile_fn = jax.checkpoint(
         lambda t1, th, tv, c: _onehot_tile(
             t1, th, tv, fb.key_mask, c, num_buckets,
             mask_value).astype(out_dtype))
-
-    def one_chunk(acc, xs):
-        idx, c = xs
-        tile = tile_fn(fb.t1, fb.th, fb.tv, c)        # [B, H, chunk, L]
-        return jax.lax.dynamic_update_slice(
-            acc, tile, (0, 0, idx * chk, 0)), None
-
-    out, _ = jax.lax.scan(
-        one_chunk, acc0,
-        (jnp.arange(n, dtype=jnp.int32), fb.c_chunks))
-    return out
+    return jnp.concatenate(
+        [tile_fn(fb.t1, fb.th, fb.tv, fb.c_chunks[i]) for i in range(n)],
+        axis=2)
 
 
 def encoder_bias_fused(
