@@ -17,6 +17,7 @@ finished beams frozen and padded with EOS.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Any, Tuple
 
 import jax
@@ -157,6 +158,7 @@ def _take_beams(x: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
 
 # self-ring cache keys (mxu layouts) and the axis their K dim lives on
 _RING_AXIS = {"self_k_q": 1, "self_v_q": 1, "self_kv_q4": 1,
+              "self_k_q4": 1, "self_v_q4": 1,
               "self_k_s": 2, "self_v_s": 2, "self_kv_s": 2}
 
 
@@ -265,8 +267,18 @@ def beam_generate(
         # one pass over the shared slab (t5._cross_attend head_map path) —
         # cross traffic and cache HBM are 1/K of the tiled layout, and the
         # per-step beam gather only touches the (small) self caches.
+        # Separate int4 K/V rings (vs the greedy path's combined k||v
+        # carrier): the per-step COW gather between loop iterations makes
+        # XLA split a combined carrier into halves and re-concatenate
+        # s8[rows, max_len, hd] for the kernel operand every layer every
+        # step — 2.5 ms concat + 0.7 ms re-split of the 10.7 ms beam-5
+        # b16 step (profiled; see README beam notes). Two extra
+        # dynamic_update_slices per layer are far cheaper.
+        # BEAM_COMBINED_RINGS=1 restores the combined carrier for A/B.
+        sep = os.environ.get("BEAM_COMBINED_RINGS", "0") != "1"
         caches = model.apply(params, enc, max_length, True,
-                             batch * k, method=type(model).init_cache)
+                             batch * k, separate_rings=sep,
+                             method=type(model).init_cache)
         cross_bias = mask_bias(enc_mask)
     else:
         enc_k = _tile_beams(enc, k)

@@ -499,8 +499,10 @@ class MarkushGrapherModel(nn.Module):
     # -- stepwise decode (generation) ----------------------------------------
 
     def init_cache(self, enc: jnp.ndarray, max_len: int,
-                   quant_cross: bool = False, self_rows=None):
-        return self.decoder.init_cache(enc, max_len, quant_cross, self_rows)
+                   quant_cross: bool = False, self_rows=None,
+                   separate_rings: bool = False):
+        return self.decoder.init_cache(enc, max_len, quant_cross, self_rows,
+                                       separate_rings)
 
     def quantize_weights(self, bits: int = 8, act: bool = False):
         """int8/int4 decode-step weights (decoder projections/FF + lm_head),

@@ -519,7 +519,8 @@ class DecoderLayer(nn.Module):
 
     def init_cache(self, enc: jnp.ndarray, max_len: int,
                    quant_cross: bool = False,
-                   self_rows: Optional[int] = None) -> Dict[str, jnp.ndarray]:
+                   self_rows: Optional[int] = None,
+                   separate_rings: bool = False) -> Dict[str, jnp.ndarray]:
         """Precompute cross K/V once per generate; allocate self K/V ring.
 
         self_rows sizes the self caches independently of enc's batch — beam
@@ -576,12 +577,34 @@ class DecoderLayer(nn.Module):
                     # scale rows [:H]) so each decode step issues 2
                     # dynamic_update_slices instead of 4 — the 96 per-step
                     # ring writes measured 0.49 ms of the 6.9 ms step.
-                    cache = {
-                        "self_kv_q4": jnp.zeros((srows, max_len, hd),
-                                                jnp.int8),
-                        "self_kv_s": jnp.zeros((srows, 2 * self.num_heads,
-                                                max_len), jnp.bfloat16),
-                    }
+                    # separate_rings keeps K and V as SEPARATE carriers:
+                    # the beam while-loop's per-step COW gather makes XLA
+                    # split the combined carrier into halves and re-concat
+                    # s8[rows, max_len, hd] for the kernel operand EVERY
+                    # layer EVERY step (pad_add_fusion: 2.5 ms of the
+                    # 10.7 ms beam-5 b16 step, plus 0.7 ms re-split) —
+                    # separate operands make the concat unnecessary.
+                    if separate_rings:
+                        cache = {
+                            "self_k_q4": jnp.zeros((srows, max_len, hd // 2),
+                                                   jnp.int8),
+                            "self_v_q4": jnp.zeros((srows, max_len, hd // 2),
+                                                   jnp.int8),
+                            "self_k_s": jnp.zeros(
+                                (srows, self.num_heads, max_len),
+                                jnp.bfloat16),
+                            "self_v_s": jnp.zeros(
+                                (srows, self.num_heads, max_len),
+                                jnp.bfloat16),
+                        }
+                    else:
+                        cache = {
+                            "self_kv_q4": jnp.zeros((srows, max_len, hd),
+                                                    jnp.int8),
+                            "self_kv_s": jnp.zeros(
+                                (srows, 2 * self.num_heads, max_len),
+                                jnp.bfloat16),
+                        }
                     for name, t in (("cross_k", ck), ("cross_v", cv)):
                         q, s = _quantize_kv4(t)        # [B,K,H,D], [B,K,H]
                         q = jnp.pad(q, ((0, 0), (0, kpad), (0, 0), (0, 0)))
@@ -734,7 +757,8 @@ class DecoderLayer(nn.Module):
         from markushgrapher_tpu.ops.mxu_decode import valid_prefix_blocks
 
         kern_kw = {}
-        ring = cache.get("self_kv_q4", cache.get("self_k_q"))
+        ring = cache.get("self_kv_q4",
+                         cache.get("self_k_q4", cache.get("self_k_q")))
         ring_len = ring.shape[1] if ring is not None and ring.ndim == 3 else 0
         if row_map is not None:
             # beam COW segments set the block size; the causal bias row
@@ -746,6 +770,37 @@ class DecoderLayer(nn.Module):
                     ring_len, step, kern_kw["block_k"]))
         elif self.block_skip:
             kern_kw = valid_prefix_blocks(ring_len, step, 128)
+        if "self_k_q4" in cache:
+            # int4-packed SEPARATE k and v self rings (beam search: the
+            # COW gather between steps makes XLA split a combined carrier
+            # and re-concat it per layer per step — see init_cache)
+            from markushgrapher_tpu.ops.mxu_decode import (
+                cross_decode_mxu_int4, pack_int4)
+
+            batch = h.shape[0]
+            hd = self.num_heads * self.d_kv
+            kq_new, ks_new = _quantize_kv4(k_new)       # [B,1,H,D], [B,1,H]
+            vq_new, vs_new = _quantize_kv4(v_new)
+            k_q = jax.lax.dynamic_update_slice_in_dim(
+                cache["self_k_q4"], pack_int4(kq_new.reshape(batch, 1, hd)),
+                step, axis=1)
+            v_q = jax.lax.dynamic_update_slice_in_dim(
+                cache["self_v_q4"], pack_int4(vq_new.reshape(batch, 1, hd)),
+                step, axis=1)
+            k_s = jax.lax.dynamic_update_slice_in_dim(
+                cache["self_k_s"],
+                ks_new.transpose(0, 2, 1).astype(cache["self_k_s"].dtype),
+                step, axis=2)
+            v_s = jax.lax.dynamic_update_slice_in_dim(
+                cache["self_v_s"],
+                vs_new.transpose(0, 2, 1).astype(cache["self_v_s"].dtype),
+                step, axis=2)
+            bias = self_bias_row[:, :, 0, :].astype(jnp.float32)  # [1, H, S]
+            out = cross_decode_mxu_int4(q[:, 0], k_q, k_s, v_q, v_s,
+                                        bias, combined=False, **kern_kw)
+            new = dict(cache, self_k_q4=k_q, self_v_q4=v_q, self_k_s=k_s,
+                       self_v_s=v_s)
+            return self._proj_o(out[:, None], qw, "self_o", attn), new
         if "self_kv_q4" in cache:
             # int4-packed COMBINED k||v self ring (rides the int4 kernel's
             # combined mode: one values tensor, one scales tensor)
@@ -938,7 +993,8 @@ class DecoderLayer(nn.Module):
         row_map: Optional[jnp.ndarray] = None,  # int32 [B, n_seg] beam COW map
     ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
         h = self.ln_self(x)
-        if "self_k_q" in cache or "self_kv_q4" in cache:
+        if ("self_k_q" in cache or "self_kv_q4" in cache
+                or "self_k_q4" in cache):
             h, cache = self._self_attend_quant(h, cache, step, self_bias_row,
                                                qw, row_map)
         else:
@@ -1005,8 +1061,10 @@ class Decoder(nn.Module):
         return self.drop(x, deterministic=deterministic)
 
     def init_cache(self, enc: jnp.ndarray, max_len: int,
-                   quant_cross: bool = False, self_rows=None):
-        return [layer.init_cache(enc, max_len, quant_cross, self_rows)
+                   quant_cross: bool = False, self_rows=None,
+                   separate_rings: bool = False):
+        return [layer.init_cache(enc, max_len, quant_cross, self_rows,
+                                 separate_rings)
                 for layer in self.layers]
 
     def quantize_weights(self, bits: int = 8, act: bool = False):

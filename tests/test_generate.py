@@ -214,6 +214,45 @@ class TestBeamCowRings:
                                    rtol=2e-3, atol=2e-3)
 
 
+class TestBeamSeparateRings:
+    def test_separate_matches_combined(self, setup, monkeypatch):
+        """The beam default (separate int4 K/V self rings) must be bitwise
+        equivalent to the combined k||v carrier — same quantization, same
+        kernel math, only the carrier layout differs. The separate layout
+        exists because XLA splits a combined while-carry that gets COW-
+        gathered between steps and re-concatenates it per layer per step
+        (profiled at 2.5 + 0.7 ms of the 10.7 ms beam-5 b16 step)."""
+        cfg, model, params, batch, enc, enc_mask = setup
+        m = type(model)(cfg, dtype=jnp.float32, int4_cross=True)
+        monkeypatch.delenv("BEAM_COMBINED_RINGS", raising=False)
+        ids_sep, sc_sep = beam_generate(m, params, enc, enc_mask, MAXLEN,
+                                        num_beams=3, eos_id=1,
+                                        quant_cross_kv=True)
+        monkeypatch.setenv("BEAM_COMBINED_RINGS", "1")
+        ids_c, sc_c = beam_generate(m, params, enc, enc_mask, MAXLEN,
+                                    num_beams=3, eos_id=1,
+                                    quant_cross_kv=True)
+        assert np.array_equal(np.asarray(ids_sep), np.asarray(ids_c))
+        np.testing.assert_allclose(np.asarray(sc_sep), np.asarray(sc_c),
+                                   rtol=1e-6, atol=1e-6)
+
+    def test_separate_ring_cache_layout(self, setup):
+        """init_cache(separate_rings=True) allocates per-kind packed rings
+        and bf16 scale planes at self_rows, keeping the shared [B]-row
+        cross slabs."""
+        cfg, model, params, batch, enc, enc_mask = setup
+        m = type(model)(cfg, dtype=jnp.float32, int4_cross=True)
+        cache = m.apply(params, enc, MAXLEN, True, 6, separate_rings=True,
+                        method=type(m).init_cache)
+        hd = cfg.vtl.num_heads * cfg.vtl.d_kv
+        for layer_cache in cache:
+            assert layer_cache["self_k_q4"].shape == (6, MAXLEN, hd // 2)
+            assert layer_cache["self_v_q4"].shape == (6, MAXLEN, hd // 2)
+            assert layer_cache["self_k_s"].dtype == jnp.bfloat16
+            assert "self_kv_q4" not in layer_cache
+            assert layer_cache["cross_k_q4"].shape[0] == 2  # [B]-row shared
+
+
 class TestQuantizedWeights:
     def test_int8_weight_logits_close(self, setup):
         """One decode step against int8 weights must track full precision:
