@@ -89,3 +89,42 @@ class TestProfiling:
     def test_device_memory_stats(self):
         stats = device_memory_stats()
         assert len(stats) >= 1
+
+    def test_aggregate_trace(self, tmp_path):
+        """aggregate_trace classifies per-step vs one-time device ops with
+        the mode-based captured-step estimator (truncated captures report
+        honest ms/step) and groups by op family."""
+        import gzip
+        import json
+
+        from markushgrapher_tpu.utils.profiling import aggregate_trace
+
+        # synthetic Chrome trace: 2 per-step fusions seen 100x (a truncated
+        # 512-step capture), one helper seen 200x, one-time encoder ops
+        evs = []
+        for i in range(100):
+            evs.append({"ph": "X", "pid": 3, "name": "fusion.1", "dur": 10,
+                        "args": {"long_name": "%fusion.1 = f32[8]"}})
+            evs.append({"ph": "X", "pid": 3, "name": "my_kernel.2",
+                        "dur": 30, "args": {}})
+            evs += [{"ph": "X", "pid": 3, "name": "dynamic_update_slice.3",
+                     "dur": 1, "args": {}}] * 2
+        evs.append({"ph": "X", "pid": 3, "name": "one_time.9", "dur": 500,
+                    "args": {}})
+        evs.append({"ph": "X", "pid": 1, "name": "host_thing", "dur": 9e9,
+                    "args": {}})   # non-TPU pid ignored
+        evs.append({"ph": "X", "pid": 3, "name": "while.1", "dur": 9e9,
+                    "args": {}})   # container region ignored
+        d = tmp_path / "plugins" / "profile" / "run1"
+        d.mkdir(parents=True)
+        with gzip.open(d / "vm.trace.json.gz", "wt") as f:
+            json.dump({"traceEvents": evs}, f)
+        out = aggregate_trace(str(tmp_path), steps=512)
+        assert out["steps_seen"] == 100
+        # per-step: 10 + 30 + 2*1 = 42 us/step = 0.042 ms/step
+        assert abs(out["per_step_ms"] - 0.042) < 1e-9
+        assert abs(out["one_time_ms"] - 0.5) < 1e-9
+        fams = dict((n, ms) for n, ms, _ in out["families"])
+        assert "my_kernel" in fams and "while" not in fams
+        top_names = [n for n, *_ in out["top"]]
+        assert "one_time.9" not in top_names
