@@ -22,6 +22,14 @@ valid count; realistic pages are ~25-30% padding; solo 9.70 -> 10.90, and
 with the bias kernel 11.65), BENCH_ENC_PACK (0 — run
 the whole VTL encoder at the packed 256-bucket; composes with CROSS_PACK).
 
+Beam-path knobs (read by decode/generate.py): BEAM_SELF_SEG (COW segment
+size; default 512 = whole-ring, the measured optimum — 3.03 vs 1.63/1.31
+at 128/256 under separate rings), BEAM_COMBINED_RINGS (1 restores the
+combined k||v self carrier; default separate rings, +4% — XLA re-concats
+a COW-gathered combined carrier per layer per step), BEAM_PREFIX_COW
+(1: cond-skip reordering of ring blocks beyond the live prefix),
+BEAM_PREFIX_BLOCKS (4).
+
 int4 KV + int8 weights is the default serving config: the end-task
 quantization gate (tests/test_learning.py::TestQuantizationGate) shows it
 retains 100% of the f32 decode's CXSMILES exact matches.

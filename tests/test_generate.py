@@ -214,6 +214,32 @@ class TestBeamCowRings:
                                    rtol=2e-3, atol=2e-3)
 
 
+class TestBeamPrefixCow:
+    def test_prefix_cow_matches_full_reorder(self, setup, monkeypatch):
+        """BEAM_PREFIX_COW=1 (cond-skip reordering of ring blocks wholly
+        beyond the live prefix) must be bitwise equivalent to the
+        whole-ring reorder at the n_seg == 1 config: the skipped blocks
+        hold only the unwritten zeros from init_cache, so reordering them
+        is a no-op by value."""
+        import markushgrapher_tpu.decode.generate as gen
+
+        cfg, model, params, batch, enc, enc_mask = setup
+        m = type(model)(cfg, dtype=jnp.float32, int4_cross=True)
+        monkeypatch.setattr(gen, "_pick_self_seg", lambda n: MAXLEN)
+        monkeypatch.delenv("BEAM_PREFIX_COW", raising=False)
+        ids0, sc0 = gen.beam_generate(m, params, enc, enc_mask, MAXLEN,
+                                      num_beams=3, eos_id=1,
+                                      quant_cross_kv=True)
+        monkeypatch.setenv("BEAM_PREFIX_COW", "1")
+        # MAXLEN=6 -> 2 blocks of 3; one cond on the trailing block
+        ids1, sc1 = gen.beam_generate(m, params, enc, enc_mask, MAXLEN,
+                                      num_beams=3, eos_id=1,
+                                      quant_cross_kv=True)
+        assert np.array_equal(np.asarray(ids0), np.asarray(ids1))
+        np.testing.assert_allclose(np.asarray(sc0), np.asarray(sc1),
+                                   rtol=1e-6, atol=1e-6)
+
+
 class TestBeamSeparateRings:
     def test_separate_matches_combined(self, setup, monkeypatch):
         """The beam default (separate int4 K/V self rings) must be bitwise
