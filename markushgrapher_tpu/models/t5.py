@@ -346,12 +346,15 @@ class Attention(nn.Module):
             # serializes 6 small-dot chunks per layer (~2.6 TFLOP/s inside
             # the scans, round-4 trace); the flash kernels tile the whole
             # [Q,K] plane. Needs a materialized bias tensor
-            # (MARKUSH_TRAIN_BIAS=materialized + MARKUSH_TRAIN_ATTN=flash).
+            # (MARKUSH_TRAIN_BIAS=onehot_mat + MARKUSH_TRAIN_ATTN=flash).
+            # ab stays in the slab's dtype (bf16): the kernel casts each
+            # tile to f32 in VMEM, and dab comes back in ab.dtype — the
+            # f32 slab cast this branch used to do (2.4 GB ab + 2.4 GB
+            # dab/layer at b8/1536) was most of the 30.5 GiB OOM.
             from jax.experimental.pallas.ops.tpu.flash_attention import (
                 flash_attention as tpu_flash_attention)
 
-            ab = jnp.broadcast_to(
-                bias, (q.shape[0],) + bias.shape[1:]).astype(jnp.float32)
+            ab = jnp.broadcast_to(bias, (q.shape[0],) + bias.shape[1:])
             out = tpu_flash_attention(
                 jnp.transpose(q, (0, 2, 1, 3)),
                 jnp.transpose(k, (0, 2, 1, 3)),
@@ -459,12 +462,27 @@ class Encoder(nn.Module):
         layer_cls = EncoderLayer
         if self.remat:
             layer_cls = nn.remat(EncoderLayer, static_argnums=(4,))
+        # TRAINING with one materialized [B,H,L,L] bias shared by every
+        # layer: thread the bias through the layer loop behind
+        # optimization_barriers. Autodiff otherwise forks the bias to all
+        # layers and accumulates the cotangent with one n-ary add whose
+        # operands — every layer's [B,H,L,L] dbias — are live at ONCE
+        # (24 x 576 MB bf16 = 13.8 GB at b8/1536, the round-4 flash-train
+        # OOM; AOT probe shows the fused add_any). Chaining through
+        # barriers makes the accumulation sequential: one accumulator +
+        # one in-flight slab.
+        thread_bias = (
+            not deterministic and self.num_layers > 1
+            and not isinstance(bias, tuple)
+            and getattr(bias, "ndim", 0) == 4)
         for i in range(self.num_layers):
             x = layer_cls(
                 self.d_model, self.num_heads, self.d_kv, self.d_ff,
                 self.ff_proj, self.eps, self.dtype, self.dropout_rate,
                 self.flash, name=f"layer_{i}",
             )(x, bias, relbias, deterministic)
+            if thread_bias and i + 1 < self.num_layers:
+                x, bias = jax.lax.optimization_barrier((x, bias))
         x = RMSNorm(eps=self.eps, dtype=self.dtype, name="final_ln")(x)
         return nn.Dropout(self.dropout_rate)(x, deterministic=deterministic)
 
