@@ -403,7 +403,7 @@ def beam_generate(
             parent = (orig_beam + jnp.arange(batch)[:, None] * k
                       ).reshape(-1)                           # [B*K] flat rows
             cs = (step + 1) // seg          # segment written next iteration
-            if n_seg == 1 and os.environ.get("BEAM_PREFIX_COW", "0") == "1":
+            if n_seg == 1 and os.environ.get("BEAM_PREFIX_COW", "1") == "1":
                 # whole-ring reorder, dead-suffix blocks cond-skipped
                 caches = _cow_rings_prefix(caches, parent, step, max_length)
             else:

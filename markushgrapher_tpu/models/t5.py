@@ -178,6 +178,13 @@ def _train_chunk_q_dec(qlen: int) -> Optional[int]:
     return None
 
 
+# Bias-threading barriers (Encoder.__call__) engage only at-or-above this
+# query length: shorter rows have no dbias-liveness problem and the
+# barriers would block cross-layer XLA fusion for nothing. Module-level so
+# tests can lower it to A/B grad equivalence on tiny shapes.
+_THREAD_BIAS_MIN_SEQ = 512
+
+
 def _train_flash_ok(q, k, bias) -> bool:
     """Opt-in trainable flash path (MARKUSH_TRAIN_ATTN=flash): the stock
     pallas kernel needs 128-divisible sequence lengths and a full
@@ -346,7 +353,8 @@ class Attention(nn.Module):
             # serializes 6 small-dot chunks per layer (~2.6 TFLOP/s inside
             # the scans, round-4 trace); the flash kernels tile the whole
             # [Q,K] plane. Needs a materialized bias tensor
-            # (MARKUSH_TRAIN_BIAS=onehot_mat + MARKUSH_TRAIN_ATTN=flash).
+            # (MARKUSH_TRAIN_BIAS=onehot_mat or materialized, with
+            # MARKUSH_TRAIN_ATTN=flash).
             # ab stays in the slab's dtype (bf16): the kernel casts each
             # tile to f32 in VMEM, and dab comes back in ab.dtype — the
             # f32 slab cast this branch used to do (2.4 GB ab + 2.4 GB
@@ -470,11 +478,15 @@ class Encoder(nn.Module):
         # (24 x 576 MB bf16 = 13.8 GB at b8/1536, the round-4 flash-train
         # OOM; AOT probe shows the fused add_any). Chaining through
         # barriers makes the accumulation sequential: one accumulator +
-        # one in-flight slab.
+        # one in-flight slab. Only engaged on long rows (>= 512): short
+        # sequences (dense parity path, tiny-config tests) have no
+        # dbias-liveness problem, and the barriers — identity by value —
+        # would block cross-layer XLA fusion there for nothing.
         thread_bias = (
             not deterministic and self.num_layers > 1
             and not isinstance(bias, tuple)
-            and getattr(bias, "ndim", 0) == 4)
+            and getattr(bias, "ndim", 0) == 4
+            and x.shape[1] >= _THREAD_BIAS_MIN_SEQ)
         for i in range(self.num_layers):
             x = layer_cls(
                 self.d_model, self.num_heads, self.d_kv, self.d_ff,

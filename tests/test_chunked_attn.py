@@ -388,3 +388,97 @@ class TestDecoderChunkedTraining:
                         jax.tree_util.tree_leaves(gc)):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        rtol=1e-4, atol=1e-6)
+
+
+def test_thread_bias_barriers_grad_identity(monkeypatch):
+    """The bias-threading optimization_barriers (Encoder.__call__, engaged
+    at seq >= _THREAD_BIAS_MIN_SEQ to serialize dbias accumulation) must be
+    value- AND grad-identity: lower the threshold so tiny shapes engage it,
+    and compare loss/grads (incl. the bias cotangent) against the
+    unbarriered program."""
+    from markushgrapher_tpu.models import t5 as t5mod
+
+    enc = Encoder(num_layers=3, d_model=16, num_heads=2, d_kv=8, d_ff=32,
+                  dtype=jnp.float32)
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.normal(size=(1, 32, 16)), jnp.float32)
+    bias = jnp.asarray(rng.normal(size=(1, 2, 32, 32)), jnp.float32)
+    params = enc.init(jax.random.PRNGKey(0), x, bias, None, False)
+
+    def loss(p, b):
+        return jnp.mean(jnp.square(
+            enc.apply(p, x, b, None, False,
+                      rngs={"dropout": jax.random.PRNGKey(1)})))
+
+    monkeypatch.setattr(t5mod, "_THREAD_BIAS_MIN_SEQ", 1 << 30)
+    l0, (g0, db0) = jax.value_and_grad(loss, argnums=(0, 1))(params, bias)
+    monkeypatch.setattr(t5mod, "_THREAD_BIAS_MIN_SEQ", 1)
+    l1, (g1, db1) = jax.value_and_grad(loss, argnums=(0, 1))(params, bias)
+
+    np.testing.assert_allclose(float(l0), float(l1), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(db0), np.asarray(db1),
+                               rtol=1e-5, atol=1e-7)
+    for a, b in zip(jax.tree_util.tree_leaves(g0),
+                    jax.tree_util.tree_leaves(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-7)
+
+
+class TestStockFlashDabDtype:
+    def test_bwd_emits_no_f32_bias_slab(self):
+        """Pin the undocumented internal the trainable-flash branch relies
+        on (models/t5.py ~357, advisor round 4): the stock pallas TPU flash
+        kernel emits dab in ab.dtype (jax 0.9.0 builds the bwd pallas_call
+        with ShapeDtypeStruct(ab.shape, ab.dtype)). If a jax upgrade
+        reintroduces an f32 [B,H,Q,K] dab slab, training memory doubles
+        per layer — catch it by scanning the traced backward jaxpr for any
+        f32 array of the bias shape (tracing only; the kernel never runs).
+        Kernel bodies are excluded (per-tile f32 in VMEM is the design) and
+        L is 2x the 128 block so tiles can't alias the slab shape."""
+        from jax.experimental.pallas.ops.tpu.flash_attention import (
+            flash_attention as tpu_flash_attention)
+
+        B, H, L, D = 1, 2, 256, 128
+        q = jnp.zeros((B, H, L, D), jnp.bfloat16)
+        ab = jnp.zeros((B, H, L, L), jnp.bfloat16)
+
+        def loss(q, k, v, ab):
+            out = tpu_flash_attention(q, k, v, ab=ab, sm_scale=1.0)
+            return jnp.sum(out.astype(jnp.float32))
+
+        jaxpr = jax.make_jaxpr(jax.grad(loss, argnums=3))(q, q, q, ab)
+
+        def _subjaxprs(val):
+            from jax.extend import core
+            if isinstance(val, core.ClosedJaxpr):
+                return [val.jaxpr]
+            if isinstance(val, core.Jaxpr):
+                return [val]
+            if isinstance(val, (list, tuple)):
+                out = []
+                for v in val:
+                    out += _subjaxprs(v)
+                return out
+            return []
+
+        def walk(jx):
+            hits = []
+            for eqn in jx.eqns:
+                for v in eqn.outvars:
+                    av = getattr(v, "aval", None)
+                    if (av is not None and getattr(av, "shape", None) ==
+                            (B, H, L, L) and av.dtype == jnp.float32):
+                        hits.append(str(eqn.primitive))
+                if eqn.primitive.name == "pallas_call":
+                    continue  # in-VMEM f32 tiles are the kernel's design
+                for val in eqn.params.values():
+                    for sub in _subjaxprs(val):
+                        hits += walk(sub)
+            return hits
+
+        hits = walk(jaxpr.jaxpr)
+        assert not hits, (
+            f"backward pass materializes f32 bias-shaped slabs in: {hits} "
+            "— the t5.py trainable-flash branch assumes dab stays in "
+            "ab.dtype (bf16); re-add the explicit handling or re-measure "
+            "training memory")

@@ -226,7 +226,7 @@ class TestBeamPrefixCow:
         cfg, model, params, batch, enc, enc_mask = setup
         m = type(model)(cfg, dtype=jnp.float32, int4_cross=True)
         monkeypatch.setattr(gen, "_pick_self_seg", lambda n: MAXLEN)
-        monkeypatch.delenv("BEAM_PREFIX_COW", raising=False)
+        monkeypatch.setenv("BEAM_PREFIX_COW", "0")  # default is now "1"
         ids0, sc0 = gen.beam_generate(m, params, enc, enc_mask, MAXLEN,
                                       num_beams=3, eos_id=1,
                                       quant_cross_kv=True)
