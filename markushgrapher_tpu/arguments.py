@@ -39,6 +39,9 @@ class DataArguments:
     augment_train: bool = True
     # debug figures per eval run (reference writes <=100 PNGs)
     save_visualizations: int = 0
+    # tracker task name (reference arguments.py:176; used when
+    # report_to=clearml)
+    clearml_task_name: str = "markushgrapher"
 
 
 @dataclass

@@ -67,6 +67,9 @@ class Trainer:
     # called with the new level when the curriculum callback escalates
     # (wire to MultitaskIterator.set_level)
     on_curriculum_level: Optional[Callable[[int], None]] = None
+    # experiment tracker (utils/tracker.make_tracker; reference
+    # train.py:68-78 hands the ClearML task to the trainer the same way)
+    tracker: Optional[Any] = None
 
     def __post_init__(self):
         if self.mesh is None:
@@ -190,11 +193,15 @@ class Trainer:
                              steps_per_sec=log_every / max(time.time() - t0, 1e-9))
                     t0 = time.time()
                     self.log_history.append(m)
+                    if self.tracker is not None:
+                        self.tracker.log_scalars(step + 1, m)
                     logger.info("step %d: %s", step + 1, m)
                 if self.eval_fn and (step + 1) % self.cfg.eval_steps == 0:
                     eval_metrics = self.eval_fn(state, step + 1)
                     self.log_history.append(
                         dict(eval_metrics, step=step + 1))
+                    if self.tracker is not None:
+                        self.tracker.log_scalars(step + 1, eval_metrics)
                     if curriculum:
                         prev = curriculum.level
                         level = curriculum.update(

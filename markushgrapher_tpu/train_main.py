@@ -107,11 +107,21 @@ def main(config_path: Optional[str] = None) -> Dict[str, float]:
         return {k: v for k, v in batch.items()
                 if k not in ("id", "task_name")}
 
+    # experiment tracker (reference train.py:68-78: report_to=clearml ->
+    # Task.init + task.connect(args); default "none")
+    from markushgrapher_tpu.utils.tracker import make_tracker
+
+    tracker = make_tracker(targs.report_to, output_dir=targs.output_dir,
+                           task_name=getattr(dargs, "clearml_task_name",
+                                             None))
+    tracker.connect({**vars(margs), **vars(dargs), **vars(targs)})
+
     trainer = Trainer(model=model, cfg=tcfg, mesh=mesh,
                       frozen_prefixes=frozen_prefixes(margs),
                       metric_for_best_model=targs.metric_for_best_model or None,
                       on_curriculum_level=(multitask.set_level
-                                           if multitask else None))
+                                           if multitask else None),
+                      tracker=tracker)
 
     rng = jax.random.PRNGKey(targs.seed)
     sample_batch = strip_meta(next(train_iter))
@@ -160,6 +170,7 @@ def main(config_path: Optional[str] = None) -> Dict[str, float]:
     jsonl = MetricsLogger(os.path.join(targs.output_dir, "metrics.jsonl"))
     for event in trainer.log_history:
         jsonl.log(event)
+    tracker.close()
     logger.info("training done; history at %s", metrics_path)
     return trainer.log_history[-1] if trainer.log_history else {}
 

@@ -128,3 +128,65 @@ class TestProfiling:
         assert "my_kernel" in fams and "while" not in fams
         top_names = [n for n, *_ in out["top"]]
         assert "one_time.9" not in top_names
+
+
+class TestTracker:
+    """Experiment-tracker backends (utils/tracker; reference train.py:68-78
+    wires ClearML behind report_to with an import guard)."""
+
+    def test_none_and_unknown_are_noop(self):
+        from markushgrapher_tpu.utils.tracker import NoopTracker, make_tracker
+
+        assert isinstance(make_tracker("none"), NoopTracker)
+        assert isinstance(make_tracker(""), NoopTracker)
+        assert isinstance(make_tracker("wandb"), NoopTracker)  # unknown
+
+    def test_clearml_missing_degrades_to_noop(self):
+        from markushgrapher_tpu.utils.tracker import NoopTracker, make_tracker
+
+        t = make_tracker("clearml", task_name="x")  # clearml not installed
+        assert isinstance(t, NoopTracker)
+
+    def test_jsonl_tracker_streams_during_training(self, tmp_path):
+        import json
+
+        from markushgrapher_tpu.utils.tracker import make_tracker
+
+        t = make_tracker("jsonl", output_dir=str(tmp_path))
+        t.connect({"lr": 1e-4, "model": object()})
+        t.log_scalars(1, {"loss": 2.0})
+        t.log_scalars(2, {"loss": 1.5, "note": "eval"})
+        # stream is on disk BEFORE close (a killed run keeps its curve)
+        lines = [json.loads(x) for x in
+                 (tmp_path / "tracker.jsonl").read_text().splitlines()]
+        t.close()
+        assert lines[0]["event"] == "config" and lines[0]["lr"] == 1e-4
+        assert lines[1] == {"step": 1, "loss": 2.0}
+        assert lines[2]["step"] == 2 and lines[2]["loss"] == 1.5
+
+    def test_trainer_loop_feeds_tracker(self):
+        """The Trainer.train loop must forward log_history events to the
+        tracker (train + eval)."""
+        from tests.test_train import tiny_setup
+
+        trainer, batch = tiny_setup()
+
+        class Capture:
+            events = []
+
+            def log_scalars(self, step, scalars):
+                self.events.append((step, dict(scalars)))
+
+        trainer.tracker = Capture()
+        trainer.eval_fn = lambda state, step: {"eval_loss": 0.0}
+        trainer.cfg = __import__("dataclasses").replace(
+            trainer.cfg, eval_steps=2, max_steps=2)
+        import jax
+
+        rng = jax.random.PRNGKey(0)
+        state = trainer.init_state(rng, batch)
+        trainer.train(state, iter([batch] * 4), rng, max_steps=2,
+                      log_every=1)
+        steps = [s for s, _ in Capture.events]
+        assert 1 in steps and 2 in steps
+        assert any("eval_loss" in sc for _, sc in Capture.events)

@@ -218,3 +218,20 @@ class TestLossFct:
         assert all(np.isfinite(losses))
         assert losses[0] < 1.5, losses
         assert losses[-1] < losses[0]
+
+    def test_huber2_loss_fct_trains(self):
+        """huber2 = the reference's log-threshold variant (losses.py:24-34):
+        finite, decreasing, and bounded well below CE's ~ln V."""
+        trainer, batch = tiny_setup()
+        trainer.cfg = dataclasses.replace(trainer.cfg, loss_fct="huber2")
+        rng = jax.random.PRNGKey(0)
+        with trainer.mesh:
+            state = trainer.init_state(rng, batch)
+            losses = []
+            for _ in range(3):
+                state, m = trainer.train_step(state, batch, rng)
+                losses.append(float(m["loss"]))
+        assert all(np.isfinite(losses))
+        # err<=1 and delta=1 => per-token <= 1, /5 => <= 0.2
+        assert losses[0] <= 0.2 + 1e-6, losses
+        assert losses[-1] < losses[0]
