@@ -27,12 +27,50 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 
+def _load_from_repo_dir(path: str):
+    """Load weights from an HF-style repo directory (the published
+    MarkushGrapher-2 layout, reference setup.sh:66-84 /
+    begin.py:113-133 from_pretrained): sharded
+    `model-XXXXX-of-XXXXX.safetensors` + `model.safetensors.index.json`
+    (or the torch `pytorch_model.bin.index.json` equivalent), else a
+    single `model.safetensors` / `pytorch_model.bin`."""
+    for index_name in ("model.safetensors.index.json",
+                       "pytorch_model.bin.index.json"):
+        index_path = os.path.join(path, index_name)
+        if not os.path.exists(index_path):
+            continue
+        with open(index_path) as f:
+            index = json.load(f)
+        weight_map = index["weight_map"]
+        sd = {}
+        for shard in sorted(set(weight_map.values())):
+            shard_sd = load_state_dict(os.path.join(path, shard))
+            sd.update(shard_sd)
+        missing = [k for k in weight_map if k not in sd
+                   and not k.startswith("module.")]
+        if missing:
+            raise ValueError(
+                f"{index_name} names {len(missing)} tensors absent from "
+                f"its shards, e.g. {missing[:3]}")
+        return sd
+    for single in ("model.safetensors", "pytorch_model.bin"):
+        p = os.path.join(path, single)
+        if os.path.exists(p):
+            return load_state_dict(p)
+    raise FileNotFoundError(
+        f"no weights in {path}: expected model.safetensors[.index.json] "
+        "or pytorch_model.bin[.index.json]")
+
+
 def load_state_dict(path: str):
     """Load a torch state dict from .bin/.pt/.pth (torch.load),
-    .safetensors, or .npz; unwrap common {"state_dict"/"model": ...}
-    wrappers and DataParallel "module." prefixes; return name->numpy."""
+    .safetensors, .npz, or an HF repo DIRECTORY (sharded-safetensors
+    index); unwrap common {"state_dict"/"model": ...} wrappers and
+    DataParallel "module." prefixes; return name->numpy."""
     import numpy as np
 
+    if os.path.isdir(path):
+        return _load_from_repo_dir(path)
     if path.endswith(".safetensors"):
         from safetensors.numpy import load_file
 
@@ -52,16 +90,37 @@ def load_state_dict(path: str):
             for k, v in sd.items()}
 
 
-def build_config(config_path, overrides, run_dir):
-    """Merged YAML + --set overrides -> MarkushGrapherConfig; the merged
-    config is written to the run dir as an audit artifact (the
-    run_inference.py per-run-config pattern)."""
+#: HF config.json keys consumed when converting straight from a repo dir
+#: (reference begin.py:113-118 reads MarkushgrapherConfig.from_pretrained
+#: and then stamps architecture_variant/image_size on it). Identity-named
+#: in the fork's config.json; anything else is ignored and --set wins.
+_HF_CONFIG_KEYS = (
+    "vocab_size", "d_model", "d_kv", "d_ff", "num_layers",
+    "num_decoder_layers", "num_heads", "architecture_variant",
+    "image_size", "max_seq_length", "max_seq_length_decoder",
+)
+
+
+def read_hf_config(repo_dir: str) -> dict:
+    """config.json -> the subset of keys build_config understands."""
+    p = os.path.join(repo_dir, "config.json")
+    if not os.path.exists(p):
+        return {}
+    with open(p) as f:
+        raw = json.load(f)
+    return {k: raw[k] for k in _HF_CONFIG_KEYS if k in raw}
+
+
+def build_config(config_path, overrides, run_dir, hf_defaults=None):
+    """Merged HF-config defaults + YAML + --set overrides ->
+    MarkushGrapherConfig; the merged config is written to the run dir as
+    an audit artifact (the run_inference.py per-run-config pattern)."""
     import yaml
 
     from markushgrapher_tpu.arguments import (build_model_config,
                                               parse_yaml_config)
 
-    raw = {}
+    raw = dict(hf_defaults or {})
     if config_path:
         with open(config_path) as f:
             raw = yaml.safe_load(f) or {}
@@ -145,7 +204,19 @@ def main(argv=None) -> str:
         pass
 
     os.makedirs(args.output, exist_ok=True)
-    cfg = build_config(args.config, args.overrides, args.output)
+    hf_defaults = {}
+    if os.path.isdir(args.state_dict):
+        # HF repo dir: config.json seeds the model config (lowest
+        # precedence) and tokenizer files are picked up unless overridden
+        hf_defaults = read_hf_config(args.state_dict)
+        if hf_defaults:
+            print(f"config.json: {hf_defaults}")
+        if args.tokenizer is None and any(
+                os.path.exists(os.path.join(args.state_dict, n))
+                for n in ("tokenizer.json", "spiece.model")):
+            args.tokenizer = args.state_dict
+    cfg = build_config(args.config, args.overrides, args.output,
+                       hf_defaults=hf_defaults)
 
     from markushgrapher_tpu.convert.from_torch import (
         convert_markushgrapher_state_dict, graft_into)
