@@ -3,10 +3,13 @@ is recorded from this script's single JSON line, so it must keep executing —
 including the real-inputs data pipeline, the quantized decode defaults, and
 the beam mode — after any serving-path change."""
 
+import pytest
 import json
 import os
 import subprocess
 import sys
+
+pytestmark = pytest.mark.slow  # subprocess bench smoke runs
 
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))

@@ -6,10 +6,13 @@ pixels), so breakage must surface in CI rather than at TPU bench time.
 Reference flow: scripts/inference/inference.sh:149-251 (two processes,
 on-disk handoff) — here one process, one JSON metric line."""
 
+import pytest
 import json
 import os
 import subprocess
 import sys
+
+pytestmark = pytest.mark.slow  # subprocess bench runs (~3 min)
 
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))

@@ -14,6 +14,8 @@ import pytest
 from markushgrapher_tpu.models.t5 import (Encoder, _attention_chunked_q,
                                           _train_chunk_q)
 
+pytestmark = pytest.mark.slow  # training attention parity incl. flash/onehot modes (~4 min)
+
 
 def _dense(q, k, v, bias, out_dtype):
     s = jnp.einsum("bqhd,bkhd->bhqk", q, k,

@@ -20,6 +20,8 @@ from markushgrapher_tpu.ocr.vlm import (
     OCRVisionConfig,
 )
 
+pytestmark = pytest.mark.slow  # megastep engine A/B over full decode loops (~3 min)
+
 
 def mega_cfg(heads=4, kv_heads=2, d_model=16, layers=3):
     return OCRConfig(

@@ -19,6 +19,8 @@ from markushgrapher_tpu.ocr.vlm import (
     OCRVisionConfig,
 )
 
+pytestmark = pytest.mark.slow  # Idefics3 parity (imports transformers)
+
 VD, VL, VH, VFF = 32, 2, 2, 64
 TD, TL, TH, TKV, TFF, VOCAB = 32, 2, 4, 2, 64, 128
 IMG, PATCH, SF = 32, 8, 2

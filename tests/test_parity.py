@@ -18,6 +18,8 @@ from markushgrapher_tpu.config import MarkushGrapherConfig, SwinConfig, VTLConfi
 from markushgrapher_tpu.convert.from_torch import convert_udop_state_dict, graft_into
 from markushgrapher_tpu.models.markushgrapher import MarkushGrapherModel
 
+pytestmark = pytest.mark.slow  # torch UDOP parity (imports transformers, ~4 min)
+
 B, T, S = 2, 6, 5
 D, LAYERS, HEADS, DKV, DFF, VOCAB = 32, 2, 4, 8, 64, 128
 IMG, PATCH = 64, 16

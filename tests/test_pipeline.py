@@ -9,6 +9,8 @@ import numpy as np
 import pytest
 import yaml
 
+pytestmark = pytest.mark.slow  # e2e inference pipeline with a trained tiny model (~3 min)
+
 CXOPT = "CC(<r>R1</r>)c1ccc(O)cc1"
 ANNOT = ("<markush><cxsmi>PLACEHOLDER</cxsmi>"
          "<stable>R1:F<n>Cl</stable></markush>")

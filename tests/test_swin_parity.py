@@ -15,6 +15,8 @@ from markushgrapher_tpu.convert.from_torch import graft_into
 from markushgrapher_tpu.convert.swin_from_torch import convert_hf_swin_state_dict
 from markushgrapher_tpu.models.swin import SwinEncoder
 
+pytestmark = pytest.mark.slow  # HF Swin parity (imports transformers)
+
 
 class TestSwinParity:
     @pytest.mark.parametrize("depths,heads,window", [
