@@ -177,6 +177,13 @@ def _pick_self_seg(max_len: int) -> int:
     if jax.default_backend() == "tpu":
         import os
 
+        if (os.environ.get("BEAM_LATTICE", "0") == "1"
+                and max_len % 128 == 0):
+            # lattice rings (ops.mxu_decode.lattice_self_int4): fixed
+            # physical rows, 128-position map segments; only the CURRENT
+            # segment is physically reordered per step, historical
+            # segments are read through the map by in-kernel DMAs
+            return 128
         env = os.environ.get("BEAM_SELF_SEG")
         if env is None:
             # defaults from the b16 beam-5 sweep (chain r3h R11-13):

@@ -805,7 +805,7 @@ class DecoderLayer(nn.Module):
             # COW gather between steps makes XLA split a combined carrier
             # and re-concat it per layer per step — see init_cache)
             from markushgrapher_tpu.ops.mxu_decode import (
-                cross_decode_mxu_int4, pack_int4)
+                cross_decode_mxu_int4, lattice_self_int4, pack_int4)
 
             batch = h.shape[0]
             hd = self.num_heads * self.d_kv
@@ -825,9 +825,22 @@ class DecoderLayer(nn.Module):
                 cache["self_v_s"],
                 vs_new.transpose(0, 2, 1).astype(cache["self_v_s"].dtype),
                 step, axis=2)
+            import os
+
             bias = self_bias_row[:, :, 0, :].astype(jnp.float32)  # [1, H, S]
-            out = cross_decode_mxu_int4(q[:, 0], k_q, k_s, v_q, v_s,
-                                        bias, combined=False, **kern_kw)
+            if (row_map is not None
+                    and os.environ.get("BEAM_LATTICE", "0") == "1"):
+                # lattice rings: fixed physical rows, per-segment map
+                # indirection + dead-suffix elision via in-kernel DMAs
+                # (ops.mxu_decode.lattice_self_int4) — replaces the
+                # whole-ring per-step physical reorder
+                seg = ring_len // row_map.shape[1]
+                out = lattice_self_int4(
+                    q[:, 0], k_q, k_s, v_q, v_s, bias, row_map,
+                    step // seg + 1, seg=seg)
+            else:
+                out = cross_decode_mxu_int4(q[:, 0], k_q, k_s, v_q, v_s,
+                                            bias, combined=False, **kern_kw)
             new = dict(cache, self_k_q4=k_q, self_v_q4=v_q, self_k_s=k_s,
                        self_v_s=v_s)
             return self._proj_o(out[:, None], qw, "self_o", attn), new

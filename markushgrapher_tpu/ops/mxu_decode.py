@@ -545,6 +545,196 @@ def cross_decode_mxu_int4(
         row_map=row_map, combined=combined, block_map=block_map)
 
 
+def _kernel_lattice_i4(nlive_ref, rm_ref, q_ref, bias_ref, mask_ref,
+                       rept_ref, rep_ref, kq_hbm, ks_hbm, vq_hbm, vs_hbm,
+                       o_ref, kq_buf, ks_buf, vq_buf, vs_buf, sems,
+                       *, n_seg: int, seg: int):
+    """Beam lattice self-attention: one grid step per output row; the K
+    ring's segments are fetched by MANUAL double-buffered DMAs from
+    whatever physical row holds them (rm_ref[r, s]) and dead suffix
+    segments (s >= nlive) are never fetched at all.
+
+    Replaces both losing alternatives measured in rounds 3-4:
+      - per-step whole-ring physical reorder (PREFIX_COW): 2x ring bytes
+        of pure copy traffic per step (~115 us/layer at 80 rows);
+      - the row_map BLOCK-spec kernel (grid (rows, n_seg)): ~0.6 us of
+        per-grid-step overhead x 4x the steps (0.30 vs 0.054 ms/layer).
+    Here the grid stays (rows,) like the fast greedy path and the
+    indirection + prefix elision ride in-kernel DMAs whose issue cost is
+    hidden behind the previous segment's compute."""
+    r = pl.program_id(0)
+    nlive = nlive_ref[0]
+
+    def issue(s, slot):
+        row = rm_ref[r, s]
+        pltpu.make_async_copy(
+            kq_hbm.at[row, pl.ds(s * seg, seg), :], kq_buf.at[slot],
+            sems.at[slot, 0]).start()
+        pltpu.make_async_copy(
+            ks_hbm.at[row, :, pl.ds(s * seg, seg)], ks_buf.at[slot],
+            sems.at[slot, 1]).start()
+        pltpu.make_async_copy(
+            vq_hbm.at[row, pl.ds(s * seg, seg), :], vq_buf.at[slot],
+            sems.at[slot, 2]).start()
+        pltpu.make_async_copy(
+            vs_hbm.at[row, :, pl.ds(s * seg, seg)], vs_buf.at[slot],
+            sems.at[slot, 3]).start()
+
+    def wait(slot):
+        pltpu.make_async_copy(
+            kq_hbm.at[0, pl.ds(0, seg), :], kq_buf.at[slot],
+            sems.at[slot, 0]).wait()
+        pltpu.make_async_copy(
+            ks_hbm.at[0, :, pl.ds(0, seg)], ks_buf.at[slot],
+            sems.at[slot, 1]).wait()
+        pltpu.make_async_copy(
+            vq_hbm.at[0, pl.ds(0, seg), :], vq_buf.at[slot],
+            sems.at[slot, 2]).wait()
+        pltpu.make_async_copy(
+            vs_hbm.at[0, :, pl.ds(0, seg)], vs_buf.at[slot],
+            sems.at[slot, 3]).wait()
+
+    mask_c = mask_ref[...]
+    qb = _expand_q(q_ref, mask_c, rept_ref[...])              # [H, HD] bf16
+    hd = qb.shape[1]
+    half = hd // 2
+    heads = qb.shape[0]
+
+    issue(0, 0)  # segment 0 is always live (nlive >= 1)
+
+    m = jnp.full((heads, 1), NEG_INF, jnp.float32)
+    l = jnp.zeros((heads, 1), jnp.float32)
+    acc = jnp.zeros((heads, hd), jnp.float32)
+    out_state = (m, l, acc)
+
+    for s in range(n_seg):                       # static unroll (n_seg ~ 4)
+        slot = s % 2
+
+        def live_step(state, s=s, slot=slot):
+            if s + 1 < n_seg:
+                @pl.when(s + 1 < nlive)
+                def _prefetch():
+                    issue(s + 1, (s + 1) % 2)
+            wait(slot)
+            m, l, acc = state
+            kp = kq_buf[slot].astype(jnp.int32)            # [seg, HD/2]
+            k_lo = _unpack_nibble(kp, 0)
+            k_hi = _unpack_nibble(kp, 4)
+            sc = jax.lax.dot_general(
+                qb[:, :half], k_lo, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            sc = sc + jax.lax.dot_general(
+                qb[:, half:], k_hi, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)        # [H, seg]
+            sc = (sc * ks_buf[slot].astype(jnp.float32)
+                  + bias_ref[0, :, s * seg:(s + 1) * seg])
+            m_cur = jnp.max(sc, axis=-1, keepdims=True)
+            m_new = jnp.maximum(m, m_cur)
+            alpha = jnp.exp(m - m_new)
+            p = jnp.exp(sc - m_new)
+            l_new = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
+            pv = (p * vs_buf[slot].astype(jnp.float32)
+                  ).astype(jnp.bfloat16)                   # [H, seg]
+            vp = vq_buf[slot].astype(jnp.int32)
+            o_lo = jax.lax.dot_general(
+                pv, _unpack_nibble(vp, 0), (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            o_hi = jax.lax.dot_general(
+                pv, _unpack_nibble(vp, 4), (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            acc_new = jnp.concatenate(
+                [acc[:, :half] * alpha + o_lo,
+                 acc[:, half:] * alpha + o_hi], axis=-1)
+            return m_new, l_new, acc_new
+
+        if s == 0:
+            out_state = live_step(out_state)     # always live
+        else:
+            out_state = jax.lax.cond(s < nlive, live_step,
+                                     lambda st: st, out_state)
+
+    m, l, acc = out_state
+    o = acc / jnp.maximum(l, 1e-30)
+    o = o * mask_c.astype(jnp.float32)
+    o_ref[0] = jax.lax.dot_general(
+        o.astype(jnp.bfloat16), rep_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("seg", "interpret", "head_map"))
+def lattice_self_int4(
+    q: jnp.ndarray,        # [B, H, D] float
+    kq_pack: jnp.ndarray,  # [B, L, HD/2] packed int8 (pack_int4 layout)
+    ks: jnp.ndarray,       # [B, H, L] f32/bf16
+    vq_pack: jnp.ndarray,  # [B, L, HD/2] packed int8
+    vs: jnp.ndarray,       # [B, H, L] f32/bf16
+    bias: jnp.ndarray,     # [B or 1, H, L] f32 (carries the causal -1e9)
+    row_map: jnp.ndarray,  # int32 [B, L // seg] physical row of each segment
+    n_live: jnp.ndarray,   # int32 [] or [1]: segments holding real data
+    seg: int = 128,
+    interpret: bool | None = None,
+    head_map: tuple | None = None,
+) -> jnp.ndarray:
+    """Lattice-ring beam self-attention (see _kernel_lattice_i4). Bit-
+    matches cross_decode_mxu_int4(..., row_map=...) on the same operands;
+    the difference is pure execution strategy: greedy-shaped grid, manual
+    per-segment DMAs through row_map, dead segments never read.
+    Reference analog: the HF beam cache reorder this path replaces,
+    transformers/generation/utils.py `_reorder_cache`."""
+    batch, kv_len, half = kq_pack.shape
+    hd = half * 2
+    heads = q.shape[1]
+    d = q.shape[2]
+    groups = hd // d
+    n_seg = kv_len // seg
+    if kv_len % seg:
+        raise ValueError(f"seg={seg} must divide ring length {kv_len}")
+    if row_map.shape != (batch, n_seg):
+        raise ValueError(
+            f"row_map shape {row_map.shape} != ({batch}, {n_seg})")
+    bias = bias.astype(jnp.float32)
+    if bias.shape[1] == 1:  # head-broadcast bias: materialize for the
+        bias = jnp.broadcast_to(bias, (bias.shape[0], heads, kv_len))
+    bias_b = bias.shape[0]
+    mask, rep_s, rep_t = _block_consts(head_map, heads, groups, d)
+    n_live_arr = jnp.asarray(n_live, jnp.int32).reshape((1,))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2, grid=(batch,),
+        in_specs=[
+            pl.BlockSpec((1, heads, d), lambda b, nl, rm: (b, 0, 0)),
+            pl.BlockSpec((1, heads, kv_len),
+                         lambda b, nl, rm: (b if bias_b > 1 else 0, 0, 0)),
+            pl.BlockSpec((heads, hd), lambda b, nl, rm: (0, 0)),
+            pl.BlockSpec((d, hd), lambda b, nl, rm: (0, 0)),
+            pl.BlockSpec((hd, d), lambda b, nl, rm: (0, 0)),
+            pl.BlockSpec(memory_space=pltpu.ANY),   # kq ring (manual DMA)
+            pl.BlockSpec(memory_space=pltpu.ANY),   # ks
+            pl.BlockSpec(memory_space=pltpu.ANY),   # vq
+            pl.BlockSpec(memory_space=pltpu.ANY),   # vs
+        ],
+        out_specs=pl.BlockSpec((1, heads, d), lambda b, nl, rm: (b, 0, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((2, seg, half), kq_pack.dtype),
+            pltpu.VMEM((2, heads, seg), ks.dtype),
+            pltpu.VMEM((2, seg, half), vq_pack.dtype),
+            pltpu.VMEM((2, heads, seg), vs.dtype),
+            pltpu.SemaphoreType.DMA((2, 4)),
+        ])
+    out = pl.pallas_call(
+        functools.partial(_kernel_lattice_i4, n_seg=n_seg, seg=seg),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((batch, heads, d), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=64 * 1024 * 1024),
+        interpret=_default_interpret() if interpret is None else interpret,
+    )(n_live_arr, row_map.astype(jnp.int32), q.astype(jnp.bfloat16), bias,
+      mask, rep_t, rep_s, kq_pack, ks, vq_pack, vs)
+    return out
+
+
 def cross_decode_reference(q, kq_flat, ks, vq_flat, vs, bias):
     """jnp reference with identical math and layouts (for tests)."""
     batch, kv_len, hd = kq_flat.shape

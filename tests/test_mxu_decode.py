@@ -435,3 +435,110 @@ class TestBeamSingleSegment:
         # log-probs over 128 steps; token choices are the real gate
         np.testing.assert_allclose(np.asarray(sc_k), np.asarray(sc_r),
                                    atol=3e-3)
+
+
+class TestLatticeKernel:
+    """Beam lattice self-attention (ops/mxu_decode.lattice_self_int4):
+    greedy-shaped grid + in-kernel per-segment DMAs through the COW row
+    map, dead suffix segments never fetched."""
+
+    def _case(self, rng, B=4, H=4, D=8, K=512, SEG=128, n_live=None):
+        from markushgrapher_tpu.ops.mxu_decode import pack_int4
+
+        HD = H * D
+        n_seg = K // SEG
+        q = jnp.asarray(rng.randn(B, H, D).astype(np.float32)
+                        ).astype(jnp.bfloat16)
+        kq = jnp.asarray(rng.randint(-7, 8, size=(B, K, HD)), jnp.int8)
+        vq = jnp.asarray(rng.randint(-7, 8, size=(B, K, HD)), jnp.int8)
+        ks = jnp.asarray(rng.rand(B, H, K).astype(np.float32) * 0.02)
+        vs = jnp.asarray(rng.rand(B, H, K).astype(np.float32) * 0.02)
+        bias = jnp.asarray(rng.randn(B, 1, K).astype(np.float32))
+        rm = jnp.asarray(rng.randint(0, B, (B, n_seg)), jnp.int32)
+        if n_live is None:
+            n_live = n_seg
+        if n_live < n_seg:
+            # causal mask: everything past the live prefix is -1e9 (the
+            # decode step's self_bias_row does this with step masking)
+            bias = bias.at[:, :, n_live * SEG:].set(-1e9)
+        return q, pack_int4(kq), ks, pack_int4(vq), vs, bias, rm, n_live
+
+    @pytest.mark.parametrize("n_live", [1, 2, 4])
+    def test_matches_rowmap_kernel(self, n_live):
+        """Must bit-match the row-mapped block-spec kernel on identical
+        operands: same map indirection, same int4 math, the only
+        difference is the execution strategy (manual DMAs + dead-suffix
+        elision vs full grid)."""
+        from markushgrapher_tpu.ops.mxu_decode import (
+            cross_decode_mxu_int4, lattice_self_int4)
+
+        rng = np.random.RandomState(5)
+        q, kqp, ks, vqp, vs, bias, rm, nl = self._case(rng, n_live=n_live)
+        got = lattice_self_int4(q, kqp, ks, vqp, vs, bias, rm, nl, seg=128)
+        ref = cross_decode_mxu_int4(q, kqp, ks, vqp, vs, bias, block_k=128,
+                                    row_map=rm, combined=False)
+        np.testing.assert_allclose(np.asarray(got, np.float32),
+                                   np.asarray(ref, np.float32), rtol=2e-2,
+                                   atol=1e-4)
+
+    def test_dead_suffix_data_ignored(self):
+        """Garbage in segments >= n_live must not change the output: the
+        lattice kernel never reads them (the row-mapped kernel relies on
+        the -1e9 bias instead)."""
+        from markushgrapher_tpu.ops.mxu_decode import lattice_self_int4
+
+        rng = np.random.RandomState(6)
+        q, kqp, ks, vqp, vs, bias, rm, nl = self._case(rng, n_live=2)
+        a = lattice_self_int4(q, kqp, ks, vqp, vs, bias, rm, nl, seg=128)
+        # poison the dead suffix (segments 2..3) with extreme scales
+        ks_bad = ks.at[:, :, 256:].set(1e9)
+        vs_bad = vs.at[:, :, 256:].set(1e9)
+        b = lattice_self_int4(q, kqp, ks_bad, vqp, vs_bad, bias, rm, nl,
+                              seg=128)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_beam_lattice_matches_rowmap_decode(self, monkeypatch):
+        """End-to-end: BEAM_LATTICE=1 beam search (fixed physical rows +
+        per-segment in-kernel DMA indirection) must reproduce the row-map
+        block-spec kernel beam token-for-token — identical int4 math and
+        COW semantics, only the execution strategy differs. (The XLA
+        share-nothing beam drifts from BOTH at this length via bf16
+        tie-breaking, so it is not the right oracle here; the nseg1 test
+        covers kernel-vs-XLA.)"""
+        import os
+        import sys
+
+        sys.path.insert(0, os.path.dirname(__file__))
+        from test_generate import tiny_cfg
+
+        from markushgrapher_tpu.decode.generate import beam_generate
+        from markushgrapher_tpu.models.markushgrapher import (
+            MarkushGrapherModel)
+
+        monkeypatch.setenv("BEAM_LATTICE", "1")
+        cfg = tiny_cfg(max_dec=96)  # 96 % 128 != 0 -> seg 4, n_seg 24
+        rng = np.random.RandomState(12)
+        batch = dict(
+            input_ids=jnp.asarray(rng.randint(3, 30, size=(2, 4))),
+            bbox=jnp.asarray(rng.rand(2, 4, 4).astype(np.float32)),
+            attention_mask=jnp.ones((2, 4), jnp.int32),
+            labels=jnp.asarray(rng.randint(3, 30, size=(2, 96))),
+            pixel_values=jnp.asarray(
+                rng.rand(2, 32, 32, 3).astype(np.float32)),
+        )
+        model = MarkushGrapherModel(cfg, dtype=jnp.float32)
+        params = model.init(jax.random.PRNGKey(0), **batch)
+        enc, enc_mask = model.apply(
+            params, batch["input_ids"], batch["bbox"],
+            batch["attention_mask"], batch["pixel_values"], None,
+            method=MarkushGrapherModel.encode)
+        ids_k, sc_k = beam_generate(model, params, enc, enc_mask, 96,
+                                    num_beams=3, eos_id=-1,
+                                    quant_cross_kv=True)
+        monkeypatch.setenv("BEAM_LATTICE", "0")
+        ids_r, sc_r = beam_generate(model, params, enc, enc_mask, 96,
+                                    num_beams=3, eos_id=-1,
+                                    quant_cross_kv=True)
+        np.testing.assert_array_equal(np.asarray(ids_k), np.asarray(ids_r))
+        np.testing.assert_allclose(np.asarray(sc_k), np.asarray(sc_r),
+                                   atol=3e-3)
