@@ -373,18 +373,19 @@ def main() -> None:
     # read so the chip never idles (production serving shape).
     pipelined = os.environ.get("BENCH_PIPELINED", "1") == "1"
     depth = int(os.environ.get("BENCH_PIPELINE_DEPTH", "4"))
-    # BENCH_MG_BUCKETS>=2 (DEFAULT 2 in the pipelined stream): length-
+    # BENCH_MG_BUCKETS>=2 (DEFAULT 4 in the pipelined stream): length-
     # bucketed MG batching (round-3 weak #2 — one dense page forces every
     # batch to the full pack length). The stream sorts all samples by VTL
     # valid count and chunks consecutive mg_batch groups; each group's pack
     # lengths round up from ITS densest page, so sparse groups run shorter
     # programs (one compile per distinct length pair). Pixels ride a
     # device-side uint8 pool + per-group gather since groups cross OCR
-    # batch boundaries. Requires BENCH_DEVICE_PIXELS. Measured (chain r4c):
-    # 7.28 default -> 7.49 bucketed at b48 (3 of 4 groups pack 1280/1536,
-    # the densest group unpacked).
+    # batch boundaries. Requires BENCH_DEVICE_PIXELS. Measured at b48:
+    # 7.28 unbucketed -> 7.49 @2 (chain r4c) -> 7.37 @3 / 7.51 @4
+    # (chain r5a E1/E2 — finer buckets shorten the sparse groups further;
+    # gains taper as per-group compile count grows).
     mg_buckets = int(os.environ.get("BENCH_MG_BUCKETS",
-                                    "2" if pipelined and device_pixels
+                                    "4" if pipelined and device_pixels
                                     else "0"))
     if mg_buckets and not device_pixels:
         raise ValueError("BENCH_MG_BUCKETS needs BENCH_DEVICE_PIXELS=1")

@@ -165,6 +165,194 @@ class ChemicalOCR:
 
         self._generate = jax.jit(gen)
 
+    # -- continuous batching (retire-at-EOS + refill) -----------------------
+
+    def _build_stream(self):
+        """jit programs for the streaming decode: sub-batch prefill, a
+        donated INNER-step decode chunk with per-row positions, and a
+        donated row-swap. The reference gets continuous batching from
+        vllm's scheduler (chemical_ocr.py:242-287 LLM(...) engine); here
+        it is three XLA programs + a ~25 ms host readback per chunk."""
+        model, cfg = self.model, self.cfg
+        if cfg.megastep:
+            raise ValueError("generate_stream: megastep uses a stacked-ring "
+                             "layout without per-row positions; disable it")
+        max_new = cfg.max_new_tokens
+
+        def norm(pixel_values):
+            if pixel_values.dtype == jnp.uint8:
+                from markushgrapher_tpu.data.device_pixels import \
+                    ocr_from_uint8
+                return ocr_from_uint8(pixel_values)
+            return pixel_values
+
+        def prefill_fn(params, pixel_values, prompt_ids):
+            logits, caches, prefix_len = model.apply(
+                params, norm(pixel_values), prompt_ids,
+                method=ChemicalOCRModel.prefill,
+                max_len=max_new, quant_kv=cfg.quant_kv, int4=cfg.int4_kv)
+            first = jnp.argmax(logits[:, -1], -1).astype(jnp.int32)
+            return caches, first, jnp.int32(prefix_len)
+
+        def quant_fn(params):
+            return model.apply(params, cfg.weight_bits, cfg.act_quant,
+                               method=ChemicalOCRModel.quantize_weights)
+
+        def chunk_fn(params, state, qw, prefix_len, inner):
+            batch = state["tok"].shape[0]
+
+            def cond(s):
+                return (s["i"] < inner) & ~jnp.all(s["finished"])
+
+            def body(s):
+                n, finished = s["n"], s["finished"]
+                # the fed token is each row's (n-1)-th generated token ->
+                # per-row decode position prefix_len + n - 1 (vlm.py
+                # decode_step vector-step path)
+                logits, caches = model.apply(
+                    params, s["tok"], s["caches"], n - 1, prefix_len, qw,
+                    method=ChemicalOCRModel.decode_step)
+                nxt = jnp.argmax(logits[:, -1], -1).astype(jnp.int32)
+                nxt = jnp.where(finished, cfg.pad_id, nxt)
+                rows = jnp.arange(batch)
+                pos = jnp.clip(n, 0, max_new - 1)
+                out = s["out"].at[rows, pos].set(
+                    jnp.where(finished, s["out"][rows, pos], nxt))
+                fin = finished | (nxt == cfg.eos_id) | (n + 1 >= s["budget"])
+                return dict(s, i=s["i"] + 1, n=jnp.where(finished, n, n + 1),
+                            tok=nxt[:, None], caches=caches, finished=fin,
+                            out=out)
+
+            state = dict(state, i=jnp.int32(0))
+            state = jax.lax.while_loop(cond, body, state)
+            state.pop("i")
+            return state
+
+        def swap_fn(state, rows, new_caches, first, budgets_r):
+            r = first.shape[0]
+            caches = jax.tree.map(lambda full, new: full.at[rows].set(new),
+                                  state["caches"], new_caches)
+            new_out = jnp.full((r, max_new), cfg.pad_id, jnp.int32)
+            new_out = new_out.at[:, 0].set(first)
+            return dict(
+                state,
+                caches=caches,
+                out=state["out"].at[rows].set(new_out),
+                n=state["n"].at[rows].set(1),
+                tok=state["tok"].at[rows].set(first[:, None]),
+                finished=state["finished"].at[rows].set(
+                    (first == cfg.eos_id) | (budgets_r <= 1)),
+                budget=state["budget"].at[rows].set(budgets_r))
+
+        self._stream = {
+            "prefill": jax.jit(prefill_fn),
+            "quant": jax.jit(quant_fn) if cfg.quant_weights else None,
+            "chunk": jax.jit(chunk_fn, donate_argnums=(1,),
+                             static_argnums=(4,)),
+            "swap": jax.jit(swap_fn, donate_argnums=(0,)),
+        }
+
+    def generate_stream(self, images, budgets=None, batch: int = 0,
+                        refill_batch: int = 8, inner: int = 64):
+        """Continuous-batching OCR: decode a stream of images with rows
+        retiring at EOS (or at their per-row token budget) and fresh
+        images refilling the freed rows — long-tail pages no longer hold
+        the whole batch hostage (the forced-budget worst case: e2e
+        degrades 7.5 -> 2.7 img/s at a 2048-token budget when every row
+        runs the full budget).
+
+        images: [N, H, W, 3] float/uint8 array or list of per-image
+        arrays. budgets: optional [N] per-image max-token counts (serving
+        per-request max_tokens; benchmarks use it to model realistic page
+        lengths). Returns a list of N 1-D int32 id arrays (pad-trimmed by
+        decode_ids as usual)."""
+        cfg = self.cfg
+        n_imgs = len(images)
+        batch = batch or cfg.batch_size
+        refill_batch = min(refill_batch, batch)
+        if budgets is None:
+            budgets = np.full(n_imgs, cfg.max_new_tokens, np.int32)
+        budgets = np.clip(np.asarray(budgets, np.int32), 1,
+                          cfg.max_new_tokens)
+        if not hasattr(self, "_stream") or self._stream is None:
+            self._build_stream()
+        st = self._stream
+        qw = st["quant"](self.params) if st["quant"] is not None else None
+
+        def pix(idxs):
+            arr = np.stack([np.asarray(images[i]) for i in idxs])
+            prompt = jnp.tile(jnp.asarray(self.prompt_ids)[None],
+                              (len(idxs), 1))
+            return jnp.asarray(arr), prompt
+
+        results: List[Optional[np.ndarray]] = [None] * n_imgs
+        next_img = min(batch, n_imgs)
+        owners = list(range(next_img)) + [-1] * (batch - next_img)
+
+        # initial fill (short streams pad with copies of image 0; their
+        # rows are born finished via budget 0 -> clipped to 1 w/ owner -1)
+        init_idx = list(range(next_img)) + [0] * (batch - next_img)
+        pv, prompt = pix(init_idx)
+        caches, first, prefix_len = st["prefill"](self.params, pv, prompt)
+        budget0 = np.ones(batch, np.int32)
+        budget0[:next_img] = budgets[:next_img]
+        state = {
+            "caches": caches,
+            "n": jnp.ones(batch, jnp.int32),
+            "tok": first[:, None],
+            "finished": (first == cfg.eos_id)
+            | (jnp.asarray(budget0) <= 1)
+            | (jnp.arange(batch) >= next_img),
+            "out": jnp.full((batch, cfg.max_new_tokens), cfg.pad_id,
+                            jnp.int32).at[:, 0].set(first),
+            "budget": jnp.asarray(budget0),
+        }
+
+        def collect(rows):
+            got = np.asarray(jax.device_get(state["out"][jnp.asarray(rows)]))
+            for r, row_ids in zip(rows, got):
+                results[owners[r]] = row_ids
+                owners[r] = -1
+
+        free: List[int] = []
+        while True:
+            state = st["chunk"](self.params, state, qw, prefix_len, inner)
+            fin = np.asarray(jax.device_get(state["finished"]))
+            newly = [r for r in range(batch) if fin[r] and owners[r] >= 0]
+            if newly:
+                collect(newly)
+                free += newly
+            live = any(o >= 0 for o in owners)
+            # Refill in EXACT refill_batch waves: freed rows accumulate in
+            # `free` until a full wave is ready, so swap/prefill each
+            # compile for ONE shape (remote XLA compiles are seconds-to-
+            # minutes; per-retirement-count shapes would compile dozens).
+            # A sub-R wave fires only when the queue is nearly drained —
+            # it pads the prefill with copies of image 0 and slices, and
+            # adds at most one extra swap program.
+            while free and next_img < n_imgs and (
+                    len(free) >= refill_batch
+                    or n_imgs - next_img <= len(free)):
+                take = min(refill_batch, n_imgs - next_img)
+                rows, free = free[:take], free[take:]
+                idxs = list(range(next_img, next_img + take))
+                next_img += take
+                pad = refill_batch - take
+                pv, prompt = pix(idxs + [0] * pad)
+                new_caches, first, _ = st["prefill"](self.params, pv, prompt)
+                if pad:
+                    new_caches = jax.tree.map(lambda a: a[:take], new_caches)
+                    first = first[:take]
+                state = st["swap"](state, jnp.asarray(rows, jnp.int32),
+                                   new_caches, first,
+                                   jnp.asarray(budgets[idxs], jnp.int32))
+                for r, i in zip(rows, idxs):
+                    owners[r] = i
+                live = True
+            if not live and next_img >= n_imgs:
+                break
+        return [results[i] for i in range(n_imgs)]
+
     def generate_batch_async(self, images: np.ndarray,
                              return_pixels: bool = False):
         """Dispatch OCR decode for a batch; returns the on-device id array

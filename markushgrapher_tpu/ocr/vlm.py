@@ -406,11 +406,29 @@ class LMLayer(nn.Module):
 
     def _skip_kw(self, ring_len, step):
         """Valid-prefix ring reads (ops/mxu_decode.valid_prefix_blocks);
-        here the tail positions are masked by kv_mask (-inf)."""
-        if not self.block_skip:
+        here the tail positions are masked by kv_mask (-inf). Per-row step
+        vectors (continuous batching) disable the skip — rows sit at
+        different positions, so there is no single valid prefix."""
+        if not self.block_skip or jnp.ndim(step) != 0:
             return {}
         from markushgrapher_tpu.ops.mxu_decode import valid_prefix_blocks
         return valid_prefix_blocks(ring_len, step, 128)
+
+    @staticmethod
+    def _ring_upd(arr, new, step, axis):
+        """Write one decode slot into a ring cache. Scalar `step`: every
+        row shares the slot (dynamic_update_slice, the batched-decode
+        fast path). `[B]` vector `step`: per-row scatter — continuous
+        batching keeps each row at its own generation position after
+        retire-and-refill (ocr/engine.generate_stream)."""
+        if jnp.ndim(step) == 0:
+            return jax.lax.dynamic_update_slice_in_dim(arr, new, step, axis)
+        b = arr.shape[0]
+        if axis == 1:                      # [B, L, C] value rows
+            return arr.at[jnp.arange(b), step].set(new[:, 0])
+        h = arr.shape[1]                   # axis == 2: [B, H, L] scale rows
+        return arr.at[jnp.arange(b)[:, None], jnp.arange(h)[None, :],
+                      step[:, None]].set(new[:, :, 0])
 
     def decode_step(self, x, cache, rope, position, step, kv_mask, qw=None):
         cfg = self.cfg
@@ -438,11 +456,10 @@ class LMLayer(nn.Module):
                     rep, axis=1)                  # [B, 2H, 1]
                 cache = dict(
                     cache,
-                    kv_q4=jax.lax.dynamic_update_slice_in_dim(
-                        cache["kv_q4"], kv_row, step, axis=1),
-                    kv_s=jax.lax.dynamic_update_slice_in_dim(
+                    kv_q4=self._ring_upd(cache["kv_q4"], kv_row, step, 1),
+                    kv_s=self._ring_upd(
                         cache["kv_s"], s_col.astype(cache["kv_s"].dtype),
-                        step, axis=2))
+                        step, 2))
                 attn_out = cross_decode_mxu_int4(
                     q[:, 0] * (d ** -0.5),
                     cache["kv_q4"], cache["kv_s"],
@@ -453,22 +470,20 @@ class LMLayer(nn.Module):
                 sdt = cache["k_s4"].dtype
                 cache = dict(
                     cache,
-                    k_q4=jax.lax.dynamic_update_slice_in_dim(
+                    k_q4=self._ring_upd(
                         cache["k_q4"],
-                        pack_int4(kq_new.reshape(b, 1, nkv * d)),
-                        step, axis=1),
-                    v_q4=jax.lax.dynamic_update_slice_in_dim(
+                        pack_int4(kq_new.reshape(b, 1, nkv * d)), step, 1),
+                    v_q4=self._ring_upd(
                         cache["v_q4"],
-                        pack_int4(vq_new.reshape(b, 1, nkv * d)),
-                        step, axis=1),
-                    k_s4=jax.lax.dynamic_update_slice_in_dim(
+                        pack_int4(vq_new.reshape(b, 1, nkv * d)), step, 1),
+                    k_s4=self._ring_upd(
                         cache["k_s4"],
                         jnp.repeat(ks_new.transpose(0, 2, 1), rep,
-                                   axis=1).astype(sdt), step, axis=2),
-                    v_s4=jax.lax.dynamic_update_slice_in_dim(
+                                   axis=1).astype(sdt), step, 2),
+                    v_s4=self._ring_upd(
                         cache["v_s4"],
                         jnp.repeat(vs_new.transpose(0, 2, 1), rep,
-                                   axis=1).astype(sdt), step, axis=2))
+                                   axis=1).astype(sdt), step, 2))
                 attn_out = cross_decode_mxu_int4(
                     q[:, 0] * (d ** -0.5),
                     cache["k_q4"], cache["k_s4"],
@@ -487,14 +502,14 @@ class LMLayer(nn.Module):
             vq_new, vs_new = _quantize_kv(v_new)
             cache = dict(
                 cache,
-                k_q=jax.lax.dynamic_update_slice_in_dim(
-                    cache["k_q"], kq_new.reshape(b, 1, nkv * d), step, axis=1),
-                k_s=jax.lax.dynamic_update_slice_in_dim(
-                    cache["k_s"], ks_new.transpose(0, 2, 1), step, axis=2),
-                v_q=jax.lax.dynamic_update_slice_in_dim(
-                    cache["v_q"], vq_new.reshape(b, 1, nkv * d), step, axis=1),
-                v_s=jax.lax.dynamic_update_slice_in_dim(
-                    cache["v_s"], vs_new.transpose(0, 2, 1), step, axis=2))
+                k_q=self._ring_upd(
+                    cache["k_q"], kq_new.reshape(b, 1, nkv * d), step, 1),
+                k_s=self._ring_upd(
+                    cache["k_s"], ks_new.transpose(0, 2, 1), step, 2),
+                v_q=self._ring_upd(
+                    cache["v_q"], vq_new.reshape(b, 1, nkv * d), step, 1),
+                v_s=self._ring_upd(
+                    cache["v_s"], vs_new.transpose(0, 2, 1), step, 2))
             # per-head scales for the kernel's [H, TK] score rows: repeat
             # each kv-head scale across its query group
             rep = cfg.num_heads // nkv
@@ -507,8 +522,8 @@ class LMLayer(nn.Module):
             x = x + self._o_proj(attn_out, qw)
             x = x + self._mlp_decode(self.ln_mlp(x), qw)
             return x, cache
-        k = jax.lax.dynamic_update_slice_in_dim(cache["k"], k_new, step, axis=1)
-        v = jax.lax.dynamic_update_slice_in_dim(cache["v"], v_new, step, axis=1)
+        k = self._ring_upd(cache["k"], k_new, step, 1)
+        v = self._ring_upd(cache["v"], v_new, step, 1)
         if qw is None:
             x = x + self._attend(q, k, v, kv_mask)
         else:
@@ -675,21 +690,33 @@ class ChemicalOCRModel(nn.Module):
         return logits, rings
 
     def decode_step(self, token_ids, caches, step, prefix_len, qw=None):
-        """One token for all sequences; step counts from 0 after prefill."""
+        """One token for all sequences; step counts from 0 after prefill.
+
+        `step` may be a scalar (the batched-decode fast path: one shared
+        dynamic-update slot, one shared kv mask) or a `[B]` int32 vector
+        (continuous batching, ocr/engine.generate_stream: each row decodes
+        at its own position — per-row RoPE, per-row ring scatter, per-row
+        kv mask; the reference gets this behavior from vllm's scheduler,
+        chemical_ocr.py:226-287)."""
         b = token_ids.shape[0]
-        pos = jnp.full((b, 1), prefix_len + step, jnp.int32)
+        slot = prefix_len + step                       # scalar or [B]
+        if jnp.ndim(step) == 0:
+            pos = jnp.full((b, 1), slot, jnp.int32)
+            valid = slot
+        else:
+            pos = slot[:, None].astype(jnp.int32)
+            valid = slot[:, None, None, None]
         x = self.embed[token_ids].astype(self.dtype)
         c0 = caches[0]
         total = next(c0[k] for k in ("k", "k_q", "kv_q4", "k_q4")
              if k in c0).shape[1]
         neg = jnp.finfo(jnp.float32).min
         idx = jnp.arange(total)
-        kv_mask = jnp.where(idx[None, None, None, :] <= prefix_len + step,
-                            0.0, neg)
+        kv_mask = jnp.where(idx[None, None, None, :] <= valid, 0.0, neg)
         new_caches = []
         for i, (layer, cache) in enumerate(zip(self.layers, caches)):
             x, cache = layer.decode_step(
-                x, cache, self._rope, pos, prefix_len + step, kv_mask,
+                x, cache, self._rope, pos, slot, kv_mask,
                 qw["layers"][i] if qw is not None else None)
             new_caches.append(cache)
         x = self.final_ln(x)

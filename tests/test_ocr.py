@@ -313,3 +313,70 @@ class TestOCRTrainer:
                 losses.append(float(m["loss"]))
         assert all(np.isfinite(losses))
         assert losses[-1] < losses[0]
+
+
+class TestStreamEngine:
+    """Continuous batching (generate_stream): rows retire at EOS / budget
+    and fresh images refill freed rows (per-row decode positions)."""
+
+    def test_vector_step_matches_scalar(self, vlm):
+        """decode_step with a [B] step vector (all rows equal) must equal
+        the scalar-step path exactly — same logits, same cache contents."""
+        cfg, model, params, pix, prompt = vlm
+        _, caches, pl_ = model.apply(
+            params, pix, prompt, method=ChemicalOCRModel.prefill, max_len=4)
+        tok = jnp.asarray([[7], [13]], jnp.int32)
+        ref, rc = model.apply(params, tok, caches, jnp.int32(1), pl_,
+                              method=ChemicalOCRModel.decode_step)
+        got, gc = model.apply(params, tok, caches,
+                              jnp.full((2,), 1, jnp.int32), pl_,
+                              method=ChemicalOCRModel.decode_step)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=1e-5, rtol=1e-5)
+        for r, g in zip(jax.tree.leaves(rc), jax.tree.leaves(gc)):
+            np.testing.assert_allclose(np.asarray(g), np.asarray(r),
+                                       atol=1e-6)
+
+    @pytest.mark.parametrize("quant", [False, True])
+    def test_stream_matches_batched(self, vlm, quant):
+        """Every image decoded through the refill stream must produce the
+        same tokens as the fixed-batch engine, truncated at its per-image
+        budget (positions >= budget are pad)."""
+        cfg, model, params, _, _ = vlm
+        n_tok, n_imgs, batch = 8, 10, 4
+        rng = np.random.RandomState(3)
+        images = rng.rand(n_imgs, 32, 32, 3).astype(np.float32)
+        budgets = np.asarray([8, 3, 5, 8, 1, 2, 8, 4, 6, 8], np.int32)
+        ecfg = OCREngineConfig(max_new_tokens=n_tok, batch_size=batch,
+                               quant_kv=quant, int4_kv=quant)
+        engine = ChemicalOCR(model, params, MGTokenizer(), ecfg)
+
+        # reference: fixed-batch decode of each image (pad rows to batch)
+        want = []
+        for i in range(n_imgs):
+            ids = np.asarray(jax.device_get(engine.generate_batch_async(
+                np.repeat(images[i:i + 1], batch, axis=0))))[0]
+            ids = ids.copy()
+            ids[budgets[i]:] = ecfg.pad_id
+            want.append(ids)
+
+        got = engine.generate_stream(images, budgets=budgets, batch=batch,
+                                     refill_batch=2, inner=2)
+        for i in range(n_imgs):
+            np.testing.assert_array_equal(
+                got[i], want[i],
+                err_msg=f"image {i} (budget {budgets[i]})")
+
+    def test_stream_short_queue(self, vlm):
+        """Fewer images than batch rows: padding rows are born retired and
+        the stream still returns every image."""
+        cfg, model, params, _, _ = vlm
+        rng = np.random.RandomState(4)
+        images = rng.rand(2, 32, 32, 3).astype(np.float32)
+        ecfg = OCREngineConfig(max_new_tokens=6, batch_size=4)
+        engine = ChemicalOCR(model, params, MGTokenizer(), ecfg)
+        out = engine.generate_stream(images, inner=3)
+        assert len(out) == 2
+        ref = np.asarray(jax.device_get(engine.generate_batch_async(
+            np.concatenate([images, images], axis=0))))[:2]
+        np.testing.assert_array_equal(np.stack(out), ref)
