@@ -1,57 +1,60 @@
 """Loss-parity check for the trainable flash attention path
-(MARKUSH_TRAIN_ATTN=flash): one identical train step under the chunked-q
-reference and under flash must produce matching losses and grad norms —
-the stock pallas kernel only runs on real TPU (no interpret mode), so this
-is the hardware-side correctness gate (CI covers the chunked/onehot paths).
+(MARKUSH_TRAIN_ATTN=flash + MARKUSH_TRAIN_BIAS=onehot_mat, the measured
+2.87 ex/s config) against the default chunked-q + per-layer one-hot path:
+one identical train step under each must produce matching loss and grad
+norm. The stock pallas flash kernel only runs on real TPU (no interpret
+mode), so this is the hardware-side correctness gate (CI covers the
+chunked/onehot paths on CPU).
 
-Env: CHECK_BATCH (4), CHECK_SEQ (512), CHECK_DEC (128).
+Each mode runs in its own subprocess: a train state is ~9 GiB of
+params+moments and the two programs each compile near the 15.75 GiB cap,
+so sequential in-process runs risk allocator fragmentation OOMs
+(CLAUDE.md round-4: 67% fragmentation observed).
+
+Env: CHECK_BATCH (8), CHECK_SEQ (512), CHECK_DEC (128).
 """
 
 from __future__ import annotations
 
+import json
 import os
-
-import jax
-import numpy as np
-
-try:
-    jax.config.update("jax_compilation_cache_dir",
-                      os.environ.get("JAX_CACHE_DIR", "/tmp/jax_cache"))
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
-except Exception:
-    pass
+import subprocess
+import sys
 
 
-def one_loss(attn_mode: str, bias_mode: str, batch, rngs):
+def one_loss() -> None:
+    import jax
+    import numpy as np
+
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          os.environ.get("JAX_CACHE_DIR", "/tmp/jax_cache"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+    except Exception:
+        pass
     import jax.numpy as jnp
 
-    os.environ["MARKUSH_TRAIN_ATTN"] = attn_mode
-    os.environ["MARKUSH_TRAIN_BIAS"] = bias_mode
     from markushgrapher_tpu.config import MarkushGrapherConfig, TrainConfig
     from markushgrapher_tpu.models.markushgrapher import MarkushGrapherModel
     from markushgrapher_tpu.parallel import mesh as mesh_lib
     from markushgrapher_tpu.train.trainer import Trainer
 
-    cfg = MarkushGrapherConfig()
-    model = MarkushGrapherModel(cfg, dtype=jnp.bfloat16, remat=True)
-    trainer = Trainer(model=model,
-                      cfg=TrainConfig(gradient_accumulation_steps=1,
-                                      warmup_steps=10, max_steps=1000),
-                      mesh=mesh_lib.create_mesh(),
-                      frozen_prefixes=(("molscribe_encoder",),))
-    state = trainer.init_state(rngs[0], batch)
-    state, m = trainer.train_step(state, batch, rngs[1])
-    return float(m["loss"]), float(m["grad_norm"])
-
-
-def main() -> None:
-    b = int(os.environ.get("CHECK_BATCH", "4"))
+    b = int(os.environ.get("CHECK_BATCH", "8"))
     seq = int(os.environ.get("CHECK_SEQ", "512"))
     dec = int(os.environ.get("CHECK_DEC", "128"))
     rng = np.random.RandomState(0)
-    from markushgrapher_tpu.config import MarkushGrapherConfig
-
-    cfg = MarkushGrapherConfig()
+    if os.environ.get("CHECK_TINY", "0") == "1":
+        # CPU plumbing smoke (flash needs real TPU; this exercises the
+        # subprocess/compare machinery on the chunked path only)
+        from markushgrapher_tpu.config import SwinConfig, VTLConfig
+        cfg = MarkushGrapherConfig(
+            vtl=VTLConfig(vocab_size=33201, d_model=64, d_kv=16, d_ff=128,
+                          num_layers=2, num_decoder_layers=2, num_heads=4,
+                          image_size=64),
+            swin=SwinConfig(image_size=64, embed_dim=32, depths=(1, 1),
+                            num_heads=(2, 4), window_size=4))
+    else:
+        cfg = MarkushGrapherConfig()
     batch = dict(
         input_ids=rng.randint(3, 32000, size=(b, seq)).astype(np.int32),
         bbox=rng.rand(b, seq, 4).astype(np.float32),
@@ -63,17 +66,47 @@ def main() -> None:
                                    cfg.swin.image_size,
                                    3).astype(np.float32),
     )
-    rngs = (jax.random.PRNGKey(0), jax.random.PRNGKey(1))
-    ref_loss, ref_gn = one_loss("chunked", "materialized", batch, rngs)
-    fl_loss, fl_gn = one_loss("flash", "materialized", batch, rngs)
-    dl = abs(ref_loss - fl_loss) / max(abs(ref_loss), 1e-6)
-    dg = abs(ref_gn - fl_gn) / max(abs(ref_gn), 1e-6)
-    print(f"chunked: loss={ref_loss:.6f} gnorm={ref_gn:.4f}")
-    print(f"flash:   loss={fl_loss:.6f} gnorm={fl_gn:.4f}")
+    model = MarkushGrapherModel(cfg, dtype=jnp.bfloat16, remat=True)
+    trainer = Trainer(model=model,
+                      cfg=TrainConfig(gradient_accumulation_steps=1,
+                                      warmup_steps=10, max_steps=1000),
+                      mesh=mesh_lib.create_mesh(),
+                      frozen_prefixes=(("molscribe_encoder",),))
+    state = trainer.init_state(jax.random.PRNGKey(0), batch)
+    state, m = trainer.train_step(state, batch, jax.random.PRNGKey(1))
+    print(json.dumps({"loss": float(m["loss"]),
+                      "grad_norm": float(m["grad_norm"])}))
+
+
+def run_mode(attn: str, bias: str) -> dict:
+    env = dict(os.environ, MARKUSH_TRAIN_ATTN=attn, MARKUSH_TRAIN_BIAS=bias)
+    p = subprocess.run([sys.executable, os.path.abspath(__file__), "--one"],
+                       env=env, capture_output=True, text=True, timeout=3000)
+    lines = [ln for ln in p.stdout.strip().splitlines() if ln.strip()]
+    if p.returncode != 0 or not lines:
+        sys.stderr.write(p.stderr[-4000:])
+        raise RuntimeError(f"{attn}/{bias} subprocess failed "
+                           f"(rc={p.returncode})")
+    return json.loads(lines[-1])
+
+
+def main() -> None:
+    ref = run_mode("chunked", "onehot")
+    print(f"chunked/onehot:    loss={ref['loss']:.6f} "
+          f"gnorm={ref['grad_norm']:.4f}", flush=True)
+    fl = run_mode("flash", "onehot_mat")
+    print(f"flash/onehot_mat:  loss={fl['loss']:.6f} "
+          f"gnorm={fl['grad_norm']:.4f}")
+    dl = abs(ref["loss"] - fl["loss"]) / max(abs(ref["loss"]), 1e-6)
+    dg = (abs(ref["grad_norm"] - fl["grad_norm"])
+          / max(abs(ref["grad_norm"]), 1e-6))
     print(f"rel diff: loss={dl:.2e} gnorm={dg:.2e}")
     assert dl < 5e-3 and dg < 5e-2, "flash train path diverges from chunked"
     print("PARITY OK")
 
 
 if __name__ == "__main__":
-    main()
+    if "--one" in sys.argv:
+        one_loss()
+    else:
+        main()
