@@ -389,6 +389,30 @@ def main() -> None:
                                     else "0"))
     if mg_buckets and not device_pixels:
         raise ValueError("BENCH_MG_BUCKETS needs BENCH_DEVICE_PIXELS=1")
+    # BENCH_VARLEN=1: honest variable-length e2e — OCR rows retire at
+    # per-image budgets (lognormal page-length model, scripts/
+    # bench_ocr_stream.py) via continuous batching instead of every row
+    # being forced to the full BENCH_OCR_TOKENS budget; retired images
+    # join MG batches in arrival order. Reports alongside the forced-
+    # budget numbers (real pages EOS-terminate at a few hundred tokens;
+    # the reference's vllm scheduler gives it the same early-retire).
+    varlen = os.environ.get("BENCH_VARLEN", "0") == "1"
+    varlen_median = int(os.environ.get("BENCH_MEDIAN_TOKENS", "256"))
+    # MG-side request budgets (vllm-style per-request max_tokens): real
+    # CXSMILES outputs EOS-terminate at ~100-300 tokens; the varlen bench
+    # models them as per-request caps, schedules a 2x-batch window sorted
+    # by budget (known at request time), and the greedy while_loop exits
+    # at each group's max budget (decode/generate.py row_budgets — same
+    # compiled program, dynamic trip count). 0 forces every row to
+    # decode_len.
+    varlen_mg_median = int(os.environ.get("BENCH_MG_MEDIAN_TOKENS", "200"))
+    varlen_n = int(os.environ.get("BENCH_VARLEN_N", str(4 * mg_batch)))
+    varlen_refill = int(os.environ.get("BENCH_REFILL", "8"))
+    varlen_inner = int(os.environ.get("BENCH_INNER", "64"))
+    if varlen and not device_pixels:
+        raise ValueError("BENCH_VARLEN needs BENCH_DEVICE_PIXELS=1")
+    if varlen and varlen_n % mg_batch:
+        raise ValueError("BENCH_VARLEN_N must be a multiple of the MG batch")
 
     n_side_b = cfg.vtl.num_patches_side
     vtl_total = cfg.max_seq_length + n_side_b * n_side_b
@@ -396,14 +420,14 @@ def main() -> None:
                    else 0)
     stage2b_cache = {}
 
-    def make_stage2b(enc_len: int, cross_len):
-        key = (enc_len, cross_len)
+    def make_stage2b(enc_len: int, cross_len, budgeted: bool = False):
+        key = (enc_len, cross_len, budgeted)
         if key in stage2b_cache:
             return stage2b_cache[key]
         m = model.clone(encoder_pack_len=enc_len) if enc_len else model
 
         @jax.jit
-        def fn(params, batch, pixpool, idx):
+        def fn(params, batch, pixpool, idx, mg_bud=None):
             p = jnp.take(pixpool, idx, axis=0)
             pixel_values = vtl_from_uint8(p, cfg.vtl.image_size)
             ocsr_pixel_values = ocsr_from_uint8(p, cfg.swin.image_size)
@@ -416,7 +440,8 @@ def main() -> None:
                                   quant_weights=quant_w,
                                   weight_bits=weight_bits,
                                   act_quant=act_quant,
-                                  cross_pack_len=cross_len)
+                                  cross_pack_len=cross_len,
+                                  row_budgets=mg_bud)
             checksum = jnp.sum(out).astype(jnp.int32)
             if cross_len is not None or enc_len:
                 from markushgrapher_tpu.ops.fusion import (
@@ -533,6 +558,87 @@ def main() -> None:
                             "valid encoder positions than the warmup bound")
         return time.perf_counter() - t0
 
+    def varlen_run() -> float:
+        """Honest variable-length e2e: continuous-batching OCR (rows
+        retire at per-image lognormal budgets, freed rows refill —
+        ocr/engine.stream_retired) feeding MG batches in arrival order.
+        Host decode+parse+encode rides the thread pool while the chip
+        runs the next decode chunk; MG group pack lengths quantize to a
+        256 grid (bounded compile count, same rule as the bucketed
+        stream). MG decode stays forced at decode_len — its trained-model
+        early-EOS exit is a separate (model-quality) effect."""
+        from markushgrapher_tpu.models.markushgrapher import (
+            encoder_valid_counts)
+
+        r = np.random.RandomState(0)
+        budgets = np.clip(r.lognormal(np.log(varlen_median), 1.0, varlen_n),
+                          32, ocr_tokens).astype(np.int32)
+        budgets[::20] = ocr_tokens  # dense-page tail
+        if varlen_mg_median:
+            r1 = np.random.RandomState(1)
+            mg_budgets = np.clip(
+                r1.lognormal(np.log(varlen_mg_median), 0.6, varlen_n),
+                32, decode_len).astype(np.int32)
+            mg_budgets[::20] = decode_len  # dense-output tail
+        else:
+            mg_budgets = np.full(varlen_n, decode_len, np.int32)
+        ocr_pix = [resize_image(images[i % len(images)],
+                                ocr_cfg.vision.image_size)
+                   for i in range(varlen_n)]
+        pixpool = jnp.asarray(np.stack(ocr_pix))
+
+        def encode_row(i, row):
+            text = engine.decode_ids(row[None])[0]
+            return encode_one((None, text, i))
+
+        t0 = time.perf_counter()
+        mg_outs = []
+        futs = []
+
+        def dispatch_group(entries):
+            idxs = [i for i, _ in entries]
+            samples = [f.result() for _, f in entries]
+            host = collator(samples)
+            counts = encoder_valid_counts(
+                cfg, host["bbox"], host["attention_mask"],
+                include_molscribe=False)
+            qlen = min(-(-(int(counts.max()) + 64) // 256) * 256, vtl_total)
+            enc_len = 0 if (qlen >= vtl_total or not enc_pack) else qlen
+            cross_len = None
+            if cross_pack:
+                cross_len = -(-(qlen + mols_tokens) // 256) * 256
+                if cross_len >= vtl_total + mols_tokens:
+                    cross_len = None
+            fn = make_stage2b(enc_len, cross_len,
+                              budgeted=bool(varlen_mg_median))
+            gb = {k: jnp.asarray(host[k])
+                  for k in ("input_ids", "bbox", "attention_mask")}
+            args = (params, gb, pixpool, jnp.asarray(idxs, jnp.int32))
+            if varlen_mg_median:
+                args += (jnp.asarray(mg_budgets[idxs], jnp.int32),)
+            mg_outs.append(fn(*args))
+
+        # schedule MG groups from a 2x-batch window sorted by request
+        # budget (known at request time) so each group's while_loop exit
+        # (= group-max budget) tracks the quantile instead of the global
+        # tail; the OCR stream keeps filling the window meanwhile
+        window = []
+        for i, row in engine.stream_retired(
+                ocr_pix, budgets=budgets, batch=ocr_batch,
+                refill_batch=varlen_refill, inner=varlen_inner):
+            window.append((i, pool.submit(encode_row, i, row)))
+            if len(window) >= 2 * mg_batch:
+                window.sort(key=lambda e: mg_budgets[e[0]])
+                dispatch_group(window[:mg_batch])
+                window = window[mg_batch:]
+        while window:
+            window.sort(key=lambda e: mg_budgets[e[0]])
+            dispatch_group(window[:mg_batch])
+            window = window[mg_batch:]
+        for o in mg_outs:
+            assert int(o) >= 0, "varlen group pack overflow"
+        return time.perf_counter() - t0
+
     def pipeline() -> int:
         """Unpipelined single round-trip (BENCH_PIPELINED=0 debugging)."""
         buf = []
@@ -549,12 +655,18 @@ def main() -> None:
                        "encoder positions than the warmup bound"
         return v
 
-    if mg_buckets >= 2:
+    if varlen:
+        varlen_run()  # compile + warm stream + every group program
+    elif mg_buckets >= 2:
         stream_bucketed(depth)  # compile + warm every bucket program
     else:
         pipeline()  # compile + warm both programs
 
     diag_fields = {}
+    if diag and varlen:
+        print("diag: skipped under BENCH_VARLEN (stage rates are budget-"
+              "distribution-dependent there)", file=sys.stderr, flush=True)
+        diag = False
     if diag and mg_buckets >= 2:
         # the bucketed warmup never resolves the default stage2 pack
         # lengths — timing it here would compile and measure an unpacked
@@ -598,7 +710,9 @@ def main() -> None:
 
     times = []
     for _ in range(repeats):
-        if mg_buckets >= 2:
+        if varlen:
+            times.append(varlen_run() / (varlen_n / mg_batch))
+        elif mg_buckets >= 2:
             times.append(stream_bucketed(depth) / depth)
         elif pipelined:
             times.append(stream(depth) / depth)
@@ -611,14 +725,20 @@ def main() -> None:
 
     n_chips = max(1, len(jax.devices()))
     value = images_per_sec / n_chips
-    metric = ("images_per_sec_per_chip_e2e_pipelined" if pipelined
+    metric = ("images_per_sec_per_chip_e2e_varlen" if varlen
+              else "images_per_sec_per_chip_e2e_pipelined" if pipelined
               else "images_per_sec_per_chip_e2e_pipeline")
+    unit = (f"img/s/chip (OCR cap {ocr_tokens} median {varlen_median} tok "
+            f"@b{ocr_batch} stream + MG cap {decode_len} median "
+            f"{varlen_mg_median or decode_len} tok @b{mg_batch}, "
+            f"{jax.devices()[0].platform})" if varlen else
+            f"img/s/chip (OCR {ocr_tokens} tok @b{ocr_batch} + MG "
+            f"{decode_len} tok @b{mg_batch}, "
+            f"{jax.devices()[0].platform})")
     print(json.dumps({
         "metric": metric,
         "value": round(value, 4),
-        "unit": f"img/s/chip (OCR {ocr_tokens} tok @b{ocr_batch} + MG "
-                f"{decode_len} tok @b{mg_batch}, "
-                f"{jax.devices()[0].platform})",
+        "unit": unit,
         "vs_baseline": round(value / BASELINE_IMAGES_PER_SEC, 4),
         # per-stage standalone rates when BENCH_DIAG=1 (the additivity
         # denominator: single-chip e2e ceiling = 1/(1/ocr + 1/mg))

@@ -98,8 +98,16 @@ def greedy_generate(
     weight_bits: int = 8,
     act_quant: bool = False,
     cross_pack_len: int | None = None,
+    row_budgets: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """Returns generated ids [B, max_length] (EOS-padded).
+
+    row_budgets ([B] int32, optional): per-request max-token caps (the
+    vllm-style per-request max_tokens the reference's serving stack
+    honors). A row is marked finished once it has emitted its budget, so
+    the while_loop exits at the BATCH-MAX budget instead of max_length —
+    same compiled program, dynamic trip count. Positions past a row's
+    budget are pad. None keeps the existing graph byte-identical.
 
     quant_cross_kv stores the cross-attention cache int8 (the dominant
     decode HBM traffic); quant_weights additionally reads all decode-step
@@ -136,6 +144,8 @@ def greedy_generate(
         next_tok = jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32)
         next_tok = jnp.where(finished, pad_id, next_tok)
         finished = finished | (next_tok == eos_id)
+        if row_budgets is not None:
+            finished = finished | (step + 1 >= row_budgets)
         out = out.at[:, step].set(next_tok)
         return step + 1, next_tok[:, None], caches, finished, out
 

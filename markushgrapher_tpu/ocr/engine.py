@@ -266,6 +266,19 @@ class ChemicalOCR:
         per-request max_tokens; benchmarks use it to model realistic page
         lengths). Returns a list of N 1-D int32 id arrays (pad-trimmed by
         decode_ids as usual)."""
+        results = [None] * len(images)
+        for i, ids in self.stream_retired(images, budgets, batch,
+                                          refill_batch, inner):
+            results[i] = ids
+        return results
+
+    def stream_retired(self, images, budgets=None, batch: int = 0,
+                       refill_batch: int = 8, inner: int = 64):
+        """Generator form of generate_stream: yields (image_index, ids)
+        as each row retires, in retirement order — downstream stages
+        (host grammar-parse/encode, the MarkushGrapher batch) start on an
+        image the moment its decode ends, while the remaining rows keep
+        decoding (bench_e2e BENCH_VARLEN pipeline)."""
         cfg = self.cfg
         n_imgs = len(images)
         batch = batch or cfg.batch_size
@@ -285,7 +298,6 @@ class ChemicalOCR:
                               (len(idxs), 1))
             return jnp.asarray(arr), prompt
 
-        results: List[Optional[np.ndarray]] = [None] * n_imgs
         next_img = min(batch, n_imgs)
         owners = list(range(next_img)) + [-1] * (batch - next_img)
 
@@ -310,9 +322,10 @@ class ChemicalOCR:
 
         def collect(rows):
             got = np.asarray(jax.device_get(state["out"][jnp.asarray(rows)]))
-            for r, row_ids in zip(rows, got):
-                results[owners[r]] = row_ids
+            done = [(owners[r], row_ids) for r, row_ids in zip(rows, got)]
+            for r in rows:
                 owners[r] = -1
+            return done
 
         free: List[int] = []
         while True:
@@ -320,7 +333,7 @@ class ChemicalOCR:
             fin = np.asarray(jax.device_get(state["finished"]))
             newly = [r for r in range(batch) if fin[r] and owners[r] >= 0]
             if newly:
-                collect(newly)
+                yield from collect(newly)
                 free += newly
             live = any(o >= 0 for o in owners)
             # Refill in EXACT refill_batch waves: freed rows accumulate in
@@ -351,7 +364,6 @@ class ChemicalOCR:
                 live = True
             if not live and next_img >= n_imgs:
                 break
-        return [results[i] for i in range(n_imgs)]
 
     def generate_batch_async(self, images: np.ndarray,
                              return_pixels: bool = False):

@@ -26,6 +26,10 @@ def one_loss() -> None:
     import jax
     import numpy as np
 
+    # sitecustomize pins the axon TPU platform; CHECK_PLATFORM=cpu for
+    # plumbing smokes (the flash kernel itself needs the real TPU)
+    if os.environ.get("CHECK_PLATFORM"):
+        jax.config.update("jax_platforms", os.environ["CHECK_PLATFORM"])
     try:
         jax.config.update("jax_compilation_cache_dir",
                           os.environ.get("JAX_CACHE_DIR", "/tmp/jax_cache"))

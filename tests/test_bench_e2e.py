@@ -68,3 +68,15 @@ def test_sequential_host_pixels_tiny():
     metric = next(o for o in out if "metric" in o)
     assert metric["metric"] == "images_per_sec_per_chip_e2e_pipeline"
     assert metric["value"] > 0
+
+
+def test_varlen_stream_tiny():
+    """Honest variable-length mode: continuous-batching OCR (per-image
+    budgets, retire + refill) feeding budget-sorted MG groups with
+    per-request decode caps (greedy row_budgets)."""
+    out = _run({"BENCH_VARLEN": "1", "BENCH_VARLEN_N": "4",
+                "BENCH_MEDIAN_TOKENS": "4", "BENCH_MG_MEDIAN_TOKENS": "4",
+                "BENCH_REFILL": "2", "BENCH_INNER": "2"})
+    metric = next(o for o in out if "metric" in o)
+    assert metric["metric"] == "images_per_sec_per_chip_e2e_varlen"
+    assert metric["value"] > 0

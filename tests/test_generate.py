@@ -96,6 +96,21 @@ class TestGreedy:
         out = fn(params, batch)
         assert out.shape == (2, MAXLEN)
 
+    def test_row_budgets_truncate(self, setup):
+        """Per-request budgets (row_budgets) must equal the unbudgeted
+        output truncated per row, with pad beyond each budget."""
+        cfg, model, params, batch, enc, enc_mask = setup
+        full = np.asarray(greedy_generate(model, params, enc, enc_mask,
+                                          MAXLEN, eos_id=-1))
+        budgets = np.asarray([2, 4], np.int32)
+        out = np.asarray(greedy_generate(
+            model, params, enc, enc_mask, MAXLEN, eos_id=-1,
+            row_budgets=jnp.asarray(budgets)))
+        for r in range(2):
+            b = budgets[r]
+            np.testing.assert_array_equal(out[r, :b], full[r, :b])
+            assert (out[r, b:] == 0).all()
+
 
 class TestBeam:
     def test_beam1_matches_greedy(self, setup):
