@@ -41,8 +41,15 @@ class OCREngineConfig:
     act_quant: bool = False         # W8A8 s8 x s8 MXU decode dots
     megastep: bool = False          # whole-step decode megakernel
     mega_block_s: int = 0           # ring block override (0: auto)
+    stream: bool = False            # continuous batching in predict()
+    refill_batch: int = 8           # stream refill wave size
+    stream_inner: int = 64          # stream decode steps per host readback
 
     def __post_init__(self):
+        if self.stream and self.megastep:
+            raise ValueError(
+                "OCREngineConfig: stream=True is incompatible with "
+                "megastep=True (stacked rings have no per-row positions)")
         if self.int4_kv and not self.quant_kv:
             raise ValueError(
                 "OCREngineConfig: int4_kv=True requires quant_kv=True — "
@@ -399,6 +406,24 @@ class ChemicalOCR:
         from markushgrapher_tpu.data.dataset import resize_image
 
         size = image_size or self.model.cfg.vision.image_size
+        if self.cfg.stream:
+            # continuous batching (the reference's vllm default,
+            # chemical_ocr.py:242-287): rows retire at EOS, freed rows
+            # refill — long pages no longer hold the batch at the 4096 cap
+            t0 = time.time()
+            imgs = [resize_image(dataset[i][image_key], size)
+                    for i in range(len(dataset))]
+            if not imgs:
+                return []
+            out: List[Optional[List[Dict]]] = [None] * len(imgs)
+            for i, ids in self.stream_retired(
+                    imgs, batch=self.cfg.batch_size,
+                    refill_batch=self.cfg.refill_batch,
+                    inner=self.cfg.stream_inner):
+                out[i] = cells_from_prediction(self.decode_ids(ids[None])[0])
+            logger.info("OCR (stream): %d images in %.1fs", len(imgs),
+                        time.time() - t0)
+            return out
         cells_out: List[List[Dict]] = []
         batch_imgs: List[np.ndarray] = []
         t0 = time.time()

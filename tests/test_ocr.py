@@ -367,6 +367,22 @@ class TestStreamEngine:
                 got[i], want[i],
                 err_msg=f"image {i} (budget {budgets[i]})")
 
+    def test_predict_stream_matches_batched(self, vlm):
+        """cfg.stream=True routes predict() through continuous batching;
+        cells must match the fixed-batch predict path exactly."""
+        cfg, model, params, _, _ = vlm
+        samples = [{"page_image": np.full((48, 48, 3), i * 40, np.uint8)}
+                   for i in range(5)]
+        base = ChemicalOCR(model, params, MGTokenizer(),
+                           OCREngineConfig(max_new_tokens=6, batch_size=2))
+        want = base.predict(samples, image_size=32)
+        streamed = ChemicalOCR(
+            model, params, MGTokenizer(),
+            OCREngineConfig(max_new_tokens=6, batch_size=2, stream=True,
+                            refill_batch=2, stream_inner=2))
+        got = streamed.predict(samples, image_size=32)
+        assert got == want
+
     def test_stream_short_queue(self, vlm):
         """Fewer images than batch rows: padding rows are born retired and
         the stream still returns every image."""
