@@ -158,7 +158,44 @@ def summarize(out_dir: str) -> dict:
     return summary
 
 
+def summarize_partial(out_dir: str) -> dict:
+    """Salvage summary for a run killed before train_results.json was
+    written (a chain timeout): reconstruct the metric series from the
+    per-eval scores_48.json artifacts. Loss history lives only in memory,
+    so this reports eval trends only."""
+    import glob as _glob
+
+    evals = []
+    for d in sorted(_glob.glob(os.path.join(out_dir, "eval_*")),
+                    key=lambda p: int(p.rsplit("_", 1)[1])):
+        files = _glob.glob(os.path.join(d, "scores_*.json"))
+        if not files:
+            continue
+        with open(files[0]) as f:
+            evals.append((int(d.rsplit("_", 1)[1]), json.load(f)))
+    summary = {"partial": True, "eval_points": len(evals),
+               "steps": evals[-1][0] if evals else 0}
+    keys = set()
+    for _, m in evals:
+        keys.update(k for k in m
+                    if any(k.endswith(s) for s in
+                           ("cxsmi_equality", "levenshtein",
+                            "string_equality", "stable_precision",
+                            "stable_recall", "valid_cxsmiles",
+                            "markush_equality")))
+    for key in sorted(keys):
+        series = [(s, m[key]) for s, m in evals if key in m]
+        if series:
+            summary[f"{key}_first"] = round(series[0][1], 4)
+            summary[f"{key}_last"] = round(series[-1][1], 4)
+            summary[f"{key}_best"] = round(max(v for _, v in series), 4)
+    return summary
+
+
 def main() -> None:
+    if len(sys.argv) > 2 and sys.argv[1] == "--summarize-partial":
+        print(json.dumps(summarize_partial(sys.argv[2])), flush=True)
+        return
     tiny = os.environ.get("DEMO_TINY", "0") == "1"
     if tiny and not os.environ.get("BENCH_PLATFORM"):
         jax.config.update("jax_platforms", "cpu")
