@@ -182,36 +182,43 @@ class Trainer:
         t0 = time.time()
         curriculum = CurriculumCallback(self.cfg) if self.cfg.curriculum else None
         with self.mesh:
+            # Read the device step counter ONCE (resume offset), then track
+            # it host-side: `int(state.step)` inside the loop would block
+            # on the in-flight step every iteration, serializing host batch
+            # prep against device compute (async dispatch is the whole
+            # overlap story — on a thin host this sync alone added seconds
+            # per step to the round-5 learning demo).
+            step = int(state.step)
             for batch in data_iter:
-                step = int(state.step)
                 if step >= max_steps:
                     break
                 state, metrics = self.train_step(state, batch, rng)
-                if (step + 1) % log_every == 0:
+                step += 1
+                if step % log_every == 0:
                     m = {k: float(v) for k, v in metrics.items()}
-                    m.update(step=step + 1,
+                    m.update(step=step,
                              steps_per_sec=log_every / max(time.time() - t0, 1e-9))
                     t0 = time.time()
                     self.log_history.append(m)
                     if self.tracker is not None:
-                        self.tracker.log_scalars(step + 1, m)
-                    logger.info("step %d: %s", step + 1, m)
-                if self.eval_fn and (step + 1) % self.cfg.eval_steps == 0:
-                    eval_metrics = self.eval_fn(state, step + 1)
+                        self.tracker.log_scalars(step, m)
+                    logger.info("step %d: %s", step, m)
+                if self.eval_fn and step % self.cfg.eval_steps == 0:
+                    eval_metrics = self.eval_fn(state, step)
                     self.log_history.append(
-                        dict(eval_metrics, step=step + 1))
+                        dict(eval_metrics, step=step))
                     if self.tracker is not None:
-                        self.tracker.log_scalars(step + 1, eval_metrics)
+                        self.tracker.log_scalars(step, eval_metrics)
                     if curriculum:
                         prev = curriculum.level
                         level = curriculum.update(
                             eval_metrics.get("eval_loss"))
                         if level != prev and self.on_curriculum_level:
                             self.on_curriculum_level(level)
-                    self._track_best(eval_metrics, step + 1, state,
+                    self._track_best(eval_metrics, step, state,
                                      checkpointer)
-                if checkpointer and (step + 1) % self.cfg.save_steps == 0:
-                    checkpointer.save(step + 1, state)
+                if checkpointer and step % self.cfg.save_steps == 0:
+                    checkpointer.save(step, state)
         return state
 
     def _track_best(self, metrics: Dict[str, float], step: int, state,
