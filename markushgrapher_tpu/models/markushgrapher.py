@@ -383,7 +383,15 @@ class MarkushGrapherModel(nn.Module):
                 # fallback.
                 import os as _os
 
-                mode = _os.environ.get("MARKUSH_TRAIN_BIAS", "onehot")
+                mode = _os.environ.get("MARKUSH_TRAIN_BIAS")
+                if mode is None:
+                    # pair the bias default with the attention default:
+                    # flash (TPU) wants the build-once onehot_mat slab,
+                    # the chunked scan wants the per-chunk onehot build
+                    from markushgrapher_tpu.models.t5 import train_attn_mode
+
+                    mode = ("onehot_mat" if train_attn_mode() == "flash"
+                            else "onehot")
                 bias_args = (
                     self.enc_bias_1d, self.enc_bias_h, self.enc_bias_v,
                     full_bbox.astype(jnp.float32), full_mask, seq_len,

@@ -185,15 +185,29 @@ def _train_chunk_q_dec(qlen: int) -> Optional[int]:
 _THREAD_BIAS_MIN_SEQ = 512
 
 
+def train_attn_mode() -> str:
+    """Training attention mode: MARKUSH_TRAIN_ATTN env override, else
+    flash on real TPU / chunked elsewhere. Flash + onehot_mat measured
+    2.873 vs 2.446 ex/s at b8/512/512 on v5e (chain r5a T1) and is
+    loss/grad-parity-gated against the chunked path on hardware
+    (scripts/check_train_flash.py, chain r5c F1: PARITY OK); the stock
+    pallas flash kernel has no interpret mode, so non-TPU backends keep
+    the chunked-q scan."""
+    import os
+
+    mode = os.environ.get("MARKUSH_TRAIN_ATTN")
+    if mode:
+        return mode
+    return "flash" if jax.default_backend() == "tpu" else "chunked"
+
+
 def _train_flash_ok(q, k, bias) -> bool:
-    """Opt-in trainable flash path (MARKUSH_TRAIN_ATTN=flash): the stock
+    """Trainable flash path gate (see train_attn_mode): the stock
     pallas kernel needs 128-divisible sequence lengths and a full
     [*, H, Q, K] bias — batch may broadcast, but H/Q/K must be real (the
     decoder's [B,1,1,K] cross key mask must NOT take this branch: the
     kernel rejects ab.shape != (B,H,Q,K))."""
-    import os
-
-    return (os.environ.get("MARKUSH_TRAIN_ATTN", "chunked") == "flash"
+    return (train_attn_mode() == "flash"
             and q.shape[1] % 128 == 0 and k.shape[1] % 128 == 0
             and hasattr(bias, "shape") and bias.ndim == 4
             and bias.shape[1] == q.shape[2]      # H
