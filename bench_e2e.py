@@ -133,8 +133,14 @@ def main() -> None:
     # the full max_new_tokens from step 0; measured -19% on the MG driver
     # bench at b48 (whole-slab tiles beat 128-blocked skip there).
     block_skip = os.environ.get("BENCH_BLOCK_SKIP", "0") == "1"
-    ocr_skip = os.environ.get("BENCH_OCR_SKIP",
-                              "1" if block_skip else "0") == "1"
+    # BENCH_VARLEN defaults OCR skip ON: continuous batching allocates the
+    # ring at the decode CAP while rows sit at their (much lower) actual
+    # positions — batch-max valid-prefix reads stop ring traffic from
+    # scaling with the cap (vlm._skip_kw vector-step path)
+    ocr_skip = os.environ.get(
+        "BENCH_OCR_SKIP",
+        "1" if block_skip or os.environ.get("BENCH_VARLEN", "0") == "1"
+        else "0") == "1"
     mg_skip = os.environ.get("BENCH_MG_SKIP",
                              "1" if block_skip else "0") == "1"
     # BENCH_DIAG=1: additionally measure each stage standalone (fenced) so a

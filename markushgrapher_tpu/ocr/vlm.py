@@ -407,12 +407,16 @@ class LMLayer(nn.Module):
     def _skip_kw(self, ring_len, step):
         """Valid-prefix ring reads (ops/mxu_decode.valid_prefix_blocks);
         here the tail positions are masked by kv_mask (-inf). Per-row step
-        vectors (continuous batching) disable the skip — rows sit at
-        different positions, so there is no single valid prefix."""
-        if not self.block_skip or jnp.ndim(step) != 0:
+        vectors (continuous batching) use the BATCH-MAX position: each
+        row's own kv_mask still zeroes everything past its position, so
+        the elision stays exact while ring reads stop scaling with the
+        decode cap (at a 2048-token cap with ~256-token median pages the
+        full-ring read is ~4x dead traffic — chain r5c V2)."""
+        if not self.block_skip:
             return {}
         from markushgrapher_tpu.ops.mxu_decode import valid_prefix_blocks
-        return valid_prefix_blocks(ring_len, step, 128)
+        return valid_prefix_blocks(
+            ring_len, step if jnp.ndim(step) == 0 else jnp.max(step), 128)
 
     @staticmethod
     def _ring_upd(arr, new, step, axis):

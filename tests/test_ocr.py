@@ -367,6 +367,41 @@ class TestStreamEngine:
                 got[i], want[i],
                 err_msg=f"image {i} (budget {budgets[i]})")
 
+    def test_stream_block_skip_logits_match(self, vlm):
+        """Vector-step (per-row position) decode under block_skip=True:
+        the batch-MAX valid prefix drives the block map while each row's
+        own kv_mask zeroes its tail, so the elision is mathematically
+        exact — but the 128-block tiling changes the online-softmax f32
+        accumulation ORDER vs the whole-slab read, so tokens may flip on
+        near-ties (same caveat as int8 caches). Assert logits closeness
+        at per-row positions, and that the map actually engages."""
+        cfg, _, params, pix, _ = vlm
+        rng = np.random.RandomState(11)
+        prompt = jnp.asarray(
+            np.tile(rng.randint(3, 100, size=(1, 100)), (2, 1)), jnp.int32)
+        from markushgrapher_tpu.ocr.vlm import LMLayer
+        kw = LMLayer(cfg.text, jnp.float32, True)._skip_kw(
+            256, jnp.asarray([130, 110], jnp.int32))
+        assert kw and int(jnp.max(kw["block_map"])) == 1
+        kw0 = LMLayer(cfg.text, jnp.float32, True)._skip_kw(
+            256, jnp.asarray([120, 110], jnp.int32))
+        assert int(jnp.max(kw0["block_map"])) == 0  # tail block elided
+        logits = {}
+        for skip in (False, True):
+            model = ChemicalOCRModel(cfg, dtype=jnp.float32,
+                                     block_skip=skip)
+            _, caches, pl_ = model.apply(
+                params, pix, prompt, method=ChemicalOCRModel.prefill,
+                max_len=140, quant_kv=True, int4=True)
+            tok = jnp.asarray([[7], [13]], jnp.int32)
+            # rows at DIFFERENT generation positions (retire-refill state)
+            steps = jnp.asarray([9, 2], jnp.int32)
+            out, _ = model.apply(params, tok, caches, steps, pl_,
+                                 method=ChemicalOCRModel.decode_step)
+            logits[skip] = np.asarray(out)
+        np.testing.assert_allclose(logits[True], logits[False],
+                                   atol=1e-5, rtol=1e-5)
+
     def test_predict_stream_matches_batched(self, vlm):
         """cfg.stream=True routes predict() through continuous batching;
         cells must match the fixed-batch predict path exactly."""
