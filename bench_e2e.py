@@ -133,14 +133,13 @@ def main() -> None:
     # the full max_new_tokens from step 0; measured -19% on the MG driver
     # bench at b48 (whole-slab tiles beat 128-blocked skip there).
     block_skip = os.environ.get("BENCH_BLOCK_SKIP", "0") == "1"
-    # BENCH_VARLEN defaults OCR skip ON: continuous batching allocates the
-    # ring at the decode CAP while rows sit at their (much lower) actual
-    # positions — batch-max valid-prefix reads stop ring traffic from
-    # scaling with the cap (vlm._skip_kw vector-step path)
-    ocr_skip = os.environ.get(
-        "BENCH_OCR_SKIP",
-        "1" if block_skip or os.environ.get("BENCH_VARLEN", "0") == "1"
-        else "0") == "1"
+    # Batch-max valid-prefix reads for the varlen stream (vlm._skip_kw
+    # vector-step path) MEASURED SLOWER (chain r5d V2b: 2.00 vs 3.26
+    # img/s @2048) — the 128-block map's small DMAs cost more than the
+    # elided dead traffic saves, the same direction as greedy BLOCK_SKIP
+    # (7.86 vs 9.70) and beam seg128 (1.63 vs 2.68). Opt-in.
+    ocr_skip = os.environ.get("BENCH_OCR_SKIP",
+                              "1" if block_skip else "0") == "1"
     mg_skip = os.environ.get("BENCH_MG_SKIP",
                              "1" if block_skip else "0") == "1"
     # BENCH_DIAG=1: additionally measure each stage standalone (fenced) so a

@@ -73,12 +73,12 @@ def main() -> None:
             pixel_shuffle_factor=2, max_new_tokens=cap)
     else:
         ocr_cfg = OCRConfig(max_new_tokens=cap)
-    # batch-max valid-prefix ring reads default ON: the ring is allocated
-    # at the cap while rows sit at their actual positions (BENCH_OCR_SKIP=0
-    # to A/B the full-ring read)
+    # batch-max valid-prefix ring reads: opt-in (chain r5d V2b measured
+    # the 128-block map SLOWER than whole-slab reads in the varlen e2e —
+    # per-DMA granularity beats dead-traffic elision on this kernel)
     model = ChemicalOCRModel(
         ocr_cfg, dtype=jnp.bfloat16,
-        block_skip=os.environ.get("BENCH_OCR_SKIP", "1") == "1")
+        block_skip=os.environ.get("BENCH_OCR_SKIP", "0") == "1")
     tok = MarkushTokenizer().tokenizer
     pix0 = jnp.zeros((1, ocr_cfg.vision.image_size,
                       ocr_cfg.vision.image_size, 3), jnp.float32)
